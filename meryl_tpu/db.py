@@ -1,0 +1,200 @@
+"""The on-disk k-mer database.
+
+Our own TPU-era format with the same *capabilities* as the reference
+meryl DB (64-way prefix-partitioned, sorted, value histogram and
+statistics stored in the index so `histogram`/`statistics`/threshold
+initialization never rescan kmers  — reference
+documentation/source/reference.rst:71-88 and
+/root/reference/src/meryl/merylOp-histogram.C:35-42).  Parity with the
+reference is defined as decoded kmer/count equality, not byte identity
+(the reference encoder lives in the absent meryl-utility submodule).
+
+Layout of a database directory `<db>/`:
+  merylIndex.json   magic, k, flags, numFiles=64, statistics
+  histogram.tsv     "value<TAB>occurrences" lines, ascending value
+  0x00.kmb .. 0x3f.kmb   one binary bucket per 6-bit kmer prefix
+
+Bucket binary layout (little-endian):
+  8s   magic  b"MTPUKMB1"
+  u32  k
+  u32  reserved
+  u64  n
+  u64[n] lo     (kmer bits  [0,64) )
+  u64[n] hi     (kmer bits [64,128))
+  u32[n] count
+
+Kmers within a bucket are sorted ascending in the A=00,C=01,T=10,G=11
+integer order; one entry per kmer with value > 0 (multiset DBs may
+repeat kmers — reference documentation/source/reference.rst:49-53,89-91).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from . import kmer as km
+
+MAGIC_INDEX = "merylTpuIndex.v01"
+MAGIC_BUCKET = b"MTPUKMB1"
+NUM_FILES = 64
+
+
+def bucket_name(ff: int) -> str:
+    return f"0x{ff:02x}.kmb"
+
+
+def is_meryl_db(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, "merylIndex.json"))
+
+
+def compute_stats(counts: np.ndarray, multiset: bool = False) -> dict:
+    """unique/distinct/total from a full count array."""
+    counts = np.asarray(counts)
+    n_distinct = int(len(counts))
+    n_total = int(counts.astype(np.uint64).sum())
+    n_unique = int((counts == 1).sum())
+    return {
+        "numUnique": n_unique,
+        "numDistinct": n_distinct,
+        "numTotal": n_total,
+    }
+
+
+def sparse_histogram(counts: np.ndarray):
+    if len(counts) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    vals, occ = np.unique(counts, return_counts=True)
+    return vals.astype(np.uint64), occ.astype(np.uint64)
+
+
+class MerylDB:
+    """Reader/writer for the 64-bucket kmer database."""
+
+    def __init__(self, path: str, meta: dict):
+        self.path = path
+        self.meta = meta
+
+    # ---------- read ----------
+
+    @classmethod
+    def open(cls, path: str) -> "MerylDB":
+        with open(os.path.join(path, "merylIndex.json")) as f:
+            meta = json.load(f)
+        if meta.get("magic") != MAGIC_INDEX:
+            raise ValueError(f"{path}: not a meryl-tpu database")
+        return cls(path, meta)
+
+    @property
+    def k(self) -> int:
+        return int(self.meta["k"])
+
+    @property
+    def multiset(self) -> bool:
+        return bool(self.meta.get("multiset", False))
+
+    def stats(self) -> dict:
+        return {
+            "numUnique": int(self.meta["numUnique"]),
+            "numDistinct": int(self.meta["numDistinct"]),
+            "numTotal": int(self.meta["numTotal"]),
+        }
+
+    def histogram(self):
+        """(values, occurrences) ascending, from the stored histogram."""
+        path = os.path.join(self.path, "histogram.tsv")
+        vals, occ = [], []
+        with open(path) as f:
+            for line in f:
+                v, o = line.split()
+                vals.append(int(v))
+                occ.append(int(o))
+        return np.array(vals, np.uint64), np.array(occ, np.uint64)
+
+    def load_bucket(self, ff: int):
+        """-> (hi, lo, counts) numpy arrays for 6-bit prefix ff."""
+        p = os.path.join(self.path, bucket_name(ff))
+        with open(p, "rb") as f:
+            magic = f.read(8)
+            if magic != MAGIC_BUCKET:
+                raise ValueError(f"{p}: bad bucket magic")
+            hdr = np.fromfile(f, dtype=np.uint32, count=2)
+            if int(hdr[0]) != self.k:
+                raise ValueError(f"{p}: k mismatch")
+            n = int(np.fromfile(f, dtype=np.uint64, count=1)[0])
+            lo = np.fromfile(f, dtype=np.uint64, count=n)
+            hi = np.fromfile(f, dtype=np.uint64, count=n)
+            counts = np.fromfile(f, dtype=np.uint32, count=n)
+        return hi, lo, counts
+
+    def load_all(self):
+        his, los, cts = [], [], []
+        for ff in range(NUM_FILES):
+            hi, lo, c = self.load_bucket(ff)
+            his.append(hi)
+            los.append(lo)
+            cts.append(c)
+        return np.concatenate(his), np.concatenate(los), np.concatenate(cts)
+
+    # ---------- write ----------
+
+    @classmethod
+    def write(cls, path: str, k: int, hi, lo, counts, *,
+              mode: str = "canonical", hpc: bool = False,
+              multiset: bool = False, histogram=None) -> "MerylDB":
+        """Write a full database from sorted (hi, lo, counts) arrays.
+
+        Arrays must be sorted ascending by (hi, lo); counts > 0.
+        """
+        hi = np.ascontiguousarray(hi, dtype=np.uint64)
+        lo = np.ascontiguousarray(lo, dtype=np.uint64)
+        counts = np.ascontiguousarray(counts, dtype=np.uint32)
+        os.makedirs(path, exist_ok=True)
+
+        # split by 6-bit prefix (monotonic in sorted order)
+        pref = km.prefix6_from_hilo(hi, lo, k)
+        bounds = np.searchsorted(pref, np.arange(NUM_FILES + 1, dtype=np.uint32))
+        for ff in range(NUM_FILES):
+            b, e = int(bounds[ff]), int(bounds[ff + 1])
+            cls._write_bucket(os.path.join(path, bucket_name(ff)), k,
+                              hi[b:e], lo[b:e], counts[b:e])
+
+        if histogram is None:
+            hvals, hocc = sparse_histogram(counts)
+        else:
+            hvals, hocc = histogram
+        with open(os.path.join(path, "histogram.tsv"), "w") as f:
+            for v, o in zip(hvals.tolist(), hocc.tolist()):
+                f.write(f"{v}\t{o}\n")
+
+        stats = compute_stats(counts, multiset)
+        meta = {
+            "magic": MAGIC_INDEX,
+            "k": int(k),
+            "numFiles": NUM_FILES,
+            "ordering": "ACTG",
+            "mode": mode,
+            "hpc": bool(hpc),
+            "multiset": bool(multiset),
+            **stats,
+        }
+        with open(os.path.join(path, "merylIndex.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        return cls(path, meta)
+
+    @staticmethod
+    def _write_bucket(p: str, k: int, hi, lo, counts):
+        with open(p, "wb") as f:
+            f.write(MAGIC_BUCKET)
+            np.array([k, 0], dtype=np.uint32).tofile(f)
+            np.array([len(lo)], dtype=np.uint64).tofile(f)
+            np.ascontiguousarray(lo, np.uint64).tofile(f)
+            np.ascontiguousarray(hi, np.uint64).tofile(f)
+            np.ascontiguousarray(counts, np.uint32).tofile(f)
+
+    def dump_index(self) -> str:
+        """Human-readable index report (reference `dumpIndex` debug tool)."""
+        lines = [f"{k}: {v}" for k, v in self.meta.items()]
+        return "\n".join(lines)

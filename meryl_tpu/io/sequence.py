@@ -1,0 +1,164 @@
+"""Sequence input: FASTA/FASTQ readers and the device-chunk feeder.
+
+Capabilities mirrored from the reference's dnaSeqFile layer
+(/root/repo/SURVEY.md section 2.3; /root/reference/src/meryl/merylInput.C:241-275):
+  * FASTA (multi-line) and FASTQ, auto-detected; gz/bz2/xz compression
+    auto-detected by magic bytes
+  * streaming chunk interface with a k-1 base halo so kmers spanning
+    chunk boundaries are seen exactly once (the reference's _lastBuffer
+    carry, merylOp-countThreads.C:144-155)
+  * sequence breaks: a separator code between sequences invalidates
+    windows spanning two sequences (the reference's '.' breakers,
+    merylOp-countThreads.C:196-215)
+  * homopolymer compression with cross-buffer carry (merylInput.C:258-263)
+
+BAM/CRAM ingest (reference vendors htslib, src/main.mk:92-140) is gated
+on pysam availability; see io.bam.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io as _io
+import lzma
+import os
+from typing import Iterator, Tuple
+
+import numpy as np
+
+from ..kmer import CODE_LUT
+
+SEP = 255  # sequence separator / invalid code
+
+
+def open_maybe_compressed(path: str, mode: str = "rb"):
+    """Open a file, transparently decompressing gz/bz2/xz (by magic)."""
+    f = open(path, "rb")
+    magic = f.read(6)
+    f.seek(0)
+    if magic[:2] == b"\x1f\x8b":
+        return gzip.open(f)
+    if magic[:3] == b"BZh":
+        return bz2.open(f)
+    if magic[:6] == b"\xfd7zXZ\x00":
+        return lzma.open(f)
+    return f
+
+
+def detect_format(first_byte: bytes) -> str:
+    if first_byte == b">":
+        return "fasta"
+    if first_byte == b"@":
+        return "fastq"
+    return "raw"
+
+
+def iter_sequences(path: str) -> Iterator[Tuple[str, bytes, bytes | None]]:
+    """Yield (name, bases, quals|None) per sequence."""
+    with open_maybe_compressed(path) as f:
+        buf = _io.BufferedReader(f) if not isinstance(f, _io.BufferedReader) else f
+        first = buf.peek(1)[:1]
+        fmt = detect_format(first)
+        if fmt == "fasta":
+            name = None
+            parts: list[bytes] = []
+            for line in buf:
+                line = line.rstrip(b"\r\n")
+                if line.startswith(b">"):
+                    if name is not None:
+                        yield name, b"".join(parts), None
+                    name = line[1:].split()[0].decode() if len(line) > 1 else ""
+                    parts = []
+                else:
+                    parts.append(line)
+            if name is not None:
+                yield name, b"".join(parts), None
+        elif fmt == "fastq":
+            while True:
+                hdr = buf.readline()
+                if not hdr:
+                    break
+                seq = buf.readline().rstrip(b"\r\n")
+                buf.readline()  # '+'
+                qual = buf.readline().rstrip(b"\r\n")
+                name = hdr[1:].rstrip(b"\r\n").split()[0].decode() if len(hdr) > 1 else ""
+                yield name, seq, qual
+        else:  # raw: whole file is one sequence
+            data = buf.read()
+            yield "", b"".join(data.split()), None
+
+
+def homopoly_compress_bytes(seq: bytes, last_byte: int = 0) -> bytes:
+    """Collapse homopolymer runs (case-insensitive); `last_byte` carries the
+    previous chunk's final base so runs spanning chunks stay collapsed."""
+    if not seq:
+        return seq
+    a = np.frombuffer(seq, dtype=np.uint8)
+    up = np.where((a >= 97) & (a <= 122), a - 32, a)
+    prev = np.empty_like(up)
+    prev[0] = last_byte if last_byte == 0 else (last_byte - 32 if 97 <= last_byte <= 122 else last_byte)
+    prev[1:] = up[:-1]
+    keep = up != prev
+    return a[keep].tobytes()
+
+
+class SequenceChunker:
+    """Streams fixed-length code chunks for the device pipeline.
+
+    Each emitted chunk has length `chunk_len`; consecutive chunks overlap
+    by k-1 codes so that every window of length k is counted exactly once
+    (windows start at local positions 0..chunk_len-k).  Sequences are
+    separated by SEP codes.  The final chunk is padded with SEP.
+    """
+
+    def __init__(self, paths, k: int, chunk_len: int, hpc: bool = False):
+        if isinstance(paths, str):
+            paths = [paths]
+        self.paths = list(paths)
+        self.k = k
+        self.chunk_len = int(chunk_len)
+        self.hpc = hpc
+        if self.chunk_len <= k:
+            raise ValueError("chunk_len must exceed k")
+
+    def _code_stream(self) -> Iterator[np.ndarray]:
+        sep = np.full(1, SEP, dtype=np.uint8)
+        for path in self.paths:
+            for _, seq, _ in iter_sequences(path):
+                if self.hpc:
+                    seq = homopoly_compress_bytes(seq)
+                if seq:
+                    codes = CODE_LUT[np.frombuffer(seq, dtype=np.uint8)]
+                    yield codes
+                yield sep
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        L, k = self.chunk_len, self.k
+        step = L - (k - 1)
+        pend: list[np.ndarray] = []
+        npend = 0
+        for codes in self._code_stream():
+            pend.append(codes)
+            npend += len(codes)
+            if npend >= L:
+                buf = np.concatenate(pend) if len(pend) > 1 else pend[0]
+                pos = 0
+                while len(buf) - pos >= L:
+                    yield buf[pos:pos + L]
+                    pos += step
+                tail = buf[pos:].copy()
+                pend = [tail]
+                npend = len(tail)
+        if npend > k - 1:  # remaining content may still contain full windows
+            buf = np.concatenate(pend) if len(pend) > 1 else pend[0]
+            if (buf != SEP).any():
+                out = np.full(L, SEP, dtype=np.uint8)
+                out[:npend] = buf
+                yield out
+
+
+def total_input_bytes(paths) -> int:
+    if isinstance(paths, str):
+        paths = [paths]
+    return sum(os.path.getsize(p) for p in paths)
