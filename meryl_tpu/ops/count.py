@@ -4,6 +4,13 @@ Replaces the reference's per-bucket spin-locked insert + std::sort + RLE
 (/root/reference/src/meryl/merylCountArray.C:323-365) with one XLA sort
 over multiword keys followed by a segmented reduction — the TPU-native
 formulation (no locks, no data-dependent shapes).
+
+Invalid entries are not carried as an extra sort key (multi-key sorts
+compile and run slower): they are instead forced to the all-ones
+sentinel key, which sorts to the tail.  A valid poly-G kmer can collide
+with the sentinel when 2k is an exact multiple of 32 (k = 16/32/48/64);
+the collision is corrected by subtracting the pre-computed invalid count
+from the sentinel run's length.
 """
 
 from __future__ import annotations
@@ -15,50 +22,61 @@ import jax.numpy as jnp
 from jax import lax
 
 U32 = jnp.uint32
+SENT = U32(0xFFFFFFFF)
 
 
-def _sort_keys(planes, invalid_u32, payloads=()):
-    """Sort by (invalid, msb_plane..lsb_plane); invalid entries go last."""
+def _sort_planes(planes, payloads=()):
+    """Sort multiword keys ascending (plus optional payloads)."""
     P = len(planes)
-    keys = [invalid_u32] + [planes[p] for p in range(P - 1, -1, -1)]
-    ops = lax.sort(tuple(keys) + tuple(payloads), num_keys=P + 1)
-    inv = ops[0]
-    sorted_planes = [ops[P - p] for p in range(P)]  # back to LSB-first
-    return sorted_planes, inv, list(ops[P + 1:])
+    keys = [planes[p] for p in range(P - 1, -1, -1)]  # MSB plane first
+    ops = lax.sort(tuple(keys) + tuple(payloads), num_keys=P)
+    sorted_planes = [ops[P - 1 - p] for p in range(P)]  # back to LSB-first
+    return sorted_planes, list(ops[P:])
 
 
-def _run_starts(planes, inv):
-    """Boolean mask of run starts in sorted order (valid entries only)."""
+def _run_starts(planes):
+    """Boolean mask of run starts in sorted order."""
     neq = None
     for p in planes:
         d = p != jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, U32), p[:-1]])
         neq = d if neq is None else (neq | d)
-    first = jnp.zeros_like(neq).at[0].set(True)
-    return (neq | first) & (inv == 0)
+    return neq | jnp.zeros_like(neq).at[0].set(True)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _sort_count_impl(planes, validb):
-    L = planes[0].shape[0]
-    inv = jnp.where(validb, U32(0), U32(1))
-    splanes, sinv, _ = _sort_keys(planes, inv)
-    start = _run_starts(splanes, sinv)
+def _is_sentinel(planes):
+    m = None
+    for p in planes:
+        e = p == SENT
+        m = e if m is None else (m & e)
+    return m
+
+
+def _run_lengths(start, weights, L):
     seg = jnp.cumsum(start.astype(jnp.int32)) - 1
-    ones = jnp.where(sinv == 0, 1, 0).astype(jnp.int32)
-    seg_counts = jax.ops.segment_sum(ones, seg, num_segments=L)
-    counts = seg_counts[jnp.maximum(seg, 0)].astype(U32)
-    n_unique = jnp.sum(start.astype(jnp.int32))
-    return splanes, counts, start, n_unique
+    seg_sums = jax.ops.segment_sum(weights, seg, num_segments=L)
+    return seg_sums[jnp.maximum(seg, 0)]
 
 
+@jax.jit
 def sort_count(planes, validb):
     """Sort kmers and run-length count duplicates.
 
+    planes: list of P uint32 arrays (LSB plane first); validb: bool mask.
     Returns (sorted_planes, counts, start_mask, n_unique): entries where
-    start_mask is True are the unique kmers (in ascending ACTG order)
-    with their total counts.
+    start_mask is True are the unique valid kmers in ascending ACTG
+    order with their total counts (counts > 0 guaranteed).
     """
-    return _sort_count_impl(planes, validb)
+    L = planes[0].shape[0]
+    n_invalid = jnp.sum((~validb).astype(jnp.int32))
+    masked = [jnp.where(validb, p, SENT) for p in planes]
+    splanes, _ = _sort_planes(masked)
+    start = _run_starts(splanes)
+    ones = jnp.ones((L,), jnp.int32)
+    counts = _run_lengths(start, ones, L)
+    counts = counts - jnp.where(_is_sentinel(splanes), n_invalid, 0)
+    start = start & (counts > 0)
+    n_unique = jnp.sum(start.astype(jnp.int32))
+    return splanes, counts.astype(U32), start, n_unique
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -78,28 +96,23 @@ def compact(planes, counts, start, capacity: int):
 @functools.partial(jax.jit, static_argnames=("num_values",))
 def value_histogram(counts, start, num_values: int):
     """Histogram of run counts: h[v] = #unique kmers with count v
-    (v < num_values; counts >= num_values accumulate in the last bin)."""
+    (counts >= num_values accumulate in the last bin; h[0] forced 0)."""
     v = jnp.where(start, jnp.minimum(counts, U32(num_values - 1)), U32(0))
-    seg = v.astype(jnp.int32)
     ones = jnp.where(start, 1, 0).astype(jnp.int32)
-    return jax.ops.segment_sum(ones, seg, num_segments=num_values).at[0].set(0)
+    return jax.ops.segment_sum(ones, v.astype(jnp.int32),
+                               num_segments=num_values).at[0].set(0)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def merge_counted(planes_a, counts_a, planes_b, counts_b):
-    """Merge two unique-kmer/count arrays (sentinel-padded) into one
-    sorted unique array of size len(a)+len(b): concat, sort, sum counts
-    of equal kmers.  Returns (planes, counts, start_mask)."""
+    """Merge two unique-kmer/count arrays (all-ones sentinel padding with
+    zero counts) into one sorted unique array of size len(a)+len(b).
+    Returns (planes, counts, start_mask); start & counts>0 marks output."""
     planes = [jnp.concatenate([a, b]) for a, b in zip(planes_a, planes_b)]
     counts = jnp.concatenate([counts_a, counts_b])
-    validb = counts > 0
     L = counts.shape[0]
-    inv = jnp.where(validb, U32(0), U32(1))
-    splanes, sinv, payl = _sort_keys(planes, inv, (counts,))
-    scounts = payl[0]
-    start = _run_starts(splanes, sinv)
-    seg = jnp.cumsum(start.astype(jnp.int32)) - 1
-    seg_counts = jax.ops.segment_sum(
-        jnp.where(sinv == 0, scounts, U32(0)).astype(jnp.uint32), seg, num_segments=L)
-    out_counts = seg_counts[jnp.maximum(seg, 0)].astype(U32)
-    return splanes, out_counts, start
+    splanes, payl = _sort_planes(planes, (counts,))
+    start = _run_starts(splanes)
+    out_counts = _run_lengths(start, payl[0].astype(jnp.uint32), L)
+    start = start & (out_counts > 0)
+    return splanes, out_counts.astype(U32), start
