@@ -24,7 +24,11 @@ from .io.sequence import SequenceChunker
 from .ops import count as cnt
 from .ops import extract as ext
 
-DEFAULT_CHUNK = 1 << 22  # bases per device chunk
+import os as _os
+
+# bases per device chunk; overridable for small runs / tests where XLA
+# compile time on a fresh signature dominates
+DEFAULT_CHUNK = int(_os.environ.get("MERYL_TPU_CHUNK", 1 << 22))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mode"))

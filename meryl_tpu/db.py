@@ -194,7 +194,68 @@ class MerylDB:
             np.ascontiguousarray(hi, np.uint64).tofile(f)
             np.ascontiguousarray(counts, np.uint32).tofile(f)
 
+    def bucket_path(self, ff: int) -> str:
+        return os.path.join(self.path, bucket_name(ff))
+
     def dump_index(self) -> str:
         """Human-readable index report (reference `dumpIndex` debug tool)."""
         lines = [f"{k}: {v}" for k, v in self.meta.items()]
         return "\n".join(lines)
+
+
+class MerylDBWriter:
+    """Incremental bucket-at-a-time DB writer (the merge phase emits one
+    6-bit-prefix bucket at a time, mirroring the reference's per-slice
+    stream writers, /root/reference/src/meryl/merylOp-nextMer.C:154-158)."""
+
+    def __init__(self, path: str, k: int, *, mode: str = "canonical",
+                 hpc: bool = False, multiset: bool = False):
+        self.path = path
+        self.k = int(k)
+        self.mode = mode
+        self.hpc = hpc
+        self.multiset = multiset
+        self._written = set()
+        self._hist: dict[int, int] = {}
+        self._n_distinct = 0
+        self._n_total = 0
+        self._n_unique = 0
+        os.makedirs(path, exist_ok=True)
+
+    def add_bucket(self, ff: int, hi, lo, counts):
+        if ff in self._written:
+            raise ValueError(f"bucket {ff} written twice")
+        self._written.add(ff)
+        counts = np.ascontiguousarray(counts, dtype=np.uint32)
+        MerylDB._write_bucket(os.path.join(self.path, bucket_name(ff)),
+                              self.k, hi, lo, counts)
+        vals, occ = sparse_histogram(counts)
+        for v, o in zip(vals.tolist(), occ.tolist()):
+            self._hist[v] = self._hist.get(v, 0) + o
+        self._n_distinct += len(counts)
+        self._n_total += int(counts.astype(np.uint64).sum())
+        self._n_unique += int((counts == 1).sum())
+
+    def finalize(self) -> "MerylDB":
+        for ff in range(NUM_FILES):
+            if ff not in self._written:
+                z = np.zeros(0, np.uint64)
+                self.add_bucket(ff, z, z, np.zeros(0, np.uint32))
+        with open(os.path.join(self.path, "histogram.tsv"), "w") as f:
+            for v in sorted(self._hist):
+                f.write(f"{v}\t{self._hist[v]}\n")
+        meta = {
+            "magic": MAGIC_INDEX,
+            "k": self.k,
+            "numFiles": NUM_FILES,
+            "ordering": "ACTG",
+            "mode": self.mode,
+            "hpc": bool(self.hpc),
+            "multiset": bool(self.multiset),
+            "numUnique": self._n_unique,
+            "numDistinct": self._n_distinct,
+            "numTotal": self._n_total,
+        }
+        with open(os.path.join(self.path, "merylIndex.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        return MerylDB(self.path, meta)

@@ -1,0 +1,154 @@
+"""Batched exact k-mer lookup: the merylExactLookup equivalent.
+
+The reference builds an in-RAM table per database and probes one kmer
+at a time from worker threads (interface at /root/repo/SURVEY.md §2.3;
+call sites /root/reference/src/meryl-lookup/meryl-lookup.C:40-100,
+dump.C:123-155, existence.C:81-110).  The TPU-native design instead
+keeps the database as device-resident sorted plane arrays plus a
+prefix-offset table, and answers *batches* of queries with a vectorized
+multiword binary search — one kernel invocation per sequence chunk
+instead of one hash probe per kmer.
+
+value(kmer) == 0 means absent, matching the reference contract.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import kmer as km
+from .db import MerylDB
+from .ops import multiword as mw
+
+U32 = jnp.uint32
+
+
+def _prefix_bits_for(n_kmers: int, k: int) -> int:
+    """Table of 2^B offsets; aim for ~4 kmers per prefix slot."""
+    b = max(1, int(n_kmers).bit_length() - 2)
+    return min(b, 2 * k, 22)
+
+
+def _top_bits_np(hi: np.ndarray, lo: np.ndarray, k: int, b: int) -> np.ndarray:
+    """Top b bits of each 2k-bit kmer (host)."""
+    shift = 2 * k - b
+    hi = hi.astype(np.uint64)
+    lo = lo.astype(np.uint64)
+    if 2 * k <= 64:
+        return (lo >> np.uint64(shift)).astype(np.uint64)
+    if shift >= 64:
+        return (hi >> np.uint64(shift - 64)).astype(np.uint64)
+    nhi = 2 * k - 64
+    out = hi << np.uint64(b - nhi)
+    out |= lo >> np.uint64(shift)
+    return out
+
+
+def _top_bits_planes(planes, k: int, b: int):
+    """Top b bits of each kmer from uint32 planes (device, int32 result).
+
+    b <= 22 so the result fits int32."""
+    top_bit = 2 * k - 1
+    top_plane = top_bit // 32
+    used = 2 * k - 32 * top_plane
+    if used >= b:
+        v = (planes[top_plane] >> U32(used - b))
+        return (v & U32((1 << b) - 1)).astype(jnp.int32)
+    need = b - used
+    hi = planes[top_plane] & ((U32(1) << U32(used)) - U32(1))
+    lo = planes[top_plane - 1] >> U32(32 - need)
+    return ((hi.astype(jnp.int32) << need) | lo.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "b", "iters"))
+def _query_kernel(db_planes, db_values, offsets, q_planes, valid,
+                  k: int, b: int, iters: int):
+    """Vectorized lower-bound search over sorted multiword keys.
+
+    db_planes: P arrays (N,) ascending; db_values: (N,) uint32
+    offsets:   (2^b + 1,) int32 start offsets per b-bit prefix
+    q_planes:  P arrays (Q,); valid: (Q,) bool
+    -> (Q,) uint32 values, 0 where absent or invalid.
+    """
+    pref = _top_bits_planes(q_planes, k, b)
+    pref = jnp.clip(pref, 0, (1 << b) - 1)
+    lo = offsets[pref]
+    hi = offsets[pref + 1]
+    end = hi
+    for _ in range(iters):
+        mid = (lo + hi) >> 1
+        key = [jnp.take(p, mid, mode="clip") for p in db_planes]
+        less = mw.lt(key, q_planes)
+        active = lo < hi
+        lo = jnp.where(active & less, mid + 1, lo)
+        hi = jnp.where(active & ~less, mid, hi)
+    n = db_values.shape[0]
+    idx = jnp.minimum(lo, n - 1)
+    key = [jnp.take(p, idx, mode="clip") for p in db_planes]
+    found = mw.eq(key, q_planes) & (lo < end) & valid
+    return jnp.where(found, jnp.take(db_values, idx, mode="clip"), U32(0))
+
+
+class ExactLookup:
+    """Device-resident exact lookup table for one database.
+
+    Mirrors merylExactLookup: load(db, minV, maxV), value(), exists(),
+    nKmers().  Batched query methods take plane lists + validity masks.
+    """
+
+    def __init__(self, db: MerylDB, min_value: int = 0,
+                 max_value: int = km.VALUE_MAX):
+        self.db = db
+        self.k = db.k
+        self.P = km.num_planes(self.k)
+        hi, lo, counts = db.load_all()
+        if min_value > 0 or max_value < km.VALUE_MAX:
+            keep = (counts >= min_value) & (counts <= max_value)
+            hi, lo, counts = hi[keep], lo[keep], counts[keep]
+        self._n = len(counts)
+        self.B = _prefix_bits_for(max(self._n, 1), self.k)
+        pref = _top_bits_np(hi, lo, self.k, self.B)
+        offsets = np.searchsorted(
+            pref, np.arange((1 << self.B) + 1, dtype=np.uint64)).astype(np.int32)
+        self._offsets = jnp.asarray(offsets)
+        planes = km.planes_from_hilo(hi, lo, self.P)
+        if self._n == 0:  # keep kernels shape-happy
+            planes = [np.zeros(1, np.uint32) for _ in range(self.P)]
+            counts = np.zeros(1, np.uint32)
+        self._planes = [jnp.asarray(p) for p in planes]
+        self._values = jnp.asarray(np.ascontiguousarray(counts, np.uint32))
+        max_range = int((offsets[1:] - offsets[:-1]).max()) if self._n else 1
+        self._iters = max(1, int(max_range).bit_length())
+
+    def n_kmers(self) -> int:
+        return self._n
+
+    def estimate_memory_bytes(self) -> int:
+        """Device-memory footprint of the loaded table (the reference's
+        estimateMemoryUsage reports RAM for its table the same way)."""
+        return (self.P * 4 + 4) * max(self._n, 1) + 4 * (1 << self.B)
+
+    def values_batch(self, q_planes, valid):
+        """q_planes: P device arrays, valid: bool mask -> uint32 values."""
+        return _query_kernel(self._planes, self._values, self._offsets,
+                             q_planes, valid, self.k, self.B, self._iters)
+
+    # ---- convenience host-side probes (small batches) ----
+
+    def values_np(self, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+        q = km.planes_from_hilo(np.asarray(hi, np.uint64),
+                                np.asarray(lo, np.uint64), self.P)
+        valid = jnp.ones(len(lo), bool)
+        return np.asarray(self.values_batch([jnp.asarray(p) for p in q], valid))
+
+    def value(self, kmer_int: int) -> int:
+        hi, lo = km.hilo_from_int(kmer_int)
+        return int(self.values_np(np.array([hi], np.uint64),
+                                  np.array([lo], np.uint64))[0])
+
+    def exists(self, kmer_int: int) -> bool:
+        return self.value(kmer_int) > 0

@@ -1,0 +1,347 @@
+"""meryl-lookup: compare sequences against k-mer databases.
+
+Modes and output formats match the reference meryl-lookup
+(/root/reference/src/meryl-lookup/meryl-lookup.C:160-230, dump.C,
+existence.C, include-exclude.C):
+  -bed        BED record per kmer found in a DB
+  -bed-runs   overlapping found kmers merged into one record
+  -wig-count  wiggle: kmer multiplicity at each starting position
+  -wig-depth  wiggle: #found kmers covering each position (first DB)
+  -existence  per sequence: ident, nTotal, then per DB nKmers/nFound
+  -include    copy sequences with >= 1 kmer in the (single) DB
+  -exclude    copy sequences with no kmer in the (single) DB
+
+Each kmer is tested in both orientations (forward and reverse
+complement) so non-canonical databases work (dump.C:93-127).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import kmer as km
+from .io.sequence import iter_sequences
+from .lookup import ExactLookup
+from .ops import extract as ext
+
+CHUNK = 1 << 16  # positions per device query batch
+
+USAGE = """usage: meryl-lookup <report-type> \\
+         -sequence <input1.fasta> [<input2.fasta>] \\
+         -output   <output1>      [<output2>] \\
+         -mers     <input1.meryl> [<input2.meryl>] [...] [-estimate] \\
+         -labels   <input1name>   [<input2name>]   [...]
+
+  Compare kmers in input sequences against kmers in input meryl databases.
+
+  Report types: -bed | -bed-runs | -wig-count | -wig-depth | -existence |
+                -include | -exclude
+  Options: -min N | -max N | -memory GB | -threads T | -10x | -estimate
+"""
+
+
+class LookupGlobal:
+    def __init__(self):
+        self.mode = None
+        self.seq1 = None
+        self.seq2 = None
+        self.out1 = None
+        self.out2 = None
+        self.dbs: list[str] = []
+        self.labels: list[str] = []
+        self.min_v = 0
+        self.max_v = km.VALUE_MAX
+        self.memory_gb = None
+        self.estimate = False
+        self.is10x = False
+        self.lookups: list[ExactLookup] = []
+
+
+def parse_args(argv) -> LookupGlobal:
+    g = LookupGlobal()
+    i = 0
+    modes = {"-bed": "bed", "-bed-runs": "bed-runs",
+             "-wig-count": "wig-count", "-wig-depth": "wig-depth",
+             "-existence": "existence", "-include": "include",
+             "-exclude": "exclude"}
+    while i < len(argv):
+        a = argv[i]
+        if a in modes:
+            g.mode = modes[a]
+        elif a == "-sequence":
+            i += 1
+            g.seq1 = argv[i]
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1
+                g.seq2 = argv[i]
+        elif a == "-mers":
+            while i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1
+                g.dbs.append(argv[i])
+        elif a == "-labels":
+            while i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1
+                g.labels.append(argv[i])
+        elif a == "-output":
+            i += 1
+            g.out1 = argv[i]
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1
+                g.out2 = argv[i]
+        elif a == "-min":
+            i += 1
+            g.min_v = int(argv[i])
+        elif a == "-max":
+            i += 1
+            g.max_v = int(argv[i])
+        elif a in ("-memory",):
+            i += 1
+            g.memory_gb = float(argv[i])
+        elif a in ("-threads", "-loadthreads"):
+            i += 1  # accepted for compatibility; XLA manages parallelism
+        elif a == "-10x":
+            g.is10x = True
+        elif a == "-estimate":
+            g.estimate = True
+        elif a in ("-V",):
+            pass
+        elif a in ("-help", "-h", "--help"):
+            raise SystemExit(USAGE)
+        else:
+            raise SystemExit(f"meryl-lookup: unknown option '{a}'\n{USAGE}")
+        i += 1
+    return g
+
+
+def load_tables(g: LookupGlobal, err=sys.stderr):
+    from .db import MerylDB
+    total = 0
+    for p in g.dbs:
+        L = ExactLookup(MerylDB.open(p), g.min_v, g.max_v)
+        g.lookups.append(L)
+        total += L.estimate_memory_bytes()
+    if g.estimate:
+        err.write(f"Estimated memory usage: {total / 1e9:.3f} GB for "
+                  f"{len(g.lookups)} database(s)\n")
+        raise SystemExit(0)
+    if g.memory_gb is not None and total > g.memory_gb * 1e9:
+        raise SystemExit(
+            f"meryl-lookup: tables need {total / 1e9:.3f} GB > "
+            f"-memory {g.memory_gb} GB")
+
+
+def _per_position_values(lookups, codes: np.ndarray, k: int):
+    """For each DB: (fvals, rvals) uint32 arrays over kmer start
+    positions 0..len-k, plus the validity mask."""
+    L = len(codes)
+    npos = max(0, L - k + 1)
+    nf = [np.zeros(npos, np.uint32) for _ in lookups]
+    nr = [np.zeros(npos, np.uint32) for _ in lookups]
+    vmask = np.zeros(npos, bool)
+    if npos == 0:
+        return nf, nr, vmask
+    step = CHUNK - (k - 1)
+    pos = 0
+    while pos < npos:
+        end = min(pos + CHUNK, L)
+        chunk = np.full(CHUNK, 255, np.uint8)
+        chunk[:end - pos] = codes[pos:end]
+        fpl, rpl, valid = ext.extract_kmers(jnp.asarray(chunk), k, "both")
+        nvalid = min(step, npos - pos)
+        v = np.asarray(valid)[:nvalid]
+        vmask[pos:pos + nvalid] = v
+        for d, Lk in enumerate(lookups):
+            fv = np.asarray(Lk.values_batch(fpl, valid))[:nvalid]
+            rv = np.asarray(Lk.values_batch(rpl, valid))[:nvalid]
+            nf[d][pos:pos + nvalid] = fv
+            nr[d][pos:pos + nvalid] = rv
+        pos += nvalid
+    return nf, nr, vmask
+
+
+def _is_palindrome(codes: np.ndarray, k: int) -> np.ndarray:
+    """Per-position: is the kmer its own reverse complement (k even only)."""
+    L = len(codes)
+    npos = max(0, L - k + 1)
+    out = np.zeros(npos, bool)
+    if k % 2 == 1 or npos == 0:
+        return out
+    comp = np.array([2, 3, 0, 1, *([255] * 252)], np.uint8)
+    for p in range(npos):
+        w = codes[p:p + k]
+        if (w <= 3).all() and (w == comp[w[::-1]]).all():
+            out[p] = True
+    return out
+
+
+def cmd_dump(g: LookupGlobal, out):
+    """-bed / -bed-runs / -wig-count / -wig-depth."""
+    k = g.lookups[0].k
+    use_labels = len(g.labels) > 0
+    for name, seq, _ in iter_sequences(g.seq1):
+        codes = km.CODE_LUT[np.frombuffer(seq, np.uint8)]
+        nf, nr, vmask = _per_position_values(g.lookups, codes, k)
+        npos = len(vmask)
+
+        if g.mode in ("bed", "bed-runs"):
+            nd = len(g.lookups)
+            exist = np.zeros((nd, npos), bool)
+            for d in range(nd):
+                found = ((nf[d] > 0) | (nr[d] > 0)) & vmask
+                if use_labels:
+                    exist[d] |= found
+                else:
+                    exist[0] |= found  # dedupe across DBs (dump.C:128-133)
+            maxp = 0
+            for d in range(nd):
+                w = np.flatnonzero(exist[d])
+                if len(w):
+                    maxp = max(maxp, int(w[-1]) + 1)
+            if g.mode == "bed":
+                for p in range(maxp):
+                    for d in range(nd):
+                        if exist[d][p]:
+                            lab = f"\t{g.labels[d]}" if d < len(g.labels) else ""
+                            out.write(f"{name}\t{p}\t{p + k}{lab}\n")
+            else:
+                bgn = [None] * nd
+                for p in range(maxp + 1):
+                    for d in range(nd):
+                        bit = exist[d][p] if p < maxp else False
+                        if bit:
+                            if bgn[d] is None:
+                                bgn[d] = p
+                            continue
+                        if bgn[d] is None:
+                            continue
+                        lab = f"\t{g.labels[d]}" if d < len(g.labels) else ""
+                        # end written as first-unset-position + k,
+                        # matching the reference exactly (dump.C:346-355)
+                        out.write(f"{name}\t{bgn[d]}\t{p + k}{lab}\n")
+                        bgn[d] = None
+
+        elif g.mode == "wig-count":
+            pal = _is_palindrome(codes, k)
+            count = np.zeros(npos, np.uint64)
+            for d in range(len(g.lookups)):
+                fv = nf[d].astype(np.uint64)
+                rv = nr[d].astype(np.uint64)
+                count += np.where(pal, fv, fv + rv) * vmask
+            out.write(f"variableStep chrom={name}\n")
+            for p in np.flatnonzero(count):
+                out.write(f"{p + 1}\t{count[p]}\n")
+
+        elif g.mode == "wig-depth":
+            found = ((nf[0] > 0) | (nr[0] > 0)) & vmask
+            w = np.flatnonzero(found)
+            maxp = int(w[-1]) + k if len(w) else 0
+            diff = np.zeros(maxp + k + 1, np.int64)
+            for p in w:
+                diff[p] += 1
+                diff[p + k] -= 1
+            depth = np.cumsum(diff)
+            out.write(f"variableStep chrom={name}\n")
+            for p in range(maxp):
+                if depth[p] > 0:
+                    out.write(f"{p + 1}\t{depth[p]}\n")
+
+
+def cmd_existence(g: LookupGlobal, out):
+    k = g.lookups[0].k
+    for name, seq, _ in iter_sequences(g.seq1):
+        codes = km.CODE_LUT[np.frombuffer(seq, np.uint8)]
+        nf, nr, vmask = _per_position_values(g.lookups, codes, k)
+        ntotal = int(vmask.sum())
+        line = [name, str(ntotal)]
+        for d, L in enumerate(g.lookups):
+            nfound = int((((nf[d] > 0) | (nr[d] > 0)) & vmask).sum())
+            line += [str(L.n_kmers()), str(nfound)]
+        out.write("\t".join(line) + "\n")
+
+
+def _write_seq(f, name, seq: bytes, qual, nfound: int):
+    ident = f"{name} nKmers={nfound}"
+    if qual:
+        f.write(f"@{ident}\n{seq.decode()}\n+\n{qual.decode()}\n")
+    else:
+        f.write(f">{ident}\n{seq.decode()}\n")
+
+
+def cmd_filter(g: LookupGlobal, out1, out2, err=sys.stderr):
+    k = g.lookups[0].k
+    L = g.lookups[0]
+    it1 = iter_sequences(g.seq1)
+    it2 = iter_sequences(g.seq2) if g.seq2 else None
+    n_total = 0
+    n_found = 0
+    while True:
+        r1 = next(it1, None)
+        r2 = next(it2, None) if it2 else None
+        if r1 is None and r2 is None:
+            break
+        nfound = 0
+        for idx, r in enumerate((r1, r2)):
+            if r is None:
+                continue
+            codes = km.CODE_LUT[np.frombuffer(r[1], np.uint8)]
+            nf, nr, vmask = _per_position_values([L], codes, k)
+            found = ((nf[0] > 0) | (nr[0] > 0)) & vmask
+            if g.is10x and idx == 0:
+                found[:23] = False  # skip 10x barcode kmers
+            nfound += int(found.sum())
+        n_total += 1
+        keep = (nfound > 0) if g.mode == "include" else (nfound == 0)
+        if keep:
+            n_found += 1
+            if r1 is not None and out1 is not None:
+                _write_seq(out1, r1[0], r1[1], r1[2], nfound)
+            if r2 is not None and out2 is not None:
+                _write_seq(out2, r2[0], r2[1], r2[2], nfound)
+    err.write(f"\nIncluding {n_found} reads (or read pairs) "
+              f"out of {n_total}.\n")
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        sys.stderr.write(USAGE)
+        return 1
+    try:
+        g = parse_args(argv)
+    except SystemExit as e:
+        if e.code == 0 or e.code is None:
+            return 0
+        sys.stderr.write(str(e.code) + "\n" if isinstance(e.code, str) else "")
+        return 1
+    if g.mode is None or g.seq1 is None or not g.dbs:
+        sys.stderr.write(USAGE)
+        return 1
+    load_tables(g)
+
+    def open_out(p):
+        if p is None or p == "-":
+            return sys.stdout
+        return open(p, "w")
+
+    o1 = open_out(g.out1)
+    o2 = open(g.out2, "w") if g.out2 else None
+    try:
+        if g.mode in ("bed", "bed-runs", "wig-count", "wig-depth"):
+            cmd_dump(g, o1)
+        elif g.mode == "existence":
+            cmd_existence(g, o1)
+        else:
+            cmd_filter(g, o1, o2)
+    finally:
+        if o1 is not sys.stdout:
+            o1.close()
+        if o2:
+            o2.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

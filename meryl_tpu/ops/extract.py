@@ -94,6 +94,10 @@ def extract_kmers(codes, k: int, mode: str = "canonical"):
 
     fmer, rmer, valid = _build_windows(base_f, base_r, is_valid, k)
 
+    # windows that run off the end of the chunk are invalid
+    pos_ok = jnp.arange(L, dtype=jnp.int32) <= jnp.int32(L - k)
+    validb = (valid == U32(1)) & pos_ok
+
     if mode == "canonical":
         use_f = mw.lt(fmer, rmer)
         out = mw.select(use_f, fmer, rmer)
@@ -101,10 +105,11 @@ def extract_kmers(codes, k: int, mode: str = "canonical"):
         out = fmer
     elif mode == "reverse":
         out = rmer
+    elif mode == "both":
+        # forward and reverse-complement mers per position (the lookup
+        # tools query both to support non-canonical DBs, reference
+        # dump.C:93-127)
+        return fmer, rmer, validb
     else:
         raise ValueError(mode)
-
-    # windows that run off the end of the chunk are invalid
-    pos_ok = jnp.arange(L, dtype=jnp.int32) <= jnp.int32(L - k)
-    validb = (valid == U32(1)) & pos_ok
     return out, validb

@@ -1,0 +1,249 @@
+"""The action tree: nodes, inputs, and the bucket-at-a-time evaluator.
+
+The reference evaluates its op tree as a lazy per-kmer pull pipeline
+cloned 64x under OpenMP (/root/reference/src/meryl/meryl.C:253-263).
+Here the same tree is evaluated one 6-bit-prefix bucket at a time:
+every node maps a bucket's sorted unique (kmer, value) arrays to new
+arrays via one batched device kernel (ops/setops.py).  Because buckets
+are processed in ascending prefix order by a single process, printed
+output is globally sorted (the reference only guarantees per-slice
+order with threads > 1, src/tests/meryl-lookup-test.sh:102).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import kmer as km
+from .db import NUM_FILES, MerylDB, MerylDBWriter, is_meryl_db
+from .histogram import MerylHistogram
+from .ops import setops
+
+COUNT_OPS = ("count", "count-forward", "count-reverse")
+REPORT_OPS = ("histogram", "statistics", "ploidy")
+NEEDS_THRESHOLD = ("less-than", "greater-than", "at-least", "at-most",
+                   "equal-to", "not-equal-to")
+NEEDS_CONSTANT = ("increase", "decrease", "multiply", "divide",
+                  "divide-round", "modulo")
+
+
+@dataclass
+class DBInput:
+    path: str
+    db: MerylDB = None
+
+    def open(self):
+        if self.db is None:
+            self.db = MerylDB.open(self.path)
+        return self.db
+
+
+@dataclass
+class SeqInput:
+    path: str
+
+
+@dataclass
+class OpNode:
+    op: str = "nothing"
+    inputs: list = field(default_factory=list)  # DBInput | SeqInput | OpNode
+    threshold: int | None = None
+    frac_distinct: float | None = None
+    word_frequency: float | None = None
+    output_path: str | None = None
+    print_path: str | None = None   # "-" = stdout
+    print_acgt: bool = False
+    expected_kmers: int | None = None
+    count_suffix: str | None = None
+    segment: tuple[int, int] | None = None
+
+    def is_counting(self) -> bool:
+        return self.op in COUNT_OPS
+
+    def describe(self, depth: int = 0, out=None) -> None:
+        """Tree printout (reference printTree, meryl.C:254)."""
+        out = out or sys.stderr
+        pad = "  " * depth
+        extra = ""
+        if self.threshold is not None:
+            extra += f" threshold={self.threshold}"
+        if self.output_path:
+            extra += f" output={self.output_path}"
+        if self.print_path:
+            extra += f" print={self.print_path}"
+        out.write(f"{pad}{self.op}{extra}\n")
+        for inp in self.inputs:
+            if isinstance(inp, OpNode):
+                inp.describe(depth + 1, out)
+            else:
+                out.write("  " * (depth + 1) + f"input: {inp.path}\n")
+
+
+def _node_k(node: OpNode, k: int | None) -> int:
+    """Resolve k from the global option or the first DB input."""
+    if k:
+        return k
+    for inp in node.inputs:
+        if isinstance(inp, DBInput):
+            return inp.open().k
+        if isinstance(inp, OpNode):
+            kk = _node_k(inp, None)
+            if kk:
+                return kk
+    return 0
+
+
+def resolve_threshold(node: OpNode) -> None:
+    """Convert distinct= / word-frequency= into an absolute threshold
+    using the single DB input's stored histogram (semantics of
+    /root/reference/src/meryl/merylOp-nextMer.C:66-125)."""
+    if node.frac_distinct is None and node.word_frequency is None:
+        return
+    if len(node.inputs) != 1 or not isinstance(node.inputs[0], DBInput):
+        raise ValueError(
+            "distinct=/word-frequency= thresholds need exactly one meryl "
+            "database input")
+    db = node.inputs[0].open()
+    vals, occ = db.histogram()
+    stats = db.stats()
+    if node.frac_distinct is not None:
+        target = node.frac_distinct * stats["numDistinct"]
+        acc = 0
+        for v, o in zip(vals.tolist(), occ.tolist()):
+            acc += o
+            if acc >= target:
+                node.threshold = int(v)
+                break
+        else:
+            node.threshold = int(vals[-1]) if len(vals) else 0
+    if node.word_frequency is not None:
+        node.threshold = int(node.word_frequency * stats["numTotal"])
+
+
+class BucketEvaluator:
+    """Evaluates an op tree bucket-by-bucket on device."""
+
+    def __init__(self, k: int):
+        self.k = int(k)
+        self.P = km.num_planes(self.k)
+
+    def _to_planes(self, hi, lo):
+        return km.planes_from_hilo(hi, lo, self.P)
+
+    @staticmethod
+    def _pad_to(n: int) -> int:
+        if n <= 256:
+            return 256
+        return 1 << (int(n - 1).bit_length())
+
+    def eval_bucket(self, node: OpNode, ff: int):
+        """-> (hi, lo, counts) for 6-bit prefix bucket ff."""
+        if node.op in COUNT_OPS:
+            raise RuntimeError("counting nodes must be materialized first")
+
+        ins = []
+        for inp in node.inputs:
+            if isinstance(inp, DBInput):
+                ins.append(inp.open().load_bucket(ff))
+            elif isinstance(inp, OpNode):
+                ins.append(self.eval_bucket(inp, ff))
+            else:
+                raise RuntimeError(f"unexpected input {inp} in merge phase")
+
+        m = len(ins)
+        if node.op in ("nothing", "passthrough") and m == 1:
+            return ins[0]
+
+        total = sum(len(c) for _, _, c in ins)
+        if total == 0:
+            z = np.zeros(0, np.uint64)
+            return z, z.copy(), np.zeros(0, np.uint32)
+        N = self._pad_to(total)
+
+        planes = [np.full(N, 0xFFFFFFFF, np.uint32) for _ in range(self.P)]
+        values = np.zeros(N, np.uint32)
+        ids = np.zeros(N, np.int32)
+        pos = 0
+        for i, (hi, lo, c) in enumerate(ins):
+            n = len(c)
+            if n == 0:
+                continue
+            for p, arr in enumerate(self._to_planes(hi, lo)):
+                planes[p][pos:pos + n] = arr
+            values[pos:pos + n] = c
+            ids[pos:pos + n] = i
+            pos += n
+        ids[pos:] = m  # padding id beyond any real input
+
+        thr = np.uint32(node.threshold or 0)
+        splanes, out_vals, keep = setops.merge_op(
+            [jnp.asarray(p) for p in planes], jnp.asarray(values),
+            jnp.asarray(ids), node.op, m, jnp.asarray(thr))
+        keep = np.asarray(keep)
+        idx = np.flatnonzero(keep)
+        hi, lo = km.hilo_from_planes([np.asarray(p)[idx] for p in splanes])
+        return hi, lo, np.asarray(out_vals)[idx]
+
+
+def execute_root(node: OpNode, k: int, *, out=None, verbose: int = 0):
+    """Run the merge phase for one root: per-bucket eval, printing and
+    DB output as we go.  Returns the written MerylDB (or None)."""
+    ev = BucketEvaluator(k)
+    writer = None
+    if node.output_path:
+        writer = MerylDBWriter(node.output_path, k)
+    pf = None
+    if node.print_path is not None:
+        pf = sys.stdout if node.print_path == "-" else open(node.print_path, "w")
+    try:
+        from .reports import print_kmers
+        for ff in range(NUM_FILES):
+            hi, lo, counts = ev.eval_bucket(node, ff)
+            if writer is not None:
+                writer.add_bucket(ff, hi, lo, counts)
+            if pf is not None and len(counts):
+                print_kmers(hi, lo, counts, k, out=pf,
+                            acgt_order=node.print_acgt)
+        if writer is not None:
+            return writer.finalize()
+        return None
+    finally:
+        if pf is not None and pf is not sys.stdout:
+            pf.close()
+
+
+def execute_compare(node: OpNode, k: int, out=None):
+    """The `compare` action: report kmers present in only one input or
+    with differing values (reference merylOp-nextMer.C opCompare)."""
+    out = out or sys.stdout
+    ev = BucketEvaluator(k)
+    assert len(node.inputs) == 2, "compare needs exactly two inputs"
+    same = True
+    for ff in range(NUM_FILES):
+        ins = []
+        for inp in node.inputs:
+            if isinstance(inp, DBInput):
+                ins.append(inp.open().load_bucket(ff))
+            else:
+                ins.append(ev.eval_bucket(inp, ff))
+        a, b = ins
+        ka = {(int(h) << 64) | int(l): int(c) for h, l, c in zip(*a)}
+        kb = {(int(h) << 64) | int(l): int(c) for h, l, c in zip(*b)}
+        for v in sorted(set(ka) | set(kb)):
+            s = km.kmer_to_string(v, k)
+            if v not in kb:
+                out.write(f"kmer {s} only in input 0\n")
+                same = False
+            elif v not in ka:
+                out.write(f"kmer {s} only in input 1\n")
+                same = False
+            elif ka[v] != kb[v]:
+                out.write(f"kmer {s} has value {ka[v]} in input 1 != "
+                          f"value {kb[v]} in input 2\n")
+                same = False
+    return same

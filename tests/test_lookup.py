@@ -1,0 +1,218 @@
+"""Differential tests for the exact-lookup engine and meryl-lookup modes.
+
+Mirrors the reference's merylExactLookupTest (load DB into lookup AND
+into a dict, compare value()/exists() for every kmer and for filtered
+subsets, /root/reference/src/tests/merylExactLookupTest.C:26-60) plus
+golden-style mode tests (meryl-lookup-test.sh)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from meryl_tpu import kmer as km
+from meryl_tpu import oracle
+from meryl_tpu.db import MerylDB
+from meryl_tpu.lookup import ExactLookup
+from meryl_tpu import lookup_cli
+
+K = 9
+
+
+def _seq(rng, n):
+    return "".join(km.ALPHABET[c] for c in rng.integers(0, 4, size=n))
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("lookup")
+    rng = np.random.default_rng(5)
+    ref_seqs = [_seq(rng, 5000)]
+    hi, lo, c = oracle.count_kmers(ref_seqs, K)
+    dbp = str(root / "ref.meryl")
+    MerylDB.write(dbp, K, hi, lo, c)
+    d = {(int(h) << 64) | int(l): int(v) for h, l, v in zip(hi, lo, c)}
+    qseqs = [_seq(rng, 300), _seq(rng, 150)]
+    # make sure some query kmers hit: embed a slice of the reference
+    qseqs.append(ref_seqs[0][100:220])
+    qfa = str(root / "q.fa")
+    with open(qfa, "w") as f:
+        for i, s in enumerate(qseqs):
+            f.write(f">q{i}\n{s}\n")
+    return dict(root=root, db=dbp, dict=d, qseqs=qseqs, qfa=qfa)
+
+
+def test_exact_lookup_all_kmers(setup):
+    L = ExactLookup(MerylDB.open(setup["db"]))
+    d = setup["dict"]
+    keys = np.array(sorted(d.keys()), dtype=object)
+    hi = np.array([int(x) >> 64 for x in keys], np.uint64)
+    lo = np.array([int(x) & ((1 << 64) - 1) for x in keys], np.uint64)
+    vals = L.values_np(hi, lo)
+    want = np.array([d[int(x)] for x in keys], np.uint32)
+    assert (vals == want).all()
+    assert L.n_kmers() == len(d)
+
+
+def test_exact_lookup_absent(setup):
+    L = ExactLookup(MerylDB.open(setup["db"]))
+    d = setup["dict"]
+    rng = np.random.default_rng(0)
+    absent = []
+    while len(absent) < 500:
+        v = int(rng.integers(0, 1 << (2 * K)))
+        if v not in d:
+            absent.append(v)
+    hi = np.zeros(len(absent), np.uint64)
+    lo = np.array(absent, np.uint64)
+    assert (L.values_np(hi, lo) == 0).all()
+
+
+def test_exact_lookup_value_filter(setup):
+    """min/max value filtering mirrors merylExactLookupTest's subsets."""
+    d = setup["dict"]
+    L = ExactLookup(MerylDB.open(setup["db"]), min_value=2)
+    keys = sorted(d.keys())
+    hi = np.array([x >> 64 for x in keys], np.uint64)
+    lo = np.array([x & ((1 << 64) - 1) for x in keys], np.uint64)
+    vals = L.values_np(hi, lo)
+    want = np.array([d[x] if d[x] >= 2 else 0 for x in keys], np.uint32)
+    assert (vals == want).all()
+
+
+def _naive_hits(seq, d, k):
+    """Per-position (fv, rv, valid) the naive way."""
+    n = len(seq)
+    fv, rv, ok = [], [], []
+    for p in range(n - k + 1):
+        w = seq[p:p + k]
+        if any(ch not in "ACGT" for ch in w):
+            fv.append(0)
+            rv.append(0)
+            ok.append(False)
+            continue
+        f = km.string_to_kmer(w)
+        r = km.revcomp_kmer(f, k)
+        fv.append(d.get(f, 0))
+        rv.append(d.get(r, 0))
+        ok.append(True)
+    return fv, rv, ok
+
+
+def _run_mode(setup, mode, extra=None):
+    out = io.StringIO()
+    g = lookup_cli.parse_args(
+        [f"-{mode}", "-sequence", setup["qfa"], "-mers", setup["db"]]
+        + (extra or []))
+    lookup_cli.load_tables(g)
+    if mode in ("bed", "bed-runs", "wig-count", "wig-depth"):
+        lookup_cli.cmd_dump(g, out)
+    elif mode == "existence":
+        lookup_cli.cmd_existence(g, out)
+    return out.getvalue()
+
+
+def test_existence_mode(setup):
+    got = _run_mode(setup, "existence").strip().split("\n")
+    d = setup["dict"]
+    for i, (line, seq) in enumerate(zip(got, setup["qseqs"])):
+        parts = line.split("\t")
+        fv, rv, ok = _naive_hits(seq, d, K)
+        ntotal = sum(ok)
+        nfound = sum(1 for f, r, o in zip(fv, rv, ok) if o and (f or r))
+        assert parts[0] == f"q{i}"
+        assert int(parts[1]) == ntotal
+        assert int(parts[2]) == len(d)
+        assert int(parts[3]) == nfound
+
+
+def test_bed_mode(setup):
+    got = _run_mode(setup, "bed").strip().split("\n")
+    d = setup["dict"]
+    want = []
+    for i, seq in enumerate(setup["qseqs"]):
+        fv, rv, ok = _naive_hits(seq, d, K)
+        for p, (f, r, o) in enumerate(zip(fv, rv, ok)):
+            if o and (f or r):
+                want.append(f"q{i}\t{p}\t{p + K}")
+    assert got == want
+
+
+def test_bed_runs_mode(setup):
+    got = _run_mode(setup, "bed-runs").strip().split("\n")
+    got = [l for l in got if l]
+    d = setup["dict"]
+    want = []
+    for i, seq in enumerate(setup["qseqs"]):
+        fv, rv, ok = _naive_hits(seq, d, K)
+        found = [o and (f or r) for f, r, o in zip(fv, rv, ok)]
+        p = 0
+        n = len(found)
+        while p < n:
+            if found[p]:
+                b = p
+                while p < n and found[p]:
+                    p += 1
+                # reference writes end = first-unset + k (dump.C:346-355)
+                want.append(f"q{i}\t{b}\t{p + K}")
+            else:
+                p += 1
+    assert got == want
+
+
+def test_wig_count_mode(setup):
+    got = _run_mode(setup, "wig-count")
+    d = setup["dict"]
+    want = []
+    for i, seq in enumerate(setup["qseqs"]):
+        want.append(f"variableStep chrom=q{i}")
+        fv, rv, ok = _naive_hits(seq, d, K)
+        for p, (f, r, o) in enumerate(zip(fv, rv, ok)):
+            if not o:
+                continue
+            w = seq[p:p + K]
+            pal = (w == km.revcomp_string(w))
+            c = f if pal else f + r
+            if c:
+                want.append(f"{p + 1}\t{c}")
+    assert got.strip().split("\n") == want
+
+
+def test_wig_depth_mode(setup):
+    got = _run_mode(setup, "wig-depth")
+    d = setup["dict"]
+    want = []
+    for i, seq in enumerate(setup["qseqs"]):
+        want.append(f"variableStep chrom=q{i}")
+        fv, rv, ok = _naive_hits(seq, d, K)
+        found = [o and (f or r) for f, r, o in zip(fv, rv, ok)]
+        w = [p for p, x in enumerate(found) if x]
+        maxp = (w[-1] + K) if w else 0
+        depth = [0] * (maxp + K + 1)
+        for p in w:
+            for q in range(p, p + K):
+                depth[q] += 1
+        for p in range(maxp):
+            if depth[p] > 0:
+                want.append(f"{p + 1}\t{depth[p]}")
+    assert got.strip().split("\n") == want
+
+
+def test_include_exclude(setup, tmp_path):
+    d = setup["dict"]
+    out1 = str(tmp_path / "inc.fa")
+    g = lookup_cli.parse_args(["-include", "-sequence", setup["qfa"],
+                               "-mers", setup["db"]])
+    lookup_cli.load_tables(g)
+    with open(out1, "w") as f:
+        lookup_cli.cmd_filter(g, f, None, err=io.StringIO())
+    inc = open(out1).read()
+    # q2 embeds reference sequence -> must be included
+    assert "q2" in inc
+    for i, seq in enumerate(setup["qseqs"]):
+        fv, rv, ok = _naive_hits(seq, d, K)
+        nf = sum(1 for f, r, o in zip(fv, rv, ok) if o and (f or r))
+        if nf > 0:
+            assert f"q{i} nKmers={nf}" in inc
+        else:
+            assert f"q{i} " not in inc
