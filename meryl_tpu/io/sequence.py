@@ -123,6 +123,12 @@ class SequenceChunker:
             raise ValueError("chunk_len must exceed k")
 
     def _code_stream(self) -> Iterator[np.ndarray]:
+        from .. import native
+        if native.available():
+            # native C++ scanner: FASTA/FASTQ bytes -> codes + separators
+            for path in self.paths:
+                yield from native.scan_codes(path, hpc=self.hpc)
+            return
         sep = np.full(1, SEP, dtype=np.uint8)
         for path in self.paths:
             for _, seq, _ in iter_sequences(path):

@@ -1,0 +1,170 @@
+// meryl_tpu native host substrate: byte-level sequence scanner.
+//
+// TPU-native equivalent of the reference's dnaSeqFile/FASTA-FASTQ layer
+// (interface documented in /root/repo/SURVEY.md §2.3; call sites
+// /root/reference/src/meryl/merylInput.C:241-275).  This is the hot
+// host loop feeding the device pipeline: it converts raw FASTA/FASTQ
+// bytes into 2-bit base codes (A=00 C=01 T=10 G=11) with 0xFF
+// separator/breaker codes, optionally homopolymer-compressing runs
+// (merylInput.C:258-263 semantics), in a single streaming pass that
+// may be split across arbitrary buffer boundaries.
+//
+// Build: make -C native   ->  libmeryl_host.so  (loaded via ctypes)
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr uint8_t SEP = 0xFF;
+
+// char -> 2-bit code; 0xFF = invalid base (kmer breaker)
+struct CodeTab {
+  uint8_t t[256];
+  constexpr CodeTab() : t() {
+    for (int i = 0; i < 256; i++) t[i] = 0xFF;
+    t['A'] = t['a'] = 0;
+    t['C'] = t['c'] = 1;
+    t['T'] = t['t'] = 2;
+    t['G'] = t['g'] = 3;
+  }
+};
+constexpr CodeTab kCode;
+
+struct UpperTab {
+  uint8_t t[256];
+  constexpr UpperTab() : t() {
+    for (int i = 0; i < 256; i++)
+      t[i] = (i >= 'a' && i <= 'z') ? uint8_t(i - 32) : uint8_t(i);
+  }
+};
+constexpr UpperTab kUpper;
+
+enum Fmt : int32_t { F_UNKNOWN = 0, F_FASTA = 1, F_FASTQ = 2, F_RAW = 3 };
+enum St : int32_t {
+  S_START = 0,   // waiting for first non-space byte of a record
+  S_HDR = 1,     // skipping a header line
+  S_SEQ = 2,     // emitting sequence bases
+  S_PLUS = 3,    // fastq: skipping the '+' line
+  S_QUAL = 4,    // fastq: skipping quality (length-counted)
+};
+
+}  // namespace
+
+extern "C" {
+
+struct MtScanner {
+  int32_t fmt;
+  int32_t state;
+  int64_t seqlen;     // bases in current record (for fastq qual length)
+  int64_t quallen;
+  uint8_t last_base;  // uppercased previous base char (hpc); 0 = none
+  uint8_t emitted;    // emitted >=1 base since last separator
+  uint8_t hpc;
+  uint8_t bol;        // at beginning of a line
+};
+
+void mt_scanner_init(MtScanner* s, int32_t hpc) {
+  std::memset(s, 0, sizeof(*s));
+  s->hpc = (uint8_t)(hpc != 0);
+  s->bol = 1;
+}
+
+// Scan n input bytes; write codes to out (capacity >= n + 1).
+// Returns the number of codes written.  Call repeatedly with
+// consecutive file chunks; state carries across calls.  After the last
+// chunk call mt_scanner_finish to flush the trailing separator.
+int64_t mt_scan(MtScanner* s, const uint8_t* in, int64_t n, uint8_t* out) {
+  int64_t o = 0;
+  int64_t i = 0;
+
+  if (s->fmt == F_UNKNOWN) {
+    while (i < n && (in[i] == '\n' || in[i] == '\r' || in[i] == ' ' ||
+                     in[i] == '\t'))
+      i++;
+    if (i < n) {
+      if (in[i] == '>')      { s->fmt = F_FASTA; s->state = S_HDR; i++; }
+      else if (in[i] == '@') { s->fmt = F_FASTQ; s->state = S_HDR; i++; }
+      else                   { s->fmt = F_RAW;   s->state = S_SEQ; }
+    }
+  }
+
+  const uint8_t* code = kCode.t;
+  const uint8_t* up = kUpper.t;
+
+  for (; i < n; i++) {
+    uint8_t c = in[i];
+    uint8_t bol = s->bol;
+    s->bol = (uint8_t)(c == '\n');
+    switch (s->state) {
+      case S_HDR:
+        if (c == '\n') { s->state = S_SEQ; s->seqlen = 0; s->last_base = 0; }
+        break;
+
+      case S_SEQ:
+        if (c == '\n' || c == '\r' || c == ' ' || c == '\t') {
+          if (s->fmt == F_FASTQ && c == '\n') s->state = S_PLUS;
+          break;
+        }
+        if (s->fmt == F_FASTA && c == '>' && bol) {
+          if (s->emitted) { out[o++] = SEP; s->emitted = 0; }
+          s->state = S_HDR;
+          break;
+        }
+        {
+          if (s->hpc) {
+            uint8_t u = up[c];
+            if (u == s->last_base) { s->seqlen++; break; }
+            s->last_base = u;
+          }
+          out[o++] = code[c];
+          s->emitted = 1;
+          s->seqlen++;
+        }
+        break;
+
+      case S_PLUS:
+        if (c == '\n') { s->state = S_QUAL; s->quallen = 0; }
+        break;
+
+      case S_QUAL:
+        if (c == '\n') {
+          if (s->quallen >= s->seqlen) {
+            if (s->emitted) { out[o++] = SEP; s->emitted = 0; }
+            s->state = S_HDR;  // next '@' line is a header
+            s->seqlen = 0;
+            s->last_base = 0;
+          }
+        } else {
+          s->quallen++;
+        }
+        break;
+
+      case S_START:
+      default:
+        break;
+    }
+  }
+  return o;
+}
+
+// Flush: emit a final separator if bases were emitted since the last.
+int64_t mt_scanner_finish(MtScanner* s, uint8_t* out) {
+  if (s->emitted) { s->emitted = 0; out[0] = SEP; return 1; }
+  return 0;
+}
+
+// Standalone homopolymer compression of a base-code buffer (codes, not
+// chars): collapse runs of equal codes 0..3; 0xFF resets the run.
+int64_t mt_hpc_codes(const uint8_t* in, int64_t n, uint8_t* out) {
+  int64_t o = 0;
+  uint8_t last = 0xFE;
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t c = in[i];
+    if (c == 0xFF) { out[o++] = c; last = 0xFE; continue; }
+    if (c != last) { out[o++] = c; last = c; }
+  }
+  return o;
+}
+
+}  // extern "C"

@@ -1,0 +1,81 @@
+"""Native C++ scanner vs pure-python parser equivalence."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from meryl_tpu import native
+from meryl_tpu.kmer import CODE_LUT
+from meryl_tpu.io.sequence import homopoly_compress_bytes, iter_sequences
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+def _python_codes(path, hpc=False):
+    parts = []
+    for _, seq, _ in iter_sequences(path):
+        if hpc:
+            seq = homopoly_compress_bytes(seq)
+        if seq:
+            parts.append(CODE_LUT[np.frombuffer(seq, np.uint8)])
+        parts.append(np.full(1, 255, np.uint8))
+    return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+
+
+def _native_codes(path, hpc=False, block=1 << 22):
+    parts = list(native.scan_codes(path, hpc=hpc, block=block))
+    return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+
+
+def test_fasta_multiline(tmp_path):
+    fa = tmp_path / "a.fa"
+    fa.write_text(">s1 desc\nACGTacgtNNGG\nTTTT\n>s2\nGGGG\n")
+    assert (_native_codes(str(fa)) == _python_codes(str(fa))).all()
+
+
+def test_fastq(tmp_path):
+    fq = tmp_path / "a.fq"
+    fq.write_text("@r1\nACGTN\n+\nIIIII\n@r2 x\nGGTT\n+r2\n@@@@\n")
+    got = _native_codes(str(fq))
+    want = _python_codes(str(fq))
+    assert (got == want).all()
+
+
+def test_fastq_qual_with_at_sign(tmp_path):
+    # quality line starting with '@' must not be mistaken for a header
+    fq = tmp_path / "a.fq"
+    fq.write_text("@r1\nACGT\n+\n@AB@\n@r2\nTTGG\n+\n!!!!\n")
+    assert (_native_codes(str(fq)) == _python_codes(str(fq))).all()
+
+
+def test_gzip_and_small_blocks(tmp_path):
+    fa = tmp_path / "a.fa.gz"
+    body = ">s1\n" + "ACGTTGCA" * 100 + "\n>s2\n" + "GATTACA" * 50 + "\n"
+    with gzip.open(fa, "wt") as f:
+        f.write(body)
+    want = _python_codes(str(fa))
+    for block in (7, 64, 1 << 20):  # boundary-splitting stress
+        assert (_native_codes(str(fa), block=block) == want).all()
+
+
+def test_hpc(tmp_path):
+    fa = tmp_path / "a.fa"
+    fa.write_text(">s\nAAACCCgggTTTAaA\n>t\nGGGGG\n")
+    assert (_native_codes(str(fa), hpc=True) ==
+            _python_codes(str(fa), hpc=True)).all()
+
+
+def test_counting_through_native(tmp_path):
+    """count_to_arrays with the native scanner active must match oracle."""
+    from meryl_tpu import oracle, kmer as km
+    from meryl_tpu.counter import count_to_arrays
+    rng = np.random.default_rng(9)
+    seqs = ["".join(km.ALPHABET[c] for c in rng.integers(0, 4, size=700)),
+            "".join(km.ALPHABET[c] for c in rng.integers(0, 4, size=300))]
+    fa = tmp_path / "r.fa"
+    fa.write_text("".join(f">q{i}\n{s}\n" for i, s in enumerate(seqs)))
+    hi, lo, c = count_to_arrays([str(fa)], 11, chunk_len=1 << 12)
+    ohi, olo, oc = oracle.count_kmers(seqs, 11)
+    assert (hi == ohi).all() and (lo == olo).all() and (c == oc).all()
