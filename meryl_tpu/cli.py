@@ -364,8 +364,16 @@ def run(b: CommandBuilder) -> int:
                 tmpdirs.append(node.output_path)
             mode = {"count": "canonical", "count-forward": "forward",
                     "count-reverse": "reverse"}[node.op]
+            progress = None
+            if b.progress:
+                def progress(nbases):
+                    sys.stderr.write(f"\rcounting: {nbases / 1e6:.1f} Mbp")
+                    sys.stderr.flush()
             count_to_db(paths, node.output_path, b.k, mode=mode,
-                        hpc=b.compress)
+                        hpc=b.compress, count_suffix=node.count_suffix,
+                        segment=node.segment, progress=progress)
+            if b.progress:
+                sys.stderr.write("\n")
 
     try:
         for root in b.roots:

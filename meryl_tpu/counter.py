@@ -31,10 +31,25 @@ import os as _os
 DEFAULT_CHUNK = int(_os.environ.get("MERYL_TPU_CHUNK", 1 << 22))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "mode"))
-def _chunk_pipeline(codes, k: int, mode: str):
-    """codes (L,) uint8 -> (sorted planes, counts, start mask)."""
+@functools.partial(jax.jit, static_argnames=("k", "mode", "suffix"))
+def _chunk_pipeline(codes, k: int, mode: str, suffix=None):
+    """codes (L,) uint8 -> (sorted planes, counts, start mask).
+
+    suffix: optional (bits, length) static pair — only count kmers whose
+    last `length` bases encode to `bits` (the reference's count-suffix,
+    /root/reference/src/meryl/merylOp-countSimple.C:50-90)."""
     planes, valid = ext.extract_kmers(codes, k, mode)
+    if suffix is not None:
+        sbits, slen = suffix
+        need = 2 * slen
+        for p, pl in enumerate(planes):
+            bits_here = min(32, need - 32 * p)
+            if bits_here <= 0:
+                break
+            want = jnp.uint32((sbits >> (32 * p)) & ((1 << bits_here) - 1))
+            mask = jnp.uint32((1 << bits_here) - 1 if bits_here < 32
+                              else 0xFFFFFFFF)
+            valid = valid & ((pl & mask) == want)
     splanes, counts, start, n_unique = cnt.sort_count(planes, valid)
     return splanes, counts, start, n_unique
 
@@ -69,15 +84,22 @@ def merge_runs(runs):
 
 
 def count_to_arrays(paths, k: int, mode: str = "canonical", hpc: bool = False,
-                    chunk_len: int = DEFAULT_CHUNK, progress=None):
+                    chunk_len: int = DEFAULT_CHUNK, progress=None,
+                    count_suffix: str | None = None, segment=None):
     """Count kmers in sequence files.  Returns sorted (hi, lo, counts)."""
     if not (1 <= k <= km.K_MAX):
         raise ValueError(f"k must be in [1, {km.K_MAX}], got {k}")
+    suffix = None
+    if count_suffix:
+        if len(count_suffix) > k:
+            raise ValueError("count-suffix longer than k")
+        suffix = (km.string_to_kmer(count_suffix), len(count_suffix))
     runs = []
     nbases = 0
-    for chunk in SequenceChunker(paths, k, chunk_len, hpc=hpc):
+    for chunk in SequenceChunker(paths, k, chunk_len, hpc=hpc,
+                                 segment=segment):
         codes = jnp.asarray(chunk)
-        splanes, counts, start, _ = _chunk_pipeline(codes, k, mode)
+        splanes, counts, start, _ = _chunk_pipeline(codes, k, mode, suffix)
         runs.append(_compact_host(splanes, counts, start))
         nbases += len(chunk)
         if progress:
@@ -86,7 +108,11 @@ def count_to_arrays(paths, k: int, mode: str = "canonical", hpc: bool = False,
 
 
 def count_to_db(paths, out_path: str, k: int, mode: str = "canonical",
-                hpc: bool = False, chunk_len: int = DEFAULT_CHUNK) -> MerylDB:
+                hpc: bool = False, chunk_len: int = DEFAULT_CHUNK,
+                count_suffix: str | None = None, segment=None,
+                progress=None) -> MerylDB:
     hi, lo, counts = count_to_arrays(paths, k, mode=mode, hpc=hpc,
-                                     chunk_len=chunk_len)
+                                     chunk_len=chunk_len,
+                                     count_suffix=count_suffix,
+                                     segment=segment, progress=progress)
     return MerylDB.write(out_path, k, hi, lo, counts, mode=mode, hpc=hpc)

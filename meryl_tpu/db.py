@@ -17,11 +17,13 @@ Layout of a database directory `<db>/`:
 Bucket binary layout (little-endian):
   8s   magic  b"MTPUKMB1"
   u32  k
-  u32  reserved
+  u32  flags    (bit 0: labels present)
   u64  n
   u64[n] lo     (kmer bits  [0,64) )
   u64[n] hi     (kmer bits [64,128))
   u32[n] count
+  u64[n] label  (only when flags bit 0 is set; meryl2 64-bit labels,
+                 reference kmlabl: /root/repo/SURVEY.md §2.3)
 
 Kmers within a bucket are sorted ascending in the A=00,C=01,T=10,G=11
 integer order; one entry per kmer with value > 0 (multiset DBs may
@@ -115,6 +117,11 @@ class MerylDB:
 
     def load_bucket(self, ff: int):
         """-> (hi, lo, counts) numpy arrays for 6-bit prefix ff."""
+        hi, lo, counts, _ = self.load_bucket_labels(ff)
+        return hi, lo, counts
+
+    def load_bucket_labels(self, ff: int):
+        """-> (hi, lo, counts, labels-or-None) for 6-bit prefix ff."""
         p = os.path.join(self.path, bucket_name(ff))
         with open(p, "rb") as f:
             magic = f.read(8)
@@ -127,7 +134,10 @@ class MerylDB:
             lo = np.fromfile(f, dtype=np.uint64, count=n)
             hi = np.fromfile(f, dtype=np.uint64, count=n)
             counts = np.fromfile(f, dtype=np.uint32, count=n)
-        return hi, lo, counts
+            labels = None
+            if int(hdr[1]) & 1:
+                labels = np.fromfile(f, dtype=np.uint64, count=n)
+        return hi, lo, counts, labels
 
     def load_all(self):
         his, los, cts = [], [], []
@@ -143,7 +153,8 @@ class MerylDB:
     @classmethod
     def write(cls, path: str, k: int, hi, lo, counts, *,
               mode: str = "canonical", hpc: bool = False,
-              multiset: bool = False, histogram=None) -> "MerylDB":
+              multiset: bool = False, histogram=None,
+              labels=None) -> "MerylDB":
         """Write a full database from sorted (hi, lo, counts) arrays.
 
         Arrays must be sorted ascending by (hi, lo); counts > 0.
@@ -151,6 +162,8 @@ class MerylDB:
         hi = np.ascontiguousarray(hi, dtype=np.uint64)
         lo = np.ascontiguousarray(lo, dtype=np.uint64)
         counts = np.ascontiguousarray(counts, dtype=np.uint32)
+        if labels is not None:
+            labels = np.ascontiguousarray(labels, dtype=np.uint64)
         os.makedirs(path, exist_ok=True)
 
         # split by 6-bit prefix (monotonic in sorted order)
@@ -159,7 +172,8 @@ class MerylDB:
         for ff in range(NUM_FILES):
             b, e = int(bounds[ff]), int(bounds[ff + 1])
             cls._write_bucket(os.path.join(path, bucket_name(ff)), k,
-                              hi[b:e], lo[b:e], counts[b:e])
+                              hi[b:e], lo[b:e], counts[b:e],
+                              labels[b:e] if labels is not None else None)
 
         if histogram is None:
             hvals, hocc = sparse_histogram(counts)
@@ -185,14 +199,17 @@ class MerylDB:
         return cls(path, meta)
 
     @staticmethod
-    def _write_bucket(p: str, k: int, hi, lo, counts):
+    def _write_bucket(p: str, k: int, hi, lo, counts, labels=None):
         with open(p, "wb") as f:
             f.write(MAGIC_BUCKET)
-            np.array([k, 0], dtype=np.uint32).tofile(f)
+            np.array([k, 1 if labels is not None else 0],
+                     dtype=np.uint32).tofile(f)
             np.array([len(lo)], dtype=np.uint64).tofile(f)
             np.ascontiguousarray(lo, np.uint64).tofile(f)
             np.ascontiguousarray(hi, np.uint64).tofile(f)
             np.ascontiguousarray(counts, np.uint32).tofile(f)
+            if labels is not None:
+                np.ascontiguousarray(labels, np.uint64).tofile(f)
 
     def bucket_path(self, ff: int) -> str:
         return os.path.join(self.path, bucket_name(ff))
@@ -222,13 +239,13 @@ class MerylDBWriter:
         self._n_unique = 0
         os.makedirs(path, exist_ok=True)
 
-    def add_bucket(self, ff: int, hi, lo, counts):
+    def add_bucket(self, ff: int, hi, lo, counts, labels=None):
         if ff in self._written:
             raise ValueError(f"bucket {ff} written twice")
         self._written.add(ff)
         counts = np.ascontiguousarray(counts, dtype=np.uint32)
         MerylDB._write_bucket(os.path.join(self.path, bucket_name(ff)),
-                              self.k, hi, lo, counts)
+                              self.k, hi, lo, counts, labels)
         vals, occ = sparse_histogram(counts)
         for v, o in zip(vals.tolist(), occ.tolist()):
             self._hist[v] = self._hist.get(v, 0) + o

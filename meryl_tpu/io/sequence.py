@@ -56,6 +56,22 @@ def detect_format(first_byte: bytes) -> str:
 
 def iter_sequences(path: str) -> Iterator[Tuple[str, bytes, bytes | None]]:
     """Yield (name, bases, quals|None) per sequence."""
+    from . import bam
+    if bam.is_bam(path):
+        yield from bam.iter_bam(path)
+        return
+    if path.endswith(".cram"):
+        try:
+            import pysam
+        except ImportError:
+            raise RuntimeError(
+                "CRAM input requires pysam (not installed); convert to "
+                "BAM/FASTQ or install pysam") from None
+        with pysam.AlignmentFile(path, "rc") as af:  # pragma: no cover
+            for rec in af:
+                yield (rec.query_name or "",
+                       (rec.query_sequence or "").encode(), None)
+        return
     with open_maybe_compressed(path) as f:
         buf = _io.BufferedReader(f) if not isinstance(f, _io.BufferedReader) else f
         first = buf.peek(1)[:1]
@@ -112,26 +128,42 @@ class SequenceChunker:
     separated by SEP codes.  The final chunk is padded with SEP.
     """
 
-    def __init__(self, paths, k: int, chunk_len: int, hpc: bool = False):
+    def __init__(self, paths, k: int, chunk_len: int, hpc: bool = False,
+                 segment: tuple[int, int] | None = None):
         if isinstance(paths, str):
             paths = [paths]
         self.paths = list(paths)
         self.k = k
         self.chunk_len = int(chunk_len)
         self.hpc = hpc
+        # segment=(a, b): only process sequences with index % b == a-1 —
+        # first-class version of the reference's external seqStore
+        # sharding (merylCommandBuilder.C:313-315)
+        self.segment = segment
         if self.chunk_len <= k:
             raise ValueError("chunk_len must exceed k")
 
     def _code_stream(self) -> Iterator[np.ndarray]:
         from .. import native
-        if native.available():
+        from . import bam
+        use_native = (native.available() and self.segment is None and
+                      not any(bam.is_bam(p) or p.endswith(".cram")
+                              for p in self.paths))
+        if use_native:
             # native C++ scanner: FASTA/FASTQ bytes -> codes + separators
             for path in self.paths:
                 yield from native.scan_codes(path, hpc=self.hpc)
             return
         sep = np.full(1, SEP, dtype=np.uint8)
+        seq_idx = 0
         for path in self.paths:
             for _, seq, _ in iter_sequences(path):
+                idx = seq_idx
+                seq_idx += 1
+                if self.segment is not None:
+                    a, b = self.segment
+                    if idx % b != a - 1:
+                        continue
                 if self.hpc:
                     seq = homopoly_compress_bytes(seq)
                 if seq:

@@ -1,0 +1,87 @@
+"""BAM ingestion tests (reader is dependency-free: gzip + struct)."""
+
+import gzip
+import struct
+
+import numpy as np
+
+from meryl_tpu import kmer as km, oracle
+from meryl_tpu.io.bam import SEQ16, is_bam, iter_bam
+from meryl_tpu.io.sequence import iter_sequences
+
+
+def _make_bam(path, reads):
+    """reads: list of (name, seq, qual|None)."""
+    out = bytearray()
+    out += b"BAM\x01"
+    text = b"@HD\tVN:1.6\n"
+    out += struct.pack("<i", len(text)) + text
+    out += struct.pack("<i", 1)  # one reference
+    out += struct.pack("<i", 5) + b"ref1\x00" + struct.pack("<i", 1000)
+    code = {c: SEQ16.index(c.encode()[0:1][0] if isinstance(c, str) else c)
+            for c in "=ACMGRSVTWYHKDBN"}
+    for name, seq, qual in reads:
+        nm = name.encode() + b"\x00"
+        l_seq = len(seq)
+        packed = bytearray((l_seq + 1) // 2)
+        for i, ch in enumerate(seq):
+            v = code.get(ch, 15)
+            packed[i // 2] |= v << (4 if i % 2 == 0 else 0)
+        q = bytes(ord(c) - 33 for c in qual) if qual else b"\xff" * l_seq
+        rec = struct.pack("<iiBBHHHiiii", -1, -1, len(nm), 0, 4680, 0, 4,
+                          l_seq, -1, -1, 0)
+        rec += nm + bytes(packed) + q
+        out += struct.pack("<i", len(rec)) + rec
+    with gzip.open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def test_bam_roundtrip(tmp_path):
+    reads = [("r1", "ACGTACGTGGTT", "IIIIIIIIIIII"),
+             ("r2", "GGGCCCATTTAN", None),
+             ("r3", "TTTT", "!!!!")]
+    p = str(tmp_path / "t.bam")
+    _make_bam(p, reads)
+    assert is_bam(p)
+    got = list(iter_bam(p))
+    assert [g[0] for g in got] == ["r1", "r2", "r3"]
+    assert [g[1].decode() for g in got] == [r[1] for r in reads]
+    assert got[0][2].decode() == "IIIIIIIIIIII"
+    assert got[1][2] is None
+
+
+def test_bam_counting(tmp_path):
+    rng = np.random.default_rng(2)
+    seqs = ["".join(km.ALPHABET[c] for c in rng.integers(0, 4, size=400))
+            for _ in range(3)]
+    p = str(tmp_path / "t.bam")
+    _make_bam(p, [(f"r{i}", s, None) for i, s in enumerate(seqs)])
+    # dispatched through iter_sequences
+    got = [s.decode() for _, s, _ in iter_sequences(p)]
+    assert got == seqs
+    from meryl_tpu.counter import count_to_arrays
+    hi, lo, c = count_to_arrays([p], 9, chunk_len=1 << 12)
+    ohi, olo, oc = oracle.count_kmers(seqs, 9)
+    assert (hi == ohi).all() and (lo == olo).all() and (c == oc).all()
+
+
+def test_segment_filter(tmp_path):
+    rng = np.random.default_rng(6)
+    seqs = ["".join(km.ALPHABET[c] for c in rng.integers(0, 4, size=300))
+            for _ in range(4)]
+    fa = tmp_path / "r.fa"
+    fa.write_text("".join(f">q{i}\n{s}\n" for i, s in enumerate(seqs)))
+    from meryl_tpu.counter import count_to_arrays, merge_runs
+    # segment 1/2 counts sequences 0 and 2; 2/2 counts 1 and 3
+    h1, l1, c1 = count_to_arrays([str(fa)], 9, chunk_len=1 << 11,
+                                 segment=(1, 2))
+    oh, ol, oc = oracle.count_kmers([seqs[0], seqs[2]], 9)
+    assert (h1 == oh).all() and (l1 == ol).all() and (c1 == oc).all()
+    h2, l2, c2 = count_to_arrays([str(fa)], 9, chunk_len=1 << 11,
+                                 segment=(2, 2))
+    # union-sum of the two segments == full count (the reference's
+    # segment-then-merge pattern, SURVEY.md P6)
+    merged = merge_runs([(h1, l1, c1.astype(np.uint64)),
+                         (h2, l2, c2.astype(np.uint64))])
+    ohA, olA, ocA = oracle.count_kmers(seqs, 9)
+    assert (merged[0] == ohA).all() and (merged[2] == ocA).all()
