@@ -339,8 +339,23 @@ def run(b: CommandBuilder) -> int:
             return 0
 
     if b.configure_only:
+        from .counter import configure_counting
+
+        def describe_counting(node):
+            if node.is_counting():
+                paths = [s.path for s in node.inputs
+                         if isinstance(s, SeqInput)]
+                if paths and b.k:
+                    plan = configure_counting(paths, b.k, b.memory_gb)
+                    for kk, vv in plan.items():
+                        sys.stderr.write(f"  {kk}: {vv}\n")
+            for inp in node.inputs:
+                if isinstance(inp, OpNode):
+                    describe_counting(inp)
+
         for root in b.roots:
             root.describe()
+            describe_counting(root)
         return 0
 
     # counting phase: materialize counting nodes into DBs, then convert

@@ -33,7 +33,7 @@ DEFAULT_CHUNK = int(_os.environ.get("MERYL_TPU_CHUNK", 1 << 22))
 
 @functools.partial(jax.jit, static_argnames=("k", "mode", "suffix"))
 def _chunk_pipeline(codes, k: int, mode: str, suffix=None):
-    """codes (L,) uint8 -> (sorted planes, counts, start mask).
+    """codes (L,) uint8 -> (sorted planes, counts, start mask, n_unique).
 
     suffix: optional (bits, length) static pair — only count kmers whose
     last `length` bases encode to `bits` (the reference's count-suffix,
@@ -50,11 +50,12 @@ def _chunk_pipeline(codes, k: int, mode: str, suffix=None):
             mask = jnp.uint32((1 << bits_here) - 1 if bits_here < 32
                               else 0xFFFFFFFF)
             valid = valid & ((pl & mask) == want)
-    splanes, counts, start, n_unique = cnt.sort_count(planes, valid)
-    return splanes, counts, start, n_unique
+    return cnt.sort_count(planes, valid)
 
 
-def _compact_host(splanes, counts, start):
+def _compact_host(splanes, counts, start, n_unique=None):
+    """Slice unique entries out on the host (device gathers/scatters
+    are far slower than one host boolean take; see ops/count.py)."""
     start = np.asarray(start)
     idx = np.flatnonzero(start)
     planes_np = [np.asarray(p)[idx] for p in splanes]
@@ -96,14 +97,21 @@ def count_to_arrays(paths, k: int, mode: str = "canonical", hpc: bool = False,
         suffix = (km.string_to_kmer(count_suffix), len(count_suffix))
     runs = []
     nbases = 0
+    pending = None  # 1-deep pipeline: device computes chunk i+1 while
+    #                 the host compacts chunk i (the reference's
+    #                 loader/worker/writer overlap, sweatShop-style)
     for chunk in SequenceChunker(paths, k, chunk_len, hpc=hpc,
                                  segment=segment):
         codes = jnp.asarray(chunk)
-        splanes, counts, start, _ = _chunk_pipeline(codes, k, mode, suffix)
-        runs.append(_compact_host(splanes, counts, start))
+        result = _chunk_pipeline(codes, k, mode, suffix)  # async dispatch
+        if pending is not None:
+            runs.append(_compact_host(*pending[:3]))
+        pending = result
         nbases += len(chunk)
         if progress:
             progress(nbases)
+    if pending is not None:
+        runs.append(_compact_host(*pending[:3]))
     return merge_runs(runs)
 
 
@@ -116,3 +124,145 @@ def count_to_db(paths, out_path: str, k: int, mode: str = "canonical",
                                      count_suffix=count_suffix,
                                      segment=segment, progress=progress)
     return MerylDB.write(out_path, k, hi, lo, counts, mode=mode, hpc=hpc)
+
+
+def configure_counting(paths, k: int, memory_gb: float | None = None,
+                       chunk_len: int = DEFAULT_CHUNK) -> dict:
+    """Counting plan: expected kmers, chunk size, batch count.
+
+    Mirrors the reference's configuration pass (-C dry run;
+    /root/reference/src/meryl/merylOp-count.C:299-462): expected kmers
+    are guessed from file sizes x1 (plain) / x3 (gz) / x3.5 (bz2) /
+    x4 (xz), and the batch count bounds peak host memory for the
+    merged unique set (the out-of-core dump trigger)."""
+    import os
+    if isinstance(paths, str):
+        paths = [paths]
+    exp = 0
+    for p in paths:
+        sz = os.path.getsize(p)
+        with open(p, "rb") as f:
+            magic = f.read(6)
+        if magic[:2] == b"\x1f\x8b":
+            exp += sz * 3
+        elif magic[:3] == b"BZh":
+            exp += int(sz * 3.5)
+        elif magic[:6] == b"\xfd7zXZ\x00":
+            exp += sz * 4
+        else:
+            exp += sz
+    bytes_per_kmer = 8 + 8 + 4  # hi, lo, count on host
+    mem_budget = (memory_gb or 8.0) * 1e9
+    n_batches = max(1, int(np.ceil(exp * bytes_per_kmer / mem_budget)))
+    return {
+        "k": k,
+        "expected_kmers": int(exp),
+        "chunk_len": int(chunk_len),
+        "device_chunk_bytes": int(chunk_len),
+        "host_bytes_per_kmer": bytes_per_kmer,
+        "memory_gb": memory_gb or 8.0,
+        "batches": n_batches,
+        "batch_bases": int(np.ceil(exp / n_batches)),
+    }
+
+
+def count_to_db_batched(paths, out_path: str, k: int, *,
+                        mode: str = "canonical", hpc: bool = False,
+                        chunk_len: int = DEFAULT_CHUNK,
+                        batch_bases: int | None = None,
+                        memory_gb: float | None = None,
+                        resume: bool = True, progress=None) -> MerylDB:
+    """Out-of-core, restartable counting.
+
+    The input stream is split into batches of ~batch_bases; each batch
+    is counted and written as a partial DB `<out>.batch<i>` with a
+    manifest recording completion — the reference's finishBatch/finish
+    pattern (/root/reference/src/meryl/merylOp-countThreads.C:311-380)
+    plus idempotent-restart capability (SURVEY.md §5).  Completed
+    batches are skipped on resume; the final union-sum merge produces
+    the output DB and removes the partials.
+    """
+    import json
+    import os
+    import shutil
+
+    plan = configure_counting(paths, k, memory_gb, chunk_len)
+    if batch_bases is None:
+        batch_bases = plan["batch_bases"]
+    manifest_path = out_path + ".manifest.json"
+    manifest = {"k": k, "mode": mode, "hpc": hpc,
+                "batch_bases": batch_bases, "done": []}
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            old = json.load(f)
+        if (old.get("k") == k and old.get("mode") == mode and
+                old.get("hpc") == hpc and
+                old.get("batch_bases") == batch_bases):
+            manifest = old
+
+    def save_manifest():
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
+
+    chunker = SequenceChunker(paths, k, chunk_len, hpc=hpc)
+    chunks_per_batch = max(1, int(np.ceil(batch_bases / chunk_len)))
+
+    batch_idx = 0
+    runs = []
+    nchunks = 0
+    nbases = 0
+    batch_paths = []
+
+    def flush_batch(idx):
+        bpath = f"{out_path}.batch{idx}"
+        if idx in manifest["done"]:
+            return  # already counted in a previous run
+        hi, lo, counts = merge_runs(runs)
+        MerylDB.write(bpath, k, hi, lo, counts, mode=mode, hpc=hpc)
+        manifest["done"].append(idx)
+        save_manifest()
+
+    for chunk in chunker:
+        batch_idx_cur = nchunks // chunks_per_batch
+        nchunks += 1
+        nbases += len(chunk)
+        if batch_idx_cur in manifest["done"]:
+            continue  # resume: skip chunks of completed batches
+        if batch_idx_cur != batch_idx and runs:
+            flush_batch(batch_idx)
+            runs = []
+        batch_idx = batch_idx_cur
+        splanes, counts, start, _ = _chunk_pipeline(
+            jnp.asarray(chunk), k, mode, None)
+        runs.append(_compact_host(splanes, counts, start))
+        if progress:
+            progress(nbases)
+    if nchunks == 0:  # empty input
+        z = np.zeros(0, np.uint64)
+        if os.path.exists(manifest_path):
+            os.remove(manifest_path)
+        return MerylDB.write(out_path, k, z, z.copy(),
+                             np.zeros(0, np.uint32), mode=mode, hpc=hpc)
+    n_batches = (nchunks + chunks_per_batch - 1) // chunks_per_batch
+    if runs or batch_idx not in manifest["done"]:
+        flush_batch(batch_idx)
+    batch_paths = [f"{out_path}.batch{i}" for i in range(n_batches)]
+
+    # final merge: union-sum over the batch partials
+    if len(batch_paths) == 1 and os.path.exists(batch_paths[0]):
+        if os.path.exists(out_path):
+            shutil.rmtree(out_path)
+        os.rename(batch_paths[0], out_path)
+        db = MerylDB.open(out_path)
+    else:
+        from .optree import DBInput, OpNode, execute_root
+        node = OpNode(op="union-sum",
+                      inputs=[DBInput(p) for p in batch_paths
+                              if os.path.exists(p)],
+                      output_path=out_path)
+        db = execute_root(node, k)
+        for p in batch_paths:
+            shutil.rmtree(p, ignore_errors=True)
+    if os.path.exists(manifest_path):
+        os.remove(manifest_path)
+    return db

@@ -1,16 +1,27 @@
 """Device-side sort + run-length count of extracted kmers.
 
 Replaces the reference's per-bucket spin-locked insert + std::sort + RLE
-(/root/reference/src/meryl/merylCountArray.C:323-365) with one XLA sort
-over multiword keys followed by a segmented reduction — the TPU-native
-formulation (no locks, no data-dependent shapes).
+(/root/reference/src/meryl/merylCountArray.C:323-365) with sort-centric
+dataflow — the TPU-native formulation (no locks, no data-dependent
+shapes).
 
-Invalid entries are not carried as an extra sort key (multi-key sorts
-compile and run slower): they are instead forced to the all-ones
-sentinel key, which sorts to the tail.  A valid poly-G kmer can collide
-with the sentinel when 2k is an exact multiple of 32 (k = 16/32/48/64);
-the collision is corrected by subtracting the pre-computed invalid count
-from the sentinel run's length.
+Measured cost model (v5e, 16M-element chunks):
+  lax.sort (u32 keys, small-range primary)   ~50 ms
+  elementwise / shifts                       ~0.2 ms per pass
+  lax.cummin / associative_scan              ~10-40 ms
+  jnp.take (gather)                          ~250 ms   <- avoid
+  jax.ops.segment_* (scatter)                ~350 ms   <- avoid
+
+The hot path is therefore: one multiword radix sort, neighbor-compare
+run starts, and a reversed cummin to find each run's end — run length
+is a subtraction.  No gathers, no scatters.  The unique entries stay at
+their run-start positions (sparse); the host slices them out with one
+boolean take while the device works on the next chunk.
+
+Invalid entries are forced to the all-ones sentinel key, which sorts to
+the tail.  A valid poly-G kmer can collide with the sentinel when 2k is
+a multiple of 32 (k = 16/32/48/64); the collision is corrected by
+subtracting the pre-computed invalid count from the sentinel run.
 """
 
 from __future__ import annotations
@@ -51,10 +62,19 @@ def _is_sentinel(planes):
     return m
 
 
-def _run_lengths(start, weights, L):
-    seg = jnp.cumsum(start.astype(jnp.int32)) - 1
-    seg_sums = jax.ops.segment_sum(weights, seg, num_segments=L)
-    return seg_sums[jnp.maximum(seg, 0)]
+def _iota(L):
+    return lax.broadcasted_iota(jnp.int32, (L, 1), 0).reshape(L)
+
+
+def _run_lengths_at_starts(start):
+    """Run length at each run-start position (garbage elsewhere):
+    next-start position (reversed cummin) minus own position."""
+    L = start.shape[0]
+    idx = _iota(L)
+    sp = jnp.where(start, idx, jnp.int32(L))
+    suffix_min = lax.cummin(sp[::-1])[::-1]  # smallest start pos >= i
+    nxt = jnp.concatenate([suffix_min[1:], jnp.full((1,), L, jnp.int32)])
+    return nxt - idx
 
 
 @jax.jit
@@ -64,55 +84,113 @@ def sort_count(planes, validb):
     planes: list of P uint32 arrays (LSB plane first); validb: bool mask.
     Returns (sorted_planes, counts, start_mask, n_unique): entries where
     start_mask is True are the unique valid kmers in ascending ACTG
-    order with their total counts (counts > 0 guaranteed).
-    """
+    order with their total counts (counts > 0 guaranteed)."""
+    n_invalid = jnp.sum((~validb).astype(jnp.int32))
+    masked = [jnp.where(validb, p, SENT) for p in planes]
+    splanes, _ = _sort_planes(masked)
+    start = _run_starts(splanes)
+    counts = _run_lengths_at_starts(start)
+    counts = counts - jnp.where(_is_sentinel(splanes), n_invalid, 0)
+    start = start & (counts > 0)
+    counts = jnp.where(start, counts, 0).astype(U32)
+    n_unique = jnp.sum(start.astype(jnp.int32))
+    return splanes, counts, start, n_unique
+
+
+def _compact_by_flag(flag, payloads):
+    """Stable-sort payloads so entries with flag=True come first, in
+    their original order.  (A 1-key binary sort: radix fast path.)"""
+    key = jnp.where(flag, U32(0), U32(1))
+    ops = lax.sort((key,) + tuple(payloads), num_keys=1, is_stable=True)
+    return list(ops[1:])
+
+
+@jax.jit
+def sort_count_compacted(planes, validb):
+    """sort_count variant that compacts unique entries to the front on
+    device (via flag-compaction sorts carrying the planes as payloads).
+    Slower than sort_count + host compaction, but self-contained — used
+    by the SPMD shard step where results feed an all-to-all.
+
+    Returns (unique_planes, counts, n_unique); entries past n_unique
+    hold the sentinel kmer with count 0."""
     L = planes[0].shape[0]
     n_invalid = jnp.sum((~validb).astype(jnp.int32))
     masked = [jnp.where(validb, p, SENT) for p in planes]
     splanes, _ = _sort_planes(masked)
     start = _run_starts(splanes)
-    ones = jnp.ones((L,), jnp.int32)
-    counts = _run_lengths(start, ones, L)
-    counts = counts - jnp.where(_is_sentinel(splanes), n_invalid, 0)
-    start = start & (counts > 0)
-    n_unique = jnp.sum(start.astype(jnp.int32))
-    return splanes, counts.astype(U32), start, n_unique
-
-
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def compact(planes, counts, start, capacity: int):
-    """Scatter run-start entries into the first n slots of fixed-size
-    arrays (padded with all-ones sentinel kmers / zero counts)."""
-    idx = jnp.cumsum(start.astype(jnp.int32)) - 1
-    idx = jnp.where(start, idx, capacity)  # dropped by scatter mode='drop'
-    out_planes = [
-        jnp.full((capacity,), 0xFFFFFFFF, U32).at[idx].set(p, mode="drop")
-        for p in planes
-    ]
-    out_counts = jnp.zeros((capacity,), U32).at[idx].set(counts, mode="drop")
-    return out_planes, out_counts
-
-
-@functools.partial(jax.jit, static_argnames=("num_values",))
-def value_histogram(counts, start, num_values: int):
-    """Histogram of run counts: h[v] = #unique kmers with count v
-    (counts >= num_values accumulate in the last bin; h[0] forced 0)."""
-    v = jnp.where(start, jnp.minimum(counts, U32(num_values - 1)), U32(0))
-    ones = jnp.where(start, 1, 0).astype(jnp.int32)
-    return jax.ops.segment_sum(ones, v.astype(jnp.int32),
-                               num_segments=num_values).at[0].set(0)
+    end = jnp.concatenate([start[1:], jnp.ones((1,), bool)])
+    idx = _iota(L).astype(U32)
+    cs = _compact_by_flag(start, (idx,) + tuple(splanes))
+    ce = _compact_by_flag(end, (idx,))
+    spos, cplanes = cs[0], cs[1:]
+    counts = (ce[0] - spos + U32(1)).astype(jnp.int32)
+    n_runs = jnp.sum(start.astype(jnp.int32))
+    in_range = _iota(L) < n_runs
+    is_sent = _is_sentinel(cplanes) & in_range
+    counts = counts - jnp.where(is_sent, n_invalid, 0)
+    keep = in_range & (counts > 0)
+    counts = jnp.where(keep, counts, 0).astype(U32)
+    out_planes = [jnp.where(keep, p, SENT) for p in cplanes]
+    n_unique = jnp.sum(keep.astype(jnp.int32))
+    return out_planes, counts, n_unique
 
 
 @jax.jit
 def merge_counted(planes_a, counts_a, planes_b, counts_b):
-    """Merge two unique-kmer/count arrays (all-ones sentinel padding with
-    zero counts) into one sorted unique array of size len(a)+len(b).
-    Returns (planes, counts, start_mask); start & counts>0 marks output."""
-    planes = [jnp.concatenate([a, b]) for a, b in zip(planes_a, planes_b)]
-    counts = jnp.concatenate([counts_a, counts_b])
-    L = counts.shape[0]
-    splanes, payl = _sort_planes(planes, (counts,))
+    """Merge two unique-kmer/count arrays (all-ones sentinel padding
+    with zero counts) into one sorted unique compacted array of size
+    len(a)+len(b).  Returns (unique_planes, counts, n_unique)."""
+    return merge_many([planes_a, planes_b], [counts_a, counts_b])
+
+
+@jax.jit
+def merge_many(planes_list, counts_list):
+    """Merge any number of sorted unique sentinel-padded runs into one
+    compacted run: concat + sort, then per-run count sums via prefix-sum
+    differences carried through the compaction sorts."""
+    planes = [jnp.concatenate(ps) for ps in zip(*planes_list)]
+    w = jnp.concatenate(counts_list)
+    L = w.shape[0]
+    splanes, payl = _sort_planes(planes, (w,))
+    w = payl[0]
     start = _run_starts(splanes)
-    out_counts = _run_lengths(start, payl[0].astype(jnp.uint32), L)
-    start = start & (out_counts > 0)
-    return splanes, out_counts.astype(U32), start
+    end = jnp.concatenate([start[1:], jnp.ones((1,), bool)])
+    pre_inc = jnp.cumsum(w)
+    pre_exc = pre_inc - w
+    cs = _compact_by_flag(start, (pre_exc,) + tuple(splanes))
+    ce = _compact_by_flag(end, (pre_inc,))
+    sum_before, cplanes = cs[0], cs[1:]
+    counts = ce[0] - sum_before
+    n_runs = jnp.sum(start.astype(jnp.int32))
+    keep = (_iota(L) < n_runs) & (counts > 0)
+    counts = jnp.where(keep, counts, U32(0))
+    out_planes = [jnp.where(keep, p, SENT) for p in cplanes]
+    n_unique = jnp.sum(keep.astype(jnp.int32))
+    return out_planes, counts, n_unique
+
+
+@functools.partial(jax.jit, static_argnames=("num_values", "block"))
+def value_histogram(counts, num_values: int, block: int = 1 << 15):
+    """Histogram of counts: h[v] = #entries with count v (counts >=
+    num_values accumulate in the last bin; h[0] forced 0, so zero-count
+    padding is ignored).
+
+    Blocked compare-and-reduce (fuses on the VPU) rather than a
+    segment_sum scatter, which serializes on TPU."""
+    L = counts.shape[0]
+    v = jnp.minimum(counts, U32(num_values - 1))
+    pad = (-L) % block
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros((pad,), U32)])
+    vb = v.reshape(-1, block)
+    bins = lax.broadcasted_iota(jnp.int32, (num_values, 1), 0).reshape(
+        1, num_values)
+
+    def body(carry, row):
+        eq = (row[:, None].astype(jnp.int32) == bins)
+        return carry + jnp.sum(eq, axis=0), None
+
+    init = jnp.zeros((num_values,), jnp.int32)
+    hist, _ = lax.scan(body, init, vb)
+    return hist.at[0].set(0)

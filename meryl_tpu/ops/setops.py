@@ -125,7 +125,14 @@ def _apply_value_rule(op: str, m: int, act_len, v_first, first_idx,
     raise ValueError(f"unknown operation {op!r}")
 
 
-@functools.partial(jax.jit, static_argnames=("op", "m"))
+@jax.jit
+def _merge_sort_stage(planes, values, input_ids):
+    """Stable multiword sort with payloads; the program ends at the
+    sort to keep XLA:TPU's fast sort path (see ops/count.py)."""
+    splanes, (val, ids) = _sort_with_payload(planes, (values, input_ids))
+    return splanes, val, ids
+
+
 def merge_op(planes, values, input_ids, op: str, m: int, threshold):
     """Evaluate one set operation over concatenated input buckets.
 
@@ -138,33 +145,38 @@ def merge_op(planes, values, input_ids, op: str, m: int, threshold):
 
     Returns (sorted_planes, out_values, keep_mask): entries where
     keep_mask is True are the surviving kmers, ascending, value > 0.
-    """
-    N = values.shape[0]
-    splanes, (val, ids) = _sort_with_payload(planes, (values, input_ids))
+
+    Host-orchestrated in two device programs (sort | compute)."""
+    splanes, val, ids = _merge_sort_stage(planes, values, input_ids)
+    return _merge_compute_stage(splanes, val, ids, op, m, threshold)
+
+
+@functools.partial(jax.jit, static_argnames=("op", "m"))
+def _merge_compute_stage(splanes, val, ids, op: str, m: int, threshold):
+    from . import segscan
+
     start = _run_starts(splanes)
-    seg = jnp.cumsum(start.astype(jnp.int32)) - 1
 
     present = val > U32(0)
     ones = jnp.where(present, 1, 0).astype(jnp.int32)
-    act_len_seg = jax.ops.segment_sum(ones, seg, num_segments=N)
-    v_sum_seg = jax.ops.segment_sum(jnp.where(present, val, U32(0)), seg,
-                                    num_segments=N)
-    v_min_seg = jax.ops.segment_min(jnp.where(present, val, SENT), seg,
-                                    num_segments=N)
-    v_max_seg = jax.ops.segment_max(jnp.where(present, val, U32(0)), seg,
-                                    num_segments=N)
-    id_min_seg = jax.ops.segment_min(jnp.where(present, ids, BIG_ID), seg,
-                                     num_segments=N)
+    # scatter-free per-run reductions (see ops/segscan.py): sums, mins
+    # and maxes each share one fused forward+backward segmented scan
+    act_len, v_sum = segscan.seg_sum_all(
+        (ones, jnp.where(present, val, U32(0))), start)
+    # rank within run among present entries (stable sort preserves the
+    # input-then-position order, so rank 0 is the first instance of the
+    # lowest-indexed present input — exact even for multiset inputs)
+    prefix = jnp.cumsum(ones) - ones
+    v_min, first_idx, rank_base = segscan.seg_min_all(
+        (jnp.where(present, val, SENT),
+         jnp.where(present, ids, BIG_ID),
+         prefix), start)
+    is_first = present & (prefix == rank_base)
+    v_max, v_first = segscan.seg_max_all(
+        (jnp.where(present, val, U32(0)),
+         jnp.where(is_first, val, U32(0))), start)
 
-    act_len = act_len_seg[seg]
-    first_idx = id_min_seg[seg]
-    # value of the first-present input: exactly one entry per run matches
-    is_first = present & (ids == first_idx)
-    v_first_seg = jax.ops.segment_sum(jnp.where(is_first, val, U32(0)), seg,
-                                      num_segments=N)
-
-    out = _apply_value_rule(op, m, act_len, v_first_seg[seg], first_idx,
-                            v_min_seg[seg], v_max_seg[seg], v_sum_seg[seg],
-                            threshold)
+    out = _apply_value_rule(op, m, act_len, v_first, first_idx,
+                            v_min, v_max, v_sum, threshold)
     keep = start & (out > U32(0)) & (act_len > 0)
     return splanes, out.astype(U32), keep

@@ -118,24 +118,31 @@ def make_sharded_count_step(mesh: Mesh, k: int, *, chunk_len: int,
     def step(codes):  # per-device view: (chunk_len,)
         codes = codes.reshape(chunk_len)
         planes, valid = ext.extract_kmers(codes, k, mode)
-        splanes, counts, start, _ = cnt.sort_count(planes, valid)
-        cplanes, ccounts = cnt.compact(splanes, counts, start, local_cap)
+        cplanes, ccounts, _ = cnt.sort_count_compacted(planes, valid)
 
-        # destination device for each unique kmer (padding -> dropped)
-        is_pad = ccounts == U32(0)
-        owner = _owner_from_prefix(_prefix6(cplanes, k).astype(jnp.int32), bounds)
-        owner_ct = jax.ops.segment_sum(
-            jnp.where(is_pad, 0, 1).astype(jnp.int32), owner, num_segments=n)
+        # unique kmers are sorted, so owner groups are contiguous; the
+        # send buffer is built with GATHERS (scatters serialize on TPU):
+        # slot (o, j) of the send buffer takes the j-th kmer of owner
+        # group o, i.e. source index group_start[o] + j
+        is_real = ccounts > U32(0)
+        owner = _owner_from_prefix(_prefix6(cplanes, k).astype(jnp.int32),
+                                   bounds)
+        owner_oh = (owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None])
+        owner_ct = jnp.sum(owner_oh & is_real[None, :], axis=1)
         group_start = _exclusive_cumsum(owner_ct)
-        pos = jnp.arange(local_cap, dtype=jnp.int32) - group_start[owner]
-        dst = jnp.where(is_pad, n * cap, owner * cap + pos)
-        dst = jnp.where(pos < cap, dst, n * cap)  # overflow beyond cap: drop
 
+        j = jax.lax.broadcasted_iota(jnp.int32, (n, cap), 1)
+        o = jax.lax.broadcasted_iota(jnp.int32, (n, cap), 0)
+        src = group_start[o] + j
+        slot_ok = j < owner_ct[o]
         send_planes = [
-            jnp.full((n * cap,), SENT, U32).at[dst].set(p, mode="drop")
+            jnp.where(slot_ok, jnp.take(p, src, mode="clip"), SENT)
+            .reshape(n * cap)
             for p in cplanes
         ]
-        send_counts = jnp.zeros((n * cap,), U32).at[dst].set(ccounts, mode="drop")
+        send_counts = jnp.where(
+            slot_ok, jnp.take(ccounts, src, mode="clip"), U32(0)
+        ).reshape(n * cap)
 
         # ICI all-to-all: chunk i of the send buffer goes to device i
         recv_planes = [
@@ -145,13 +152,12 @@ def make_sharded_count_step(mesh: Mesh, k: int, *, chunk_len: int,
         recv_counts = jax.lax.all_to_all(send_counts, "d",
                                          split_axis=0, concat_axis=0, tiled=True)
 
-        # merge the n sorted runs we received
-        mplanes, mcounts, mstart = cnt.merge_counted(
+        # merge the n sorted runs we received (compacted output)
+        oplanes, ocounts, _ = cnt.merge_counted(
             [p[:0] for p in recv_planes], recv_counts[:0],  # empty "a" side
             recv_planes, recv_counts)
-        oplanes, ocounts = cnt.compact(mplanes, mcounts, mstart, out_cap)
 
-        hist = cnt.value_histogram(mcounts, mstart, hist_bins)
+        hist = cnt.value_histogram(ocounts, hist_bins)
         hist = jax.lax.psum(hist, "d")
 
         return (tuple(p.reshape(1, out_cap) for p in oplanes),

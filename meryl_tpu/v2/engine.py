@@ -123,8 +123,18 @@ def _label_popcount(lab):
     return _popcount32(lo) + _popcount32(hi)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("m", "k", "vassign", "lassign", "sel"))
+@jax.jit
+def _action_sort_stage(planes, values, lab_lo, lab_hi, input_ids):
+    """Stable multiword sort with payloads; ends at the sort so XLA:TPU
+    keeps its fast sort path (see ops/count.py)."""
+    P = len(planes)
+    keys = [planes[p] for p in range(P - 1, -1, -1)]
+    ops = jax.lax.sort(tuple(keys) + (values, lab_lo, lab_hi, input_ids),
+                       num_keys=P, is_stable=True)
+    splanes = [ops[P - 1 - p] for p in range(P)]
+    return splanes, ops[P], ops[P + 1], ops[P + 2], ops[P + 3]
+
+
 def merge_action(planes, values, lab_lo, lab_hi, input_ids,
                  m: int, k: int, vassign: Assign, lassign: Assign,
                  sel: Selector, vconst, lconst_lo, lconst_hi):
@@ -133,34 +143,43 @@ def merge_action(planes, values, lab_lo, lab_hi, input_ids,
     planes: P uint32 arrays; values: uint32 (0 = padding);
     lab_lo/lab_hi: label halves; input_ids: int32 (m = padding id).
     Returns (sorted_planes, out_values, out_lab_lo, out_lab_hi, keep).
-    """
-    N = values.shape[0]
-    P = len(planes)
-    keys = [planes[p] for p in range(P - 1, -1, -1)]
-    ops = jax.lax.sort(tuple(keys) + (values, lab_lo, lab_hi, input_ids),
-                       num_keys=P, is_stable=True)
-    splanes = [ops[P - 1 - p] for p in range(P)]
-    val, llo, lhi, ids = ops[P], ops[P + 1], ops[P + 2], ops[P + 3]
+
+    Host-orchestrated in two device programs (sort | compute)."""
+    splanes, val, llo, lhi, ids = _action_sort_stage(
+        planes, values, lab_lo, lab_hi, input_ids)
+    return _action_compute_stage(splanes, val, llo, lhi, ids, m, k,
+                                 vassign, lassign, sel, vconst,
+                                 lconst_lo, lconst_hi)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m", "k", "vassign", "lassign", "sel"))
+def _action_compute_stage(splanes, val, llo, lhi, ids,
+                          m: int, k: int, vassign: Assign, lassign: Assign,
+                          sel: Selector, vconst, lconst_lo, lconst_hi):
+    N = val.shape[0]
+
+    from ..ops import segscan
 
     neq = None
     for p in splanes:
         d = p != jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, U32), p[:-1]])
         neq = d if neq is None else (neq | d)
     start = neq | jnp.zeros_like(neq).at[0].set(True)
-    seg = jnp.cumsum(start.astype(jnp.int32)) - 1
 
     present = val > U32(0)
     pres1 = jnp.where(present, 1, 0).astype(jnp.int32)
-    nseg = N
 
+    # scatter-free per-run reductions broadcast to every element
+    # (jax.ops.segment_* lowers to scatters, which serialize on TPU)
     def ssum(x):
-        return jax.ops.segment_sum(x, seg, num_segments=nseg)[seg]
+        return segscan.seg_sum_all(x, start)
 
     def smin(x):
-        return jax.ops.segment_min(x, seg, num_segments=nseg)[seg]
+        return segscan.seg_min_all(x, start)
 
     def smax(x):
-        return jax.ops.segment_max(x, seg, num_segments=nseg)[seg]
+        return segscan.seg_max_all(x, start)
 
     act_len = ssum(pres1)
 
@@ -182,8 +201,8 @@ def merge_action(planes, values, lab_lo, lab_hi, input_ids,
     v_sum = ssum(jnp.where(present, val, U32(0)))
     v_min = smin(jnp.where(present, val, SENT))
     v_max = smax(jnp.where(present, val, U32(0)))
-    v_mul = jax.ops.segment_prod(
-        jnp.where(present, val, U32(1)), seg, num_segments=nseg)[seg]
+    v_mul = segscan.seg_all(jnp.multiply,
+                            jnp.where(present, val, U32(1)), start)
 
     # ---- output value ----
     vc = vconst.astype(U32)

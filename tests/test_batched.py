@@ -1,0 +1,81 @@
+"""Out-of-core batched counting + restartable manifest tests."""
+
+import json
+import os
+
+import numpy as np
+
+from meryl_tpu import kmer as km, oracle
+from meryl_tpu.counter import configure_counting, count_to_db_batched
+from meryl_tpu.db import MerylDB
+
+K = 9
+
+
+def _fasta(tmp_path, seqs, name="r.fa"):
+    p = tmp_path / name
+    p.write_text("".join(f">q{i}\n{s}\n" for i, s in enumerate(seqs)))
+    return str(p)
+
+
+def _mkseqs(n, count, seed=0):
+    rng = np.random.default_rng(seed)
+    return ["".join(km.ALPHABET[c] for c in rng.integers(0, 4, size=n))
+            for _ in range(count)]
+
+
+def test_batched_matches_oracle(tmp_path):
+    seqs = _mkseqs(700, 6)
+    fa = _fasta(tmp_path, seqs)
+    out = str(tmp_path / "b.meryl")
+    db = count_to_db_batched([fa], out, K, chunk_len=1 << 11,
+                             batch_bases=1500)
+    hi, lo, c = db.load_all()
+    ohi, olo, oc = oracle.count_kmers(seqs, K)
+    assert (hi == ohi).all() and (lo == olo).all() and (c == oc).all()
+    # partials and manifest cleaned up
+    assert not os.path.exists(out + ".manifest.json")
+    assert not os.path.exists(out + ".batch0")
+
+
+def test_batched_single_batch(tmp_path):
+    seqs = _mkseqs(400, 2)
+    fa = _fasta(tmp_path, seqs)
+    out = str(tmp_path / "s.meryl")
+    db = count_to_db_batched([fa], out, K, chunk_len=1 << 11,
+                             batch_bases=10**9)
+    ohi, olo, oc = oracle.count_kmers(seqs, K)
+    hi, lo, c = db.load_all()
+    assert (c == oc).all() and (lo == olo).all()
+
+
+def test_batched_resume_skips_done(tmp_path):
+    seqs = _mkseqs(700, 6, seed=3)
+    fa = _fasta(tmp_path, seqs)
+    out = str(tmp_path / "r.meryl")
+    # simulate a prior run that completed batch 0 with wrong data: the
+    # resume must trust it (idempotent restart), proving the skip works
+    manifest = {"k": K, "mode": "canonical", "hpc": False,
+                "batch_bases": 1500, "done": [0]}
+    with open(out + ".manifest.json", "w") as f:
+        json.dump(manifest, f)
+    z = np.zeros(0, np.uint64)
+    MerylDB.write(out + ".batch0", K, z, z.copy(), np.zeros(0, np.uint32))
+    db = count_to_db_batched([fa], out, K, chunk_len=1 << 11,
+                             batch_bases=1500, resume=True)
+    hi, lo, c = db.load_all()
+    # batch 0's kmers are missing by construction; later batches present
+    ohi, olo, oc = oracle.count_kmers(seqs, K)
+    full = {(int(h) << 64) | int(l) for h, l in zip(ohi, olo)}
+    got = {(int(h) << 64) | int(l) for h, l in zip(hi, lo)}
+    assert got and got < full
+
+
+def test_configure_counting(tmp_path):
+    seqs = _mkseqs(500, 4)
+    fa = _fasta(tmp_path, seqs)
+    plan = configure_counting([fa], 21, memory_gb=0.000001)
+    assert plan["expected_kmers"] > 0
+    assert plan["batches"] > 1
+    plan2 = configure_counting([fa], 21, memory_gb=64)
+    assert plan2["batches"] == 1
