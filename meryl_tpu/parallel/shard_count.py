@@ -172,6 +172,103 @@ def make_sharded_count_step(mesh: Mesh, k: int, *, chunk_len: int,
     return jax.jit(fn)
 
 
+def make_sharded_merge(mesh: Mesh, nplanes: int, acc_cap: int):
+    """Per-device merge of two sharded unique/count accumulations,
+    truncated to the fixed accumulator capacity `acc_cap` (overflow is
+    detected by the caller via the returned n_unique)."""
+    def merge(acc_planes, acc_counts, new_planes, new_counts):
+        a = [p.reshape(p.shape[-1]) for p in acc_planes]
+        b = [p.reshape(p.shape[-1]) for p in new_planes]
+        ac = acc_counts.reshape(acc_counts.shape[-1])
+        bc = new_counts.reshape(new_counts.shape[-1])
+        mplanes, mcounts, n_unique = cnt.merge_counted(a, ac, b, bc)
+        mplanes = [p[:acc_cap] for p in mplanes]
+        mcounts = mcounts[:acc_cap]
+        return (tuple(p.reshape(1, acc_cap) for p in mplanes),
+                mcounts.reshape(1, acc_cap), n_unique.reshape(1))
+
+    fn = jax.shard_map(
+        merge, mesh=mesh,
+        in_specs=(tuple(P("d", None) for _ in range(nplanes)), P("d", None),
+                  tuple(P("d", None) for _ in range(nplanes)), P("d", None)),
+        out_specs=(tuple(P("d", None) for _ in range(nplanes)),
+                   P("d", None), P("d")),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+class ShardedCounter:
+    """End-to-end multi-chip counting: feed (n_dev * chunk_len) base
+    codes per step; every step counts, shuffles kmers to owner devices
+    over ICI, and merges into each device's accumulated unique set.
+    finalize() returns globally sorted (hi, lo, counts) — owner prefix
+    ranges ascend with device id, so per-device results concatenate in
+    order.
+
+    This replaces the reference's external count-shards-then-union-sum
+    pattern (SURVEY.md P6) with one fused SPMD pass."""
+
+    def __init__(self, mesh: Mesh, k: int, *, chunk_len: int,
+                 mode: str = "canonical", send_cap: int | None = None,
+                 acc_cap: int | None = None, hist_bins: int = 1024):
+        self.mesh = mesh
+        self.k = k
+        self.n = mesh.devices.size
+        self.chunk_len = chunk_len
+        self.nplanes = num_planes(k)
+        self._step = make_sharded_count_step(
+            mesh, k, chunk_len=chunk_len, mode=mode, send_cap=send_cap,
+            hist_bins=hist_bins)
+        cap = send_cap if send_cap is not None else chunk_len
+        # HBM budget for each device's accumulated unique set
+        self.acc_cap = acc_cap if acc_cap is not None else 4 * self.n * cap
+        self._merge = make_sharded_merge(mesh, self.nplanes, self.acc_cap)
+        self._acc = None
+        self._hist = None
+
+    def add_codes(self, codes) -> None:
+        """codes: (n_dev * chunk_len,) uint8; device d's shard is an
+        independent sequence window (callers insert separators)."""
+        import numpy as np
+        planes, counts, hist = self._step(codes)
+        if self._acc is None:
+            zc = jnp.zeros((self.n, self.acc_cap), jnp.uint32)
+            zp = tuple(jnp.full((self.n, self.acc_cap), 0xFFFFFFFF,
+                                jnp.uint32) for _ in range(self.nplanes))
+            self._acc = (zp, zc)
+            self._hist = jnp.zeros_like(hist)
+        ap, ac, n_unique = self._merge(self._acc[0], self._acc[1],
+                                       planes, counts)
+        if int(np.max(np.asarray(n_unique))) >= self.acc_cap:
+            raise RuntimeError(
+                f"ShardedCounter accumulator overflow (acc_cap="
+                f"{self.acc_cap}); raise acc_cap or spill more often")
+        self._acc = (ap, ac)
+        self._hist = self._hist + hist
+
+    def finalize(self):
+        """-> (hi, lo, counts) numpy arrays, globally sorted unique.
+        (The accumulated histogram reflects per-step counts, not the
+        final merged multiplicities; recompute from counts if needed.)"""
+        import numpy as np
+        from .. import kmer as km
+        if self._acc is None:
+            z = np.zeros(0, np.uint64)
+            return z, z.copy(), np.zeros(0, np.uint32)
+        planes, counts = self._acc
+        his, los, cs = [], [], []
+        for d in range(self.n):
+            c = np.asarray(counts[d])
+            keep = c > 0
+            hi, lo = km.hilo_from_planes(
+                [np.asarray(p[d])[keep] for p in planes])
+            his.append(hi)
+            los.append(lo)
+            cs.append(c[keep])
+        return (np.concatenate(his), np.concatenate(los),
+                np.concatenate(cs).astype(np.uint32))
+
+
 def demo_codes(n_dev: int, chunk_len: int, seed: int = 7):
     """Deterministic synthetic base codes for dryruns/benches."""
     key = jax.random.PRNGKey(seed)
