@@ -23,8 +23,9 @@ def main():
     from meryl_tpu.counter import _chunk_pipeline
 
     K = 21
-    CHUNK = 1 << 24  # 16M bases per device step
-    REPS = 8
+    CHUNK = 1 << 20  # 1M bases per device step (sort cost is superlinear;
+    #                  small chunks pipeline better — see docs/tpu-design.md)
+    REPS = 32
 
     rng = np.random.default_rng(0)
     # distinct chunks per rep: identical repeated inputs can be

@@ -34,3 +34,24 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 from . import kmer  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy public API (importing jax-heavy modules only on use)."""
+    import importlib
+    api = {
+        "MerylDB": ("meryl_tpu.db", "MerylDB"),
+        "MerylDBWriter": ("meryl_tpu.db", "MerylDBWriter"),
+        "MerylHistogram": ("meryl_tpu.histogram", "MerylHistogram"),
+        "ExactLookup": ("meryl_tpu.lookup", "ExactLookup"),
+        "count_to_db": ("meryl_tpu.counter", "count_to_db"),
+        "count_to_arrays": ("meryl_tpu.counter", "count_to_arrays"),
+        "count_to_db_batched": ("meryl_tpu.counter", "count_to_db_batched"),
+        "configure_counting": ("meryl_tpu.counter", "configure_counting"),
+        "ShardedCounter": ("meryl_tpu.parallel.shard_count",
+                           "ShardedCounter"),
+    }
+    if name in api:
+        mod, attr = api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'meryl_tpu' has no attribute {name!r}")

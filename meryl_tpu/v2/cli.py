@@ -89,6 +89,7 @@ class Action:
     inputs: list = field(default_factory=list)
     out_db: str | None = None
     out_list: str | None = None
+    out_list_acgt: bool = False
     out_show: bool = False
     out_pipe: str | None = None
     out_hist: str | None = None
@@ -231,6 +232,9 @@ class Builder:
                     t.out_db = rest
                 elif name == "list":
                     t.out_list = rest
+                elif name == "listACGT":
+                    t.out_list = rest
+                    t.out_list_acgt = True
                 elif name == "show":
                     t.out_show = True
                 elif name == "pipe":
@@ -454,8 +458,13 @@ def resolve_special_args(act: Action):
         for p in act.products]
 
 
-def print_v2(hi, lo, vals, labs, k, out, with_labels: bool):
+def print_v2(hi, lo, vals, labs, k, out, with_labels: bool,
+             acgt: bool = False):
     strs = km.hilo_to_strings(hi, lo, k)
+    if acgt:
+        # re-canonicalize to standard ACGT lexicographic order; output
+        # is then NOT sorted (reference.rst:545-570)
+        strs = [min(s, km.revcomp_string(s)) for s in strs]
     if with_labels:
         out.write("".join(f"{s}\t{v}\t{l}\n" for s, v, l in
                           zip(strs, vals.tolist(), labs.tolist())))
@@ -535,15 +544,25 @@ def execute(b: Builder) -> int:
 
             ev = Evaluator(kk, b.pipes)
             writer = MerylDBWriter(root.out_db, kk) if root.out_db else None
-            listf = open(root.out_list, "w") if root.out_list else None
+            listf = None
+            list_sharded = root.out_list and "##" in root.out_list
+            if root.out_list and not list_sharded:
+                listf = open(root.out_list, "w")
             hist_acc = {}
-            has_labels = True
             for ff in range(NUM_FILES):
                 hi, lo, vals, labs = ev.eval_bucket(root, ff)
                 if writer:
                     writer.add_bucket(ff, hi, lo, vals, labs)
-                if listf:
-                    print_v2(hi, lo, vals, labs, kk, listf, True)
+                if list_sharded:
+                    # '##' -> one file per 6-bit prefix bucket
+                    # (reference.rst:528-534: 64 parallel list files)
+                    with open(root.out_list.replace("##", f"{ff:02d}"),
+                              "w") as bf:
+                        print_v2(hi, lo, vals, labs, kk, bf, True,
+                                 acgt=root.out_list_acgt)
+                elif listf:
+                    print_v2(hi, lo, vals, labs, kk, listf, True,
+                             acgt=root.out_list_acgt)
                 if root.out_show:
                     print_v2(hi, lo, vals, labs, kk, sys.stdout, True)
                 if root.out_hist or root.out_stats:
@@ -596,7 +615,17 @@ def main(argv=None) -> int:
         return 0 if argv else 1
     b = Builder()
     try:
-        for w in argv:
+        words = []
+        i = 0
+        while i < len(argv):
+            if argv[i] == "-f":  # load program text from a file
+                from .parser import load_program_text
+                i += 1
+                words.extend(load_program_text(argv[i]))
+            else:
+                words.append(argv[i])
+            i += 1
+        for w in words:
             b.word(w)
         b.finalize()
         return execute(b)

@@ -179,6 +179,60 @@ def parse_selector_term(quantity: str, rest: str, negate: bool):
     raise ValueError(f"unknown selector quantity '{quantity}'")
 
 
+def load_program_text(path: str) -> list:
+    """Parse a meryl2 program file into words.
+
+    Rules per the reference loadProgramText
+    (/root/reference/src/meryl2/meryl.C:87-150): single/double quotes
+    group words (outermost quotes removed, the other quote kind kept),
+    backslash escapes the next character (but is literal inside
+    quotes), '#' at line start or after a space comments out the rest
+    of the line, whitespace separates words."""
+    from ..io.sequence import open_maybe_compressed
+    words = []
+    with open_maybe_compressed(path) as f:
+        data = f.read()
+        if isinstance(data, bytes):
+            data = data.decode()
+    for line in data.splitlines():
+        esc = sgl = dbl = False
+        cur = []
+        started = False
+        ll = 0
+        while ll < len(line):
+            ch = line[ll]
+            nesc = not esc and not sgl and not dbl
+            com = ch == "#" and (ll == 0 or (ll > 1 and line[ll - 1] == " "))
+            if nesc and ch == "\\":
+                esc = True
+                started = True
+            elif nesc and ch == "'":
+                sgl = True
+                started = True
+            elif not esc and sgl and not dbl and ch == "'":
+                sgl = False
+            elif nesc and ch == '"':
+                dbl = True
+                started = True
+            elif not esc and not sgl and dbl and ch == '"':
+                dbl = False
+            elif nesc and com:
+                break
+            elif nesc and ch in (" ", "\t"):
+                if started or cur:
+                    words.append("".join(cur))
+                cur = []
+                started = False
+            else:
+                cur.append(ch)
+                esc = False
+                started = True
+            ll += 1
+        if started or cur:
+            words.append("".join(cur))
+    return [w for w in words if w != ""]
+
+
 # ---- class:name matching with prefix abbreviation ----
 
 def _matches(word: str, full: str, aliases=()) -> bool:
@@ -212,9 +266,12 @@ def split_class_name(token: str):
         return None
 
     names = {
-        "output": [("database", ("db",)), ("list", ("t", "txt", "text")),
+        "output": [("database", ("db",)),
+                   ("list", ("t", "txt", "text")),
+                   ("listACGT", ("listacgt",)),
                    ("show", ("display", "dis", "print", "stdout")),
-                   ("pipe", ()), ("histogram", ()), ("statistics", ())],
+                   ("pipe", ()), ("histogram", ()),
+                   ("statistics", ("stats",))],
         "assign": [("value", ()), ("label", ())],
         "select": [("value", ()), ("label", ()),
                    ("bases", ("acgt", "bp")), ("input", ())],
