@@ -31,6 +31,9 @@ import os as _os
 DEFAULT_CHUNK = int(_os.environ.get("MERYL_TPU_CHUNK", 1 << 22))
 
 
+_USE_PALLAS = bool(_os.environ.get("MERYL_TPU_PALLAS"))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mode", "suffix"))
 def _chunk_pipeline(codes, k: int, mode: str, suffix=None):
     """codes (L,) uint8 -> (sorted planes, counts, start mask, n_unique).
@@ -38,7 +41,12 @@ def _chunk_pipeline(codes, k: int, mode: str, suffix=None):
     suffix: optional (bits, length) static pair — only count kmers whose
     last `length` bases encode to `bits` (the reference's count-suffix,
     /root/reference/src/meryl/merylOp-countSimple.C:50-90)."""
-    planes, valid = ext.extract_kmers(codes, k, mode)
+    if (_USE_PALLAS and mode == "canonical"
+            and codes.shape[0] % (1 << 13) == 0):
+        from .ops.extract_pallas import extract_kmers_pallas
+        planes, valid = extract_kmers_pallas(codes, k)
+    else:
+        planes, valid = ext.extract_kmers(codes, k, mode)
     if suffix is not None:
         sbits, slen = suffix
         need = 2 * slen

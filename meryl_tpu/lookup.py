@@ -93,6 +93,51 @@ def _query_kernel(db_planes, db_values, offsets, q_planes, valid,
     return jnp.where(found, jnp.take(db_values, idx, mode="clip"), U32(0))
 
 
+@jax.jit
+def _join_kernel(db_planes, db_values, q_planes, q_valid):
+    """Sort-merge join: values of query kmers against the sorted DB.
+
+    Gathers serialize on TPU (~250ms/16M), so instead of binary
+    searches this concatenates [db, queries], radix-sorts once (db
+    entries sort before their equal queries via stable order), and
+    broadcasts each run's leading db value to its queries with a
+    first-value segmented scan.  Returns values in the SORTED order
+    plus each entry's original query index (host reorders).
+    """
+    from .ops import segscan
+
+    P = len(db_planes)
+    N = db_planes[0].shape[0]
+    Q = q_planes[0].shape[0]
+    planes = [jnp.concatenate([d, jnp.where(q_valid, q, ~jnp.uint32(0))])
+              for d, q in zip(db_planes, q_planes)]
+    is_db = jnp.concatenate([jnp.ones((N,), jnp.uint32),
+                             jnp.zeros((Q,), jnp.uint32)])
+    vals = jnp.concatenate([db_values, jnp.zeros((Q,), jnp.uint32)])
+    qidx = jnp.concatenate([
+        jnp.full((N,), Q, jnp.uint32),
+        jax.lax.broadcasted_iota(jnp.uint32, (Q, 1), 0).reshape(Q)])
+
+    keys = [planes[p] for p in range(P - 1, -1, -1)]
+    srt = jax.lax.sort(tuple(keys) + (is_db, vals, qidx),
+                       num_keys=P, is_stable=True)
+    splanes = [srt[P - 1 - p] for p in range(P)]
+    s_isdb, s_vals, s_qidx = srt[P], srt[P + 1], srt[P + 2]
+
+    neq = None
+    for p in splanes:
+        d = p != jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, jnp.uint32),
+                                  p[:-1]])
+        neq = d if neq is None else (neq | d)
+    start = neq | jnp.zeros_like(neq).at[0].set(True)
+
+    # broadcast the run-FIRST (value, is_db) to every run element
+    first_val, first_db = segscan.seg_scan(
+        lambda a, b: a, (s_vals, s_isdb), start)
+    out = jnp.where((s_isdb == 0) & (first_db == 1), first_val, U32(0))
+    return out, s_qidx
+
+
 class ExactLookup:
     """Device-resident exact lookup table for one database.
 
@@ -136,6 +181,26 @@ class ExactLookup:
         """q_planes: P device arrays, valid: bool mask -> uint32 values."""
         return _query_kernel(self._planes, self._values, self._offsets,
                              q_planes, valid, self.k, self.B, self._iters)
+
+    def values_bulk(self, q_planes_np, valid_np) -> np.ndarray:
+        """Values for a LARGE host-side query batch via the sort-merge
+        join (one DB sort amortized over the whole batch; the binary
+        search's gathers serialize on TPU).  q_planes_np: P numpy
+        arrays; valid_np: bool.  Returns uint32 values, 0 if absent."""
+        Q = len(valid_np)
+        out = np.zeros(Q, np.uint32)
+        slab = max(self._n, 1 << 22)
+        for s in range(0, Q, slab):
+            e = min(Q, s + slab)
+            qp = [jnp.asarray(p[s:e]) for p in q_planes_np]
+            vv = jnp.asarray(valid_np[s:e])
+            vals, qidx = _join_kernel(self._planes, self._values, qp, vv)
+            vals = np.asarray(vals)
+            qidx = np.asarray(qidx)
+            m = qidx < (e - s)
+            out[s:e][qidx[m]] = vals[m]
+        out[~valid_np] = 0
+        return out
 
     # ---- convenience host-side probes (small batches) ----
 

@@ -133,16 +133,16 @@ def load_tables(g: LookupGlobal, err=sys.stderr):
             f"-memory {g.memory_gb} GB")
 
 
-def _per_position_values(lookups, codes: np.ndarray, k: int):
-    """For each DB: (fvals, rvals) uint32 arrays over kmer start
-    positions 0..len-k, plus the validity mask."""
+BULK_MIN = 1 << 16  # switch to the sort-merge join above this many positions
+
+
+def _extract_positions(codes: np.ndarray, k: int, P: int):
+    """Per-position forward/reverse kmer planes + validity (host)."""
     L = len(codes)
     npos = max(0, L - k + 1)
-    nf = [np.zeros(npos, np.uint32) for _ in lookups]
-    nr = [np.zeros(npos, np.uint32) for _ in lookups]
+    fpl_np = [np.zeros(npos, np.uint32) for _ in range(P)]
+    rpl_np = [np.zeros(npos, np.uint32) for _ in range(P)]
     vmask = np.zeros(npos, bool)
-    if npos == 0:
-        return nf, nr, vmask
     step = CHUNK - (k - 1)
     pos = 0
     while pos < npos:
@@ -151,14 +151,50 @@ def _per_position_values(lookups, codes: np.ndarray, k: int):
         chunk[:end - pos] = codes[pos:end]
         fpl, rpl, valid = ext.extract_kmers(jnp.asarray(chunk), k, "both")
         nvalid = min(step, npos - pos)
-        v = np.asarray(valid)[:nvalid]
-        vmask[pos:pos + nvalid] = v
-        for d, Lk in enumerate(lookups):
-            fv = np.asarray(Lk.values_batch(fpl, valid))[:nvalid]
-            rv = np.asarray(Lk.values_batch(rpl, valid))[:nvalid]
-            nf[d][pos:pos + nvalid] = fv
-            nr[d][pos:pos + nvalid] = rv
+        vmask[pos:pos + nvalid] = np.asarray(valid)[:nvalid]
+        for p in range(P):
+            fpl_np[p][pos:pos + nvalid] = np.asarray(fpl[p])[:nvalid]
+            rpl_np[p][pos:pos + nvalid] = np.asarray(rpl[p])[:nvalid]
         pos += nvalid
+    return fpl_np, rpl_np, vmask
+
+
+def _per_position_values(lookups, codes: np.ndarray, k: int):
+    """For each DB: (fvals, rvals) uint32 arrays over kmer start
+    positions 0..len-k, plus the validity mask.
+
+    Small batches use the prefix-table binary search; large ones the
+    sort-merge join (see lookup.py)."""
+    L = len(codes)
+    npos = max(0, L - k + 1)
+    if npos == 0:
+        z = [np.zeros(0, np.uint32) for _ in lookups]
+        return z, list(z), np.zeros(0, bool)
+    P = lookups[0].P
+    fpl_np, rpl_np, vmask = _extract_positions(codes, k, P)
+    nf, nr = [], []
+    # pad to a power of two so jit signatures stay bounded
+    npad = 1 << max(8, int(npos - 1).bit_length())
+    vpad = np.zeros(npad, bool)
+    vpad[:npos] = vmask
+    for Lk in lookups:
+        if npos >= BULK_MIN:
+            nf.append(Lk.values_bulk(fpl_np, vmask))
+            nr.append(Lk.values_bulk(rpl_np, vmask))
+        else:
+            def q(pl):
+                qp = []
+                for p in pl:
+                    a = np.zeros(npad, np.uint32)
+                    a[:npos] = p
+                    qp.append(jnp.asarray(a))
+                return qp
+            fv = np.asarray(Lk.values_batch(q(fpl_np),
+                                            jnp.asarray(vpad)))[:npos]
+            rv = np.asarray(Lk.values_batch(q(rpl_np),
+                                            jnp.asarray(vpad)))[:npos]
+            nf.append(fv)
+            nr.append(rv)
     return nf, nr, vmask
 
 
