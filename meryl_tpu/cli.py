@@ -420,7 +420,7 @@ def run(b: CommandBuilder) -> int:
             else:
                 execute_root(root, kk, verbose=b.verbosity)
         return 0
-    except ParseError as e:
+    except (ParseError, ValueError) as e:
         sys.stderr.write(f"meryl: {e}\n")
         return 1
     finally:

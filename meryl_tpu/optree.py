@@ -20,8 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import kmer as km
-from .db import NUM_FILES, MerylDB, MerylDBWriter, is_meryl_db
-from .histogram import MerylHistogram
+from .db import NUM_FILES, MerylDB, MerylDBWriter
 from .ops import setops
 
 COUNT_OPS = ("count", "count-forward", "count-reverse")

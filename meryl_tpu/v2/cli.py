@@ -25,8 +25,7 @@ from .. import kmer as km
 from ..db import NUM_FILES, MerylDB, MerylDBWriter, is_meryl_db
 from ..histogram import MerylHistogram
 from .engine import Assign, Selector, SelectorTerm, merge_action
-from .parser import parse_assign, parse_constant, parse_selector_term, \
-    split_class_name
+from .parser import parse_assign, parse_selector_term, split_class_name
 
 COUNT_OPS = ("count", "count-forward", "count-reverse")
 

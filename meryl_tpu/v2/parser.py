@@ -21,7 +21,6 @@ and src/meryl2/merylCommandBuilder-*.C:
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
 
 from .engine import Assign, Selector, SelectorTerm
 
