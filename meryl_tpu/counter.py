@@ -74,10 +74,20 @@ def _compact_host(splanes, counts, start, n_unique=None):
 
 def merge_runs(runs):
     """Merge per-chunk unique (hi, lo, counts-u64) triples into one
-    globally sorted unique triple; counts clamped to kmvalu max."""
+    globally sorted unique triple; counts clamped to kmvalu max.
+
+    Uses the native linear-time pairwise merge cascade when available
+    (each run is already sorted; lexsort would re-sort from scratch)."""
     if not runs:
         z = np.zeros(0, np.uint64)
         return z, z.copy(), np.zeros(0, np.uint32)
+
+    from . import native
+    if native.available() and len(runs) > 1:
+        hi, lo, c = native.merge_cascade(runs)
+        counts = np.minimum(c, km.VALUE_MAX).astype(np.uint32)
+        return hi, lo, counts
+
     hi = np.concatenate([r[0] for r in runs])
     lo = np.concatenate([r[1] for r in runs])
     c = np.concatenate([r[2] for r in runs]).astype(np.uint64)

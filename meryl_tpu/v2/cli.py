@@ -204,7 +204,13 @@ class Builder:
             self.k = int(w)
             self._expect_k = False
             return
-        if w.startswith("-V") or w in ("-Q", "-P", "-C", "-t", "-m", "-l"):
+        if getattr(self, "_swallow_arg", False):
+            self._swallow_arg = False
+            return
+        if w in ("-t", "-m", "-l"):   # threads/memory/label-size: accepted,
+            self._swallow_arg = True  # value consumed (XLA manages; labels
+            return                    # are fixed 64-bit)
+        if w.startswith("-V") or w in ("-Q", "-P", "-C"):
             return
 
         t = self.top()

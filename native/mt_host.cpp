@@ -74,6 +74,10 @@ void mt_scanner_init(MtScanner* s, int32_t hpc) {
 // Returns the number of codes written.  Call repeatedly with
 // consecutive file chunks; state carries across calls.  After the last
 // chunk call mt_scanner_finish to flush the trailing separator.
+//
+// Line-oriented: header/plus/qual lines are skipped with memchr, and
+// sequence spans are bulk-converted through the code table (the inner
+// loop vectorizes) — ~4x the byte-at-a-time state machine.
 int64_t mt_scan(MtScanner* s, const uint8_t* in, int64_t n, uint8_t* out) {
   int64_t o = 0;
   int64_t i = 0;
@@ -86,62 +90,106 @@ int64_t mt_scan(MtScanner* s, const uint8_t* in, int64_t n, uint8_t* out) {
       if (in[i] == '>')      { s->fmt = F_FASTA; s->state = S_HDR; i++; }
       else if (in[i] == '@') { s->fmt = F_FASTQ; s->state = S_HDR; i++; }
       else                   { s->fmt = F_RAW;   s->state = S_SEQ; }
+      s->bol = 0;
     }
   }
 
   const uint8_t* code = kCode.t;
   const uint8_t* up = kUpper.t;
 
-  for (; i < n; i++) {
-    uint8_t c = in[i];
-    uint8_t bol = s->bol;
-    s->bol = (uint8_t)(c == '\n');
+  while (i < n) {
     switch (s->state) {
-      case S_HDR:
-        if (c == '\n') { s->state = S_SEQ; s->seqlen = 0; s->last_base = 0; }
+      case S_HDR: {
+        const uint8_t* nl =
+            (const uint8_t*)memchr(in + i, '\n', (size_t)(n - i));
+        if (nl == nullptr) { s->bol = 0; return o; }
+        i = (nl - in) + 1;
+        s->state = S_SEQ;
+        s->seqlen = 0;
+        s->last_base = 0;
+        s->bol = 1;
         break;
+      }
 
-      case S_SEQ:
-        if (c == '\n' || c == '\r' || c == ' ' || c == '\t') {
-          if (s->fmt == F_FASTQ && c == '\n') s->state = S_PLUS;
-          break;
-        }
-        if (s->fmt == F_FASTA && c == '>' && bol) {
+      case S_SEQ: {
+        uint8_t c = in[i];
+        if (s->fmt == F_FASTA && c == '>' && s->bol) {
           if (s->emitted) { out[o++] = SEP; s->emitted = 0; }
           s->state = S_HDR;
           break;
         }
-        {
-          if (s->hpc) {
-            uint8_t u = up[c];
-            if (u == s->last_base) { s->seqlen++; break; }
-            s->last_base = u;
+        const uint8_t* nl =
+            (const uint8_t*)memchr(in + i, '\n', (size_t)(n - i));
+        int64_t end = nl ? (nl - in) : n;
+        int64_t b = i, e = end;
+        while (b < e && (in[e - 1] == '\r' || in[e - 1] == ' ' ||
+                         in[e - 1] == '\t'))
+          e--;
+        if (e > b) {
+          if (!s->hpc) {
+            for (int64_t j = b; j < e; j++)   // vectorizes
+              out[o + (j - b)] = code[in[j]];
+            o += e - b;
+          } else {
+            uint8_t last = s->last_base;
+            for (int64_t j = b; j < e; j++) {
+              uint8_t u = up[in[j]];
+              if (u != last) { out[o++] = code[in[j]]; last = u; }
+            }
+            s->last_base = last;
           }
-          out[o++] = code[c];
           s->emitted = 1;
-          s->seqlen++;
+          s->seqlen += e - b;
         }
+        if (nl == nullptr) { i = n; s->bol = 0; break; }
+        i = end + 1;
+        s->bol = 1;
+        if (s->fmt == F_FASTQ) s->state = S_PLUS;
         break;
+      }
 
-      case S_PLUS:
-        if (c == '\n') { s->state = S_QUAL; s->quallen = 0; }
+      case S_PLUS: {
+        const uint8_t* nl =
+            (const uint8_t*)memchr(in + i, '\n', (size_t)(n - i));
+        if (nl == nullptr) { s->bol = 0; return o; }
+        i = (nl - in) + 1;
+        s->state = S_QUAL;
+        s->quallen = 0;
+        s->bol = 1;
         break;
+      }
 
-      case S_QUAL:
-        if (c == '\n') {
-          if (s->quallen >= s->seqlen) {
-            if (s->emitted) { out[o++] = SEP; s->emitted = 0; }
-            s->state = S_HDR;  // next '@' line is a header
-            s->seqlen = 0;
-            s->last_base = 0;
+      case S_QUAL: {
+        // consume exactly seqlen quality bytes (newlines don't count),
+        // so '@' at the start of a quality line can't be mistaken for
+        // a header
+        while (i < n && s->quallen < s->seqlen) {
+          if (in[i] != '\n') s->quallen++;
+          i++;
+        }
+        if (s->quallen >= s->seqlen) {
+          if (s->emitted) { out[o++] = SEP; s->emitted = 0; }
+          // skip to end of the quality line
+          const uint8_t* nl =
+              (const uint8_t*)memchr(in + i, '\n', (size_t)(n - i));
+          if (nl == nullptr) {
+            s->state = S_QUAL;  // stay; next call keeps skipping
+            s->seqlen = 0;      // (quallen >= seqlen still holds)
+            return o;
           }
-        } else {
-          s->quallen++;
+          i = (nl - in) + 1;
+          s->state = S_HDR;
+          s->seqlen = 0;
+          s->quallen = 0;
+          s->last_base = 0;
+          s->bol = 1;
         }
         break;
+      }
 
       case S_START:
       default:
+        i++;
         break;
     }
   }
@@ -152,6 +200,37 @@ int64_t mt_scan(MtScanner* s, const uint8_t* in, int64_t n, uint8_t* out) {
 int64_t mt_scanner_finish(MtScanner* s, uint8_t* out) {
   if (s->emitted) { s->emitted = 0; out[0] = SEP; return 1; }
   return 0;
+}
+
+// Linear-time merge of two sorted unique (hi, lo, count) runs, summing
+// counts of equal kmers.  The host-side analog of the reference's
+// batch-file merge (merylBlockWriter::finish) — replaces an O(n log n)
+// numpy lexsort with one pass.  Returns the output length.
+int64_t mt_merge2(const uint64_t* ha, const uint64_t* la,
+                  const uint64_t* ca, int64_t na,
+                  const uint64_t* hb, const uint64_t* lb,
+                  const uint64_t* cb, int64_t nb,
+                  uint64_t* ho, uint64_t* lo, uint64_t* co) {
+  int64_t i = 0, j = 0, o = 0;
+  // branchless main loop (random interleaving makes the branchy
+  // version mispredict-bound at ~8M elem/s; cmovs run ~20x faster)
+  while (i < na && j < nb) {
+    uint64_t hai = ha[i], lai = la[i];
+    uint64_t hbj = hb[j], lbj = lb[j];
+    bool a_le = (hai < hbj) | ((hai == hbj) & (lai <= lbj));
+    bool eq = (hai == hbj) & (lai == lbj);
+    ho[o] = a_le ? hai : hbj;
+    lo[o] = a_le ? lai : lbj;
+    uint64_t cmain = a_le ? ca[i] : cb[j];
+    uint64_t cother = a_le ? cb[j] : ca[i];
+    co[o] = cmain + (eq ? cother : 0);
+    i += a_le;
+    j += (uint64_t)(!a_le) | (uint64_t)eq;
+    o++;
+  }
+  while (i < na) { ho[o] = ha[i]; lo[o] = la[i]; co[o] = ca[i]; o++; i++; }
+  while (j < nb) { ho[o] = hb[j]; lo[o] = lb[j]; co[o] = cb[j]; o++; j++; }
+  return o;
 }
 
 // Standalone homopolymer compression of a base-code buffer (codes, not
