@@ -116,7 +116,8 @@ def parse_args(argv) -> LookupGlobal:
     return g
 
 
-def load_tables(g: LookupGlobal, err=sys.stderr):
+def load_tables(g: LookupGlobal, err=None):
+    err = err or sys.stderr
     from .db import MerylDB
     total = 0
     for p in g.dbs:
@@ -306,7 +307,8 @@ def _write_seq(f, name, seq: bytes, qual, nfound: int):
         f.write(f">{ident}\n{seq.decode()}\n")
 
 
-def cmd_filter(g: LookupGlobal, out1, out2, err=sys.stderr):
+def cmd_filter(g: LookupGlobal, out1, out2, err=None):
+    err = err or sys.stderr
     k = g.lookups[0].k
     L = g.lookups[0]
     it1 = iter_sequences(g.seq1)
