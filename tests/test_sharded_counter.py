@@ -32,6 +32,28 @@ def test_sharded_counter_multi_step():
     assert keys == sorted(keys)
 
 
+def test_sharded_counter_with_separators():
+    """Invalid codes (sequence separators / N bases) inside shards."""
+    n_dev, chunk, k = 4, 256, 11
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
+    sc = ShardedCounter(mesh, k, chunk_len=chunk, acc_cap=4 * 1024)
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, size=n_dev * chunk).astype(np.uint8)
+    codes[rng.integers(0, len(codes), size=30)] = 255
+    seqs = []
+    for d in range(n_dev):
+        s = codes[d * chunk:(d + 1) * chunk]
+        seqs.append("".join(km.ALPHABET[c] if c < 4 else "N" for c in s))
+    sc.add_codes(codes)
+    hi, lo, counts = sc.finalize()
+    got = {(int(h) << 64) | int(l): int(c)
+           for h, l, c in zip(hi, lo, counts)}
+    ohi, olo, oc = oracle.count_kmers(seqs, k)
+    want = {(int(h) << 64) | int(l): int(c)
+            for h, l, c in zip(ohi, olo, oc)}
+    assert got == want
+
+
 def test_sharded_counter_overflow_detection():
     import pytest
     n_dev, chunk, k = 2, 256, 13
