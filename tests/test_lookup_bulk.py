@@ -29,7 +29,7 @@ def test_values_bulk_matches_binary_search(tmp_path):
     valid = rng.random(n) > 0.1
     planes = km.planes_from_hilo(qhi, qlo, L.P)
 
-    bulk = L.values_bulk([np.asarray(p) for p in planes], valid)
+    bulk = L.values_join([np.asarray(p) for p in planes], valid)
     import jax.numpy as jnp
     bs = np.asarray(L.values_batch([jnp.asarray(p) for p in planes],
                                    jnp.asarray(valid)))
@@ -53,6 +53,6 @@ def test_values_bulk_sentinel_query(tmp_path):
     L = ExactLookup(MerylDB.open(dbp))
     qplanes = [np.full(4, 0xFFFFFFFF, np.uint32)]
     valid = np.array([True, False, True, False])
-    out = L.values_bulk(qplanes, valid)
+    out = L.values_join(qplanes, valid)
     # poly-G == all-ones key: valid queries find it, invalid get 0
     np.testing.assert_array_equal(out, [9, 0, 9, 0])

@@ -68,6 +68,6 @@ def test_k33_lookup(dbs):
     assert (vals == np.array([d[x] for x in keys], np.uint32)).all()
     # bulk join path too
     planes = km.planes_from_hilo(hi, lo, L.P)
-    bulk = L.values_bulk([np.asarray(p) for p in planes],
+    bulk = L.values_join([np.asarray(p) for p in planes],
                          np.ones(len(keys), bool))
     assert (bulk == vals).all()
