@@ -150,6 +150,7 @@ def _finish_alias_number(a: Action, n: int):
 class Builder:
     def __init__(self):
         self.k = 0
+        self.compress = False
         self.verbosity = 1
         self.stack: list[Action] = []
         self.roots: list[Action] = []
@@ -211,6 +212,9 @@ class Builder:
             self._swallow_arg = True  # value consumed (XLA manages; labels
             return                    # are fixed 64-bit)
         if w.startswith("-V") or w in ("-Q", "-P", "-C"):
+            return
+        if w == "compress":  # homopolymer-compress sequence inputs
+            self.compress = True
             return
 
         t = self.top()
@@ -494,7 +498,7 @@ def execute(b: Builder) -> int:
             paths = [s.path for s in act.inputs if isinstance(s, SeqInput)]
             mode = {"count": "canonical", "count-forward": "forward",
                     "count-reverse": "reverse"}[act.name]
-            hi, lo, c = count_to_arrays(paths, b.k, mode=mode)
+            hi, lo, c = count_to_arrays(paths, b.k, mode=mode, hpc=b.compress)
             if act.count_value is not None:
                 c = np.full(len(c), act.count_value & 0xFFFFFFFF, np.uint32)
             labels = None

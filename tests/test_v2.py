@@ -194,3 +194,25 @@ def test_pipe(dbs, tmp_path):
         if v > 1:
             want[kk] = v
     assert {k: v[0] for k, v in got.items()} == want
+
+
+def test_count_compress_hpc(tmp_path):
+    """v2 'compress' homopolymer-compresses counting inputs."""
+    import io
+    import contextlib
+    seqs = ["AAACCCGGGTTTAAACCCGGG", "ACGTACGTACGTACGTACG"]
+    fa = tmp_path / "r.fa"
+    fa.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = v2cli.main(["-k", "5", "compress", "count", str(fa),
+                         "output:show"])
+    assert rc == 0
+    got = {}
+    for l in buf.getvalue().strip().split("\n"):
+        p = l.split("\t")
+        got[p[0]] = int(p[1])
+    ohi, olo, oc = oracle.count_kmers(seqs, 5, hpc=True)
+    want = {km.kmer_to_string((int(h) << 64) | int(l), 5): int(c)
+            for h, l, c in zip(ohi, olo, oc)}
+    assert got == want
