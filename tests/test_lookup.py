@@ -216,3 +216,39 @@ def test_include_exclude(setup, tmp_path):
             assert f"q{i} nKmers={nf}" in inc
         else:
             assert f"q{i} " not in inc
+
+
+def test_include_paired_files(setup, tmp_path):
+    """-include with paired inputs: a pair is kept if EITHER mate hits,
+    and both mates are written (include-exclude.C:55-130)."""
+    d = setup["dict"]
+    rng = np.random.default_rng(31)
+    # pair 0: mate1 hits (embedded reference), mate2 random
+    # pair 1: both mates random (likely no hits at K=9... force with Ns)
+    from meryl_tpu.kmer import ALPHABET
+    ref_piece = None
+    for kk in d:
+        ref_piece = km.kmer_to_string(kk, K) * 3
+        break
+    r1 = [ref_piece, "N" * 30]
+    r2 = ["".join(ALPHABET[c] for c in rng.integers(0, 4, size=30)),
+          "N" * 30]
+    f1 = tmp_path / "r1.fq"
+    f2 = tmp_path / "r2.fq"
+    f1.write_text("".join(f"@p{i}\n{s}\n+\n{'I' * len(s)}\n"
+                          for i, s in enumerate(r1)))
+    f2.write_text("".join(f"@p{i}\n{s}\n+\n{'I' * len(s)}\n"
+                          for i, s in enumerate(r2)))
+    o1 = tmp_path / "o1.fq"
+    o2 = tmp_path / "o2.fq"
+    g = lookup_cli.parse_args(["-include", "-sequence", str(f1), str(f2),
+                               "-mers", setup["db"],
+                               "-output", str(o1), str(o2)])
+    lookup_cli.load_tables(g)
+    with open(o1, "w") as a, open(o2, "w") as b:
+        lookup_cli.cmd_filter(g, a, b, err=io.StringIO())
+    out1 = o1.read_text()
+    out2 = o2.read_text()
+    # pair 0 kept in BOTH outputs; pair 1 (all-N) dropped from both
+    assert "p0" in out1 and "p0" in out2
+    assert "p1" not in out1 and "p1" not in out2
