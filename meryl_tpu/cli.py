@@ -408,6 +408,18 @@ def run(b: CommandBuilder) -> int:
             if not kk:
                 raise ParseError("cannot determine kmer size")
 
+            def check_k(n: OpNode):
+                for inp in n.inputs:
+                    if isinstance(inp, DBInput):
+                        dk = inp.open().k
+                        if dk != kk:
+                            raise ParseError(
+                                f"kmer size mismatch: {inp.path} has "
+                                f"k={dk}, expected k={kk}")
+                    elif isinstance(inp, OpNode):
+                        check_k(inp)
+            check_k(root)
+
             def resolve(n: OpNode):
                 resolve_threshold(n)
                 for inp in n.inputs:

@@ -544,6 +544,16 @@ def execute(b: Builder) -> int:
             if not kk:
                 raise ParseError("cannot determine k")
 
+            def check_k(a):
+                for i in a.inputs:
+                    if isinstance(i, DBInput) and i.open().k != kk:
+                        raise ParseError(
+                            f"kmer size mismatch: {i.path} has "
+                            f"k={i.open().k}, expected k={kk}")
+                    elif isinstance(i, Action):
+                        check_k(i)
+            check_k(root)
+
             def walk(a):
                 resolve_special_args(a)
                 for i in a.inputs:
