@@ -33,14 +33,15 @@ DEFAULT_CHUNK = int(_os.environ.get("MERYL_TPU_CHUNK", 1 << 22))
 
 _USE_PALLAS = bool(_os.environ.get("MERYL_TPU_PALLAS"))
 
+# device-side compaction before download: costs an extra ~2x device
+# time but downloads only the unique prefix — a large win when the
+# device->host link is slow (dev tunnels) or data has high coverage
+# (uniques << windows).  Default: host compaction (fastest on-device,
+# fine over PCIe).
+_COMPACT_DEVICE = _os.environ.get("MERYL_TPU_COMPACT", "host") == "device"
 
-@functools.partial(jax.jit, static_argnames=("k", "mode", "suffix"))
-def _chunk_pipeline(codes, k: int, mode: str, suffix=None):
-    """codes (L,) uint8 -> (sorted planes, counts, start mask, n_unique).
 
-    suffix: optional (bits, length) static pair — only count kmers whose
-    last `length` bases encode to `bits` (the reference's count-suffix,
-    /root/reference/src/meryl/merylOp-countSimple.C:50-90)."""
+def _extract_filtered(codes, k: int, mode: str, suffix):
     if (_USE_PALLAS and mode == "canonical"
             and codes.shape[0] % (1 << 13) == 0):
         from .ops.extract_pallas import extract_kmers_pallas
@@ -58,7 +59,49 @@ def _chunk_pipeline(codes, k: int, mode: str, suffix=None):
             mask = jnp.uint32((1 << bits_here) - 1 if bits_here < 32
                               else 0xFFFFFFFF)
             valid = valid & ((pl & mask) == want)
+    return planes, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mode", "suffix"))
+def _chunk_pipeline(codes, k: int, mode: str, suffix=None):
+    """codes (L,) uint8 -> (sorted planes, counts, start mask, n_unique).
+
+    suffix: optional (bits, length) static pair — only count kmers whose
+    last `length` bases encode to `bits` (the reference's count-suffix,
+    /root/reference/src/meryl/merylOp-countSimple.C:50-90)."""
+    planes, valid = _extract_filtered(codes, k, mode, suffix)
     return cnt.sort_count(planes, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mode", "suffix"))
+def _chunk_pipeline_compacted(codes, k: int, mode: str, suffix=None):
+    planes, valid = _extract_filtered(codes, k, mode, suffix)
+    return cnt.sort_count_compacted(planes, valid)
+
+
+def _count_chunk(codes, k: int, mode: str, suffix=None):
+    """Dispatch one chunk; returns an opaque device result for
+    _finish_chunk (keeps the 1-deep host/device pipeline)."""
+    if _COMPACT_DEVICE:
+        return _chunk_pipeline_compacted(codes, k, mode, suffix)
+    return _chunk_pipeline(codes, k, mode, suffix)
+
+
+def _finish_chunk(result):
+    """Device result -> host (hi, lo, counts-u64) unique triples."""
+    if _COMPACT_DEVICE:
+        uplanes, counts, n_unique = result
+        n = int(n_unique)
+        planes_np = [np.asarray(p[:n]) for p in uplanes]
+        c = np.asarray(counts[:n])
+    else:
+        splanes, counts, start, _ = result
+        start = np.asarray(start)
+        idx = np.flatnonzero(start)
+        planes_np = [np.asarray(p)[idx] for p in splanes]
+        c = np.asarray(counts)[idx]
+    hi, lo = km.hilo_from_planes(planes_np)
+    return hi, lo, c.astype(np.uint64)
 
 
 def _compact_host(splanes, counts, start, n_unique=None):
@@ -121,15 +164,15 @@ def count_to_arrays(paths, k: int, mode: str = "canonical", hpc: bool = False,
     for chunk in SequenceChunker(paths, k, chunk_len, hpc=hpc,
                                  segment=segment):
         codes = jnp.asarray(chunk)
-        result = _chunk_pipeline(codes, k, mode, suffix)  # async dispatch
+        result = _count_chunk(codes, k, mode, suffix)  # async dispatch
         if pending is not None:
-            runs.append(_compact_host(*pending[:3]))
+            runs.append(_finish_chunk(pending))
         pending = result
         nbases += len(chunk)
         if progress:
             progress(nbases)
     if pending is not None:
-        runs.append(_compact_host(*pending[:3]))
+        runs.append(_finish_chunk(pending))
     return merge_runs(runs)
 
 
@@ -250,9 +293,8 @@ def count_to_db_batched(paths, out_path: str, k: int, *,
             flush_batch(batch_idx)
             runs = []
         batch_idx = batch_idx_cur
-        splanes, counts, start, _ = _chunk_pipeline(
-            jnp.asarray(chunk), k, mode, None)
-        runs.append(_compact_host(splanes, counts, start))
+        runs.append(_finish_chunk(_count_chunk(
+            jnp.asarray(chunk), k, mode, None)))
         if progress:
             progress(nbases)
     if nchunks == 0:  # empty input
