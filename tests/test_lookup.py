@@ -252,3 +252,38 @@ def test_include_paired_files(setup, tmp_path):
     # pair 0 kept in BOTH outputs; pair 1 (all-N) dropped from both
     assert "p0" in out1 and "p0" in out2
     assert "p1" not in out1 and "p1" not in out2
+
+
+def test_bed_with_labels(setup, tmp_path):
+    """-labels: per-DB BED records with label columns, NOT deduped to
+    the first DB (dump.C:128-133)."""
+    d = setup["dict"]
+    # second db: a subset (values >= 2)
+    hi, lo, c = oracle.count_kmers([setup["qseqs"][2]], K)
+    db2 = str(tmp_path / "sub.meryl")
+    MerylDB.write(db2, K, hi, lo, c)
+    d2 = {(int(h) << 64) | int(l): int(v) for h, l, v in zip(hi, lo, c)}
+
+    out = io.StringIO()
+    g = lookup_cli.parse_args(["-bed", "-sequence", setup["qfa"],
+                               "-mers", setup["db"], db2,
+                               "-labels", "A", "B"])
+    lookup_cli.load_tables(g)
+    lookup_cli.cmd_dump(g, out)
+    lines = out.getvalue().strip().split("\n")
+    want = []
+    for i, seq in enumerate(setup["qseqs"]):
+        fv1, rv1, ok = _naive_hits(seq, d, K)
+        fv2, rv2, _ = _naive_hits(seq, d2, K)
+        found = [[o and (f or r) for f, r, o in zip(fv1, rv1, ok)],
+                 [o and (f or r) for f, r, o in zip(fv2, rv2, ok)]]
+        maxp = 0
+        for dd in range(2):
+            w = [p for p, x in enumerate(found[dd]) if x]
+            if w:
+                maxp = max(maxp, w[-1] + 1)
+        for p in range(maxp):
+            for dd, lab in enumerate("AB"):
+                if found[dd][p]:
+                    want.append(f"q{i}\t{p}\t{p + K}\t{lab}")
+    assert lines == want

@@ -216,3 +216,16 @@ def test_count_compress_hpc(tmp_path):
     want = {km.kmer_to_string((int(h) << 64) | int(l), 5): int(c)
             for h, l, c in zip(ohi, olo, oc)}
     assert got == want
+
+
+def test_select_distinct_fraction(dbs):
+    """value:>=distinct=F resolves via the DB histogram."""
+    paths, dicts = dbs
+    out = _run(["union-sum", "o:show", "select:value:>=distinct=0.999",
+                paths[0]])
+    got = _parse_show(out)
+    # threshold resolves to the max value in the db; only kmers at the
+    # top value survive
+    maxv = max(v for v, _ in dicts[0].values())
+    want = {kk for kk, (v, _) in dicts[0].items() if v >= maxv}
+    assert set(got) == want
