@@ -85,3 +85,24 @@ def test_segment_filter(tmp_path):
                          (h2, l2, c2.astype(np.uint64))])
     ohA, olA, ocA = oracle.count_kmers(seqs, 9)
     assert (merged[0] == ohA).all() and (merged[2] == ocA).all()
+
+
+def test_bam_multimember_bgzf(tmp_path):
+    """Real BGZF files are MANY concatenated gzip members; the reader
+    must span member boundaries mid-record."""
+
+    reads = [("r%d" % i,
+              "".join("ACGT"[(i + j) % 4] for j in range(60)), None)
+             for i in range(50)]
+    # take the raw BAM payload and re-gzip it in small pieces so gzip
+    # member boundaries fall mid-record
+    tmp_bam = tmp_path / "single.bam"
+    _make_bam(str(tmp_bam), reads)
+    payload = gzip.open(tmp_bam, "rb").read()
+    p = str(tmp_path / "multi.bam")
+    with open(p, "wb") as f:
+        for i in range(0, len(payload), 97):  # odd size splits records
+            f.write(gzip.compress(payload[i:i + 97]))
+    got = list(iter_bam(p))
+    assert [g[0] for g in got] == [r[0] for r in reads]
+    assert [g[1].decode() for g in got] == [r[1] for r in reads]

@@ -71,3 +71,26 @@ def test_k33_lookup(dbs):
     bulk = L.values_join([np.asarray(p) for p in planes],
                          np.ones(len(keys), bool))
     assert (bulk == vals).all()
+
+
+def test_k64_full_width(tmp_path):
+    """k=64 (full 128-bit payload, P=4): count + lookup + union-sum."""
+    k = 64
+    rng = np.random.default_rng(9)
+    seqs = ["".join(km.ALPHABET[c] for c in rng.integers(0, 4, size=800))]
+    ohi, olo, oc = oracle.count_kmers(seqs, k)
+    p = str(tmp_path / "k64.meryl")
+    MerylDB.write(p, k, ohi, olo, oc)
+    L = ExactLookup(MerylDB.open(p))
+    vals = L.values_np(ohi, olo)
+    assert (vals == oc).all()
+    node = OpNode(op="union-sum", inputs=[DBInput(p), DBInput(p)])
+    ev = BucketEvaluator(k)
+    got = {}
+    for ff in range(64):
+        hi, lo, c = ev.eval_bucket(node, ff)
+        for h, l, v in zip(hi, lo, c):
+            got[(int(h) << 64) | int(l)] = int(v)
+    want = {(int(h) << 64) | int(l): 2 * int(c)
+            for h, l, c in zip(ohi, olo, oc)}
+    assert got == want
