@@ -76,3 +76,24 @@ def test_fuzz_no_crash(seed, tmp_path, capsys):
     except SystemExit as e:
         rc = e.code
     assert rc in (0, 1)
+
+
+def test_subprocess_real_shell(tmp_path):
+    """Drive bin/meryl through a real shell with quoted brackets
+    (hermetic CPU run: drop any platform-pinning sitecustomize)."""
+    import os
+    import subprocess
+    import sys
+    fa = _fasta(tmp_path, "sp.fa", _seqs(9))
+    db = tmp_path / "sp.meryl"
+    env = dict(os.environ)
+    env["MERYL_TPU_CHUNK"] = str(1 << 12)
+    env["PYTHONPATH"] = ""          # no sitecustomize platform pins
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = (f"{sys.executable} bin/meryl k={K} count {fa} output {db} && "
+           f"{sys.executable} bin/meryl print '[greater-than' 0 '{db}]'")
+    r = subprocess.run(["bash", "-c", cmd], capture_output=True,
+                       text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = [l for l in r.stdout.strip().split("\n") if "\t" in l]
+    assert len(lines) > 0

@@ -170,3 +170,22 @@ def test_nested_tree(dbs):
     us = _naive("union-sum", dicts[:2])
     want = _naive("intersect-min", [us, dicts[2]])
     assert got == want
+
+
+def test_union_sum_six_inputs(tmp_path):
+    """Set ops with many inputs (wider than any existing test)."""
+    rng = np.random.default_rng(55)
+    paths, dicts = [], []
+    for i in range(6):
+        seqs = ["".join(km.ALPHABET[c]
+                        for c in rng.integers(0, 4, size=600))]
+        hi, lo, c = oracle.count_kmers(seqs, K)
+        p = str(tmp_path / f"s{i}.meryl")
+        MerylDB.write(p, K, hi, lo, c)
+        paths.append(p)
+        dicts.append({(int(h) << 64) | int(l): int(v)
+                      for h, l, v in zip(hi, lo, c)})
+    got = _run_op("union-sum", paths, n_inputs=6)
+    assert got == _naive("union-sum", dicts)
+    got = _run_op("intersect", paths, n_inputs=6)
+    assert got == _naive("intersect", dicts)
