@@ -90,8 +90,10 @@ def test_subprocess_real_shell(tmp_path):
     env["MERYL_TPU_CHUNK"] = str(1 << 12)
     env["PYTHONPATH"] = ""          # no sitecustomize platform pins
     env["JAX_PLATFORMS"] = "cpu"
-    cmd = (f"{sys.executable} bin/meryl k={K} count {fa} output {db} && "
-           f"{sys.executable} bin/meryl print '[greater-than' 0 '{db}]'")
+    meryl = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bin", "meryl")
+    cmd = (f"{sys.executable} {meryl} k={K} count {fa} output {db} && "
+           f"{sys.executable} {meryl} print '[greater-than' 0 '{db}]'")
     r = subprocess.run(["bash", "-c", cmd], capture_output=True,
                        text=True, timeout=600, env=env)
     assert r.returncode == 0, r.stderr[-500:]
