@@ -136,3 +136,31 @@ def test_label_of_min_value(dbs):
         assert v == minv
         want_labels = [e[1] for e in entries if e[0] == minv]
         assert l == want_labels[0]
+
+
+@pytest.mark.parametrize("rule", ["mul", "div", "divzero", "mod"])
+def test_multi_input_value_arith(dbs, rule):
+    """value=mul/div/divzero/mod over two inputs (first op rest)."""
+    paths, dicts = dbs
+    got = _run(["union", f"assign:value={rule}", "o:show",
+                paths[0], paths[1]])
+    expect_keys = set()
+    for kk in set(dicts[0]) | set(dicts[1]):
+        entries = [d[kk][0] for d in dicts if kk in d]
+        first = entries[0]
+        rest = sum(entries[1:])
+        if rule == "mul":
+            v = first
+            for x in entries[1:]:
+                v = (v * x) & 0xFFFFFFFF
+        elif rule == "div":
+            v = first // max(rest, 1)
+        elif rule == "divzero":
+            v = max(first // max(rest, 1), 1)
+        elif rule == "mod":
+            v = first % max(rest, 1)
+        if v:
+            expect_keys.add(kk)
+            assert got[kk][0] == v, (km.kmer_to_string(kk, K), rule,
+                                     got[kk][0], v)
+    assert set(got) == expect_keys
