@@ -29,11 +29,12 @@ from ..ops import multiword as mw
 U32 = jnp.uint32
 SENT = U32(0xFFFFFFFF)
 
-VALUE_ASSIGNS = ("nop", "set", "first", "atindex", "min", "max", "add",
-                 "sub", "mul", "div", "divzero", "mod", "count")
-LABEL_ASSIGNS = ("nop", "set", "first", "atindex", "min", "max", "and", "or",
-                 "xor", "difference", "lightest", "heaviest", "invert",
-                 "shift-left", "shift-right", "rotate-left", "rotate-right")
+VALUE_ASSIGNS = ("nop", "set", "first", "selected", "atindex", "min", "max",
+                 "add", "sub", "mul", "div", "divzero", "mod", "count")
+LABEL_ASSIGNS = ("nop", "set", "first", "selected", "atindex", "min", "max",
+                 "and", "or", "xor", "difference", "lightest", "heaviest",
+                 "invert", "shift-left", "shift-right", "rotate-left",
+                 "rotate-right")
 RELATIONS = ("eq", "ne", "le", "ge", "lt", "gt")
 
 
@@ -204,11 +205,75 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
     v_mul = segscan.seg_all(jnp.multiply,
                             jnp.where(present, val, U32(1)), start)
 
+    # ---- value=selected / label=selected ----
+    # The reference DOCUMENTS these as "the value of the kmer selected by
+    # the label selector" and vice versa (merylAssign.H:33,51) but its
+    # shipped compute stage falls back to _acta[0] with a literal
+    # "#warning wrong - need to figure out which input to select"
+    # (merylOpCompute.C:149-152,299-301).  We implement the documented
+    # intent: the chosen input is the first *present* input whose
+    # label (resp. value) satisfies the label- (resp. value-) restricted
+    # selector terms; with no such terms (or no passing input) the
+    # reference's first-input fallback applies.
+    N_ = N
+
+    def _rank_passes(prods, quantity, r):
+        cand_v = value_at_rank(r)
+        cand_l = label_at_rank(r)
+        any_ok = None
+        for product in prods:
+            p_ok = None
+            for t in product:
+                if quantity == "value":
+                    def q(which):
+                        kind, x = which
+                        if kind == "out":
+                            return cand_v
+                        if kind == "input":
+                            return value_at_rank(x)
+                        return jnp.full((N_,), x & 0xFFFFFFFF, U32)
+                    tm = _rel(t.rel, q(t.arg1), q(t.arg2))
+                else:
+                    def q(which):
+                        kind, x = which
+                        if kind == "out":
+                            return cand_l
+                        if kind == "input":
+                            return label_at_rank(x)
+                        return (jnp.full((N_,), x & 0xFFFFFFFF, U32),
+                                jnp.full((N_,), (x >> 32) & 0xFFFFFFFF, U32))
+                    tm = _rel64(t.rel, q(t.arg1), q(t.arg2))
+                if t.negate:
+                    tm = ~tm
+                p_ok = tm if p_ok is None else (p_ok & tm)
+            any_ok = p_ok if any_ok is None else (any_ok | p_ok)
+        return any_ok
+
+    def _selected_rank(quantity):
+        """Chosen 1-based rank per element, 0 = no input passes; None
+        when the selector has no terms of this quantity."""
+        prods = [[t for t in product if t.quantity == quantity]
+                 for product in sel.products]
+        prods = [p for p in prods if p]
+        if not prods:
+            return None
+        chosen = jnp.zeros((N_,), jnp.int32)
+        for r in range(m, 0, -1):
+            ok = _rank_passes(prods, quantity, r) & (act_len >= r)
+            chosen = jnp.where(ok, jnp.int32(r), chosen)
+        return chosen
+
     # ---- output value ----
     vc = vconst.astype(U32)
     op = vassign.op
     if op in ("nop", "first"):
         out_v = v_first
+    elif op == "selected":
+        chosen = _selected_rank("label")
+        out_v = v_first
+        if chosen is not None:
+            for r in range(1, m + 1):
+                out_v = jnp.where(chosen == r, value_at_rank(r), out_v)
     elif op == "set":
         out_v = jnp.full((N,), 0, U32) + vc
     elif op == "atindex":
@@ -263,6 +328,14 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
 
     if lop in ("nop", "first"):
         out_llo, out_lhi = l_first
+    elif lop == "selected":
+        chosen = _selected_rank("value")
+        out_llo, out_lhi = l_first
+        if chosen is not None:
+            for r in range(1, m + 1):
+                rl, rh = label_at_rank(r)
+                out_llo = jnp.where(chosen == r, rl, out_llo)
+                out_lhi = jnp.where(chosen == r, rh, out_lhi)
     elif lop == "set":
         out_llo = jnp.zeros((N,), U32) + lo_c
         out_lhi = jnp.zeros((N,), U32) + hi_c

@@ -57,13 +57,13 @@ def parse_constant(s: str) -> int:
 _VAL_OPS = {"first": "first", "min": "min", "max": "max", "add": "add",
             "sum": "add", "sub": "sub", "dif": "sub", "mul": "mul",
             "div": "div", "divzero": "divzero", "mod": "mod", "rem": "mod",
-            "count": "count", "selected": "first"}
+            "count": "count", "selected": "selected"}
 _LAB_OPS = {"first": "first", "min": "min", "max": "max", "and": "and",
             "or": "or", "xor": "xor", "difference": "difference",
             "lightest": "lightest", "heaviest": "heaviest",
             "invert": "invert", "shift-left": "shift-left",
             "shift-right": "shift-right", "rotate-left": "rotate-left",
-            "rotate-right": "rotate-right", "selected": "first"}
+            "rotate-right": "rotate-right", "selected": "selected"}
 
 
 def parse_assign(rule: str, is_label: bool) -> Assign:
