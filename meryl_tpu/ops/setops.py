@@ -151,6 +151,165 @@ def merge_op(planes, values, input_ids, op: str, m: int, threshold):
     return _merge_compute_stage(splanes, val, ids, op, m, threshold)
 
 
+# ---- multiset (per-instance) evaluation ----
+#
+# The reference's merge emits one entry per INSTANCE when any input is a
+# multiset (/root/reference/src/meryl/merylOp-nextMer.C:296-385): for
+# union-family ops it repeatedly picks the single smallest (kmer, value)
+# instance (:313-317), so the output preserves every instance sorted by
+# (kmer, value) and `union`'s value is _actLen == 1 per instance.  The
+# reference's non-union multiset handling is explicitly unfinished
+# ("THIS IS WRONG", :287; both passes skip non-multiset inputs,
+# :307-309/:355-357, making the documented wildcard path unreachable) —
+# for those ops we implement the semantics its comments describe
+# (:291-293): instances of multiset inputs are matched across inputs by
+# their per-kmer value rank, and a non-multiset input acts as a
+# wildcard present at every rank of its kmer with its single value.
+
+MS_SIMPLE_OPS = frozenset([
+    "union", "union-min", "union-max", "union-sum", "passthrough",
+]) | FILTER_OPS | MATH_OPS
+MS_MATCH_OPS = frozenset([
+    "intersect", "intersect-min", "intersect-max", "intersect-sum",
+    "subtract", "difference", "symmetric-difference",
+])
+
+
+def merge_op_multiset(planes, values, input_ids, op: str, m: int,
+                      threshold, ms_mask: tuple):
+    """merge_op for multiset inputs: one output entry per instance.
+
+    ms_mask: static tuple of m bools — which inputs are multisets.
+    Returns (sorted_planes, out_values, keep_mask); kept entries are
+    ascending by kmer (ties by value for union-family ops)."""
+    if op in MS_SIMPLE_OPS:
+        return _ms_simple_stage(planes, values, input_ids, op, m, threshold)
+    if op not in MS_MATCH_OPS:
+        raise ValueError(f"operation {op!r} not supported on multisets")
+    return _ms_match_stage(planes, values, input_ids, op, m, threshold,
+                           tuple(bool(b) for b in ms_mask))
+
+
+@functools.partial(jax.jit, static_argnames=("op", "m"))
+def _ms_simple_stage(planes, values, input_ids, op: str, m: int, threshold):
+    """Per-instance ops needing no cross-input matching: sort instances
+    by (kmer, value) — the reference's pick order — and apply the value
+    rule elementwise (every instance is its own active set of 1)."""
+    P = len(planes)
+    keys = tuple(planes[p] for p in range(P - 1, -1, -1)) + (values,)
+    ops_ = jax.lax.sort(keys + (input_ids,), num_keys=P + 1, is_stable=True)
+    splanes = [ops_[P - 1 - p] for p in range(P)]
+    val = ops_[P]
+    present = val > U32(0)
+    ones = jnp.where(present, 1, 0).astype(jnp.int32)
+    out = _apply_value_rule(op, m, ones, val, jnp.zeros_like(ones),
+                            val, val, val, threshold)
+    keep = present & (out > U32(0))
+    return splanes, out.astype(U32), keep
+
+
+@functools.partial(jax.jit, static_argnames=("op", "m", "ms_mask"))
+def _ms_match_stage(planes, values, input_ids, op: str, m: int,
+                    threshold, ms_mask: tuple):
+    from . import segscan
+
+    P = len(planes)
+    L = values.shape[0]
+
+    # sort 1: (kmer, input, value) -> per-(kmer, input) instance rank
+    # (value IS a key: instances rank by ascending value within input)
+    keys1 = tuple(planes[p] for p in range(P - 1, -1, -1)) + (input_ids,)
+    ops1 = jax.lax.sort(keys1 + (values,), num_keys=P + 2, is_stable=True)
+    s1 = [ops1[P - 1 - p] for p in range(P)]
+    ids1, val1 = ops1[P], ops1[P + 1]
+    kstart1 = _run_starts(s1)
+    idneq = ids1 != jnp.concatenate(
+        [jnp.full((1,), -1, ids1.dtype), ids1[:-1]])
+    gstart1 = kstart1 | idneq
+    ones = jnp.ones((L,), jnp.int32)
+    rank = segscan.seg_scan(jnp.add, ones, gstart1) - 1
+
+    # sort 2: (kmer, rank, input) -> contiguous (kmer, rank) groups
+    keys2 = tuple(s1[p] for p in range(P - 1, -1, -1)) + \
+        (rank.astype(U32), ids1)
+    ops2 = jax.lax.sort(keys2 + (val1,), num_keys=P + 2, is_stable=True)
+    s2 = [ops2[P - 1 - p] for p in range(P)]
+    rank2, ids2, val2 = ops2[P].astype(jnp.int32), ops2[P + 1], ops2[P + 2]
+    kstart = _run_starts(s2)
+    rneq = rank2 != jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), rank2[:-1]])
+    gstart = kstart | rneq
+
+    present = val2 > U32(0)
+    ms_any = jnp.zeros((L,), bool)
+    for i in range(m):
+        if ms_mask[i]:
+            ms_any = ms_any | (ids2 == i)
+    pm = present & ms_any    # multiset instances: act at (kmer, rank)
+    pn = present & ~ms_any   # non-multiset: wildcard at kmer level
+
+    # group-level reductions over multiset entries
+    ones_m = jnp.where(pm, 1, 0).astype(jnp.int32)
+    g_act, g_sum = segscan.seg_sum_all(
+        (ones_m, jnp.where(pm, val2, U32(0))), gstart)
+    prefix_m = jnp.cumsum(ones_m) - ones_m
+    g_min, g_fidx, g_rbase = segscan.seg_min_all(
+        (jnp.where(pm, val2, SENT), jnp.where(pm, ids2, BIG_ID),
+         jnp.where(pm, prefix_m, BIG_ID)), gstart)
+    gfirst_mask = pm & (prefix_m == g_rbase)
+    g_max, g_first = segscan.seg_max_all(
+        (jnp.where(pm, val2, U32(0)),
+         jnp.where(gfirst_mask, val2, U32(0))), gstart)
+
+    # kmer-level reductions over non-multiset (wildcard) entries
+    ones_n = jnp.where(pn, 1, 0).astype(jnp.int32)
+    k_act, k_sum = segscan.seg_sum_all(
+        (ones_n, jnp.where(pn, val2, U32(0))), kstart)
+    prefix_n = jnp.cumsum(ones_n) - ones_n
+    k_min, k_fidx, k_rbase = segscan.seg_min_all(
+        (jnp.where(pn, val2, SENT), jnp.where(pn, ids2, BIG_ID),
+         jnp.where(pn, prefix_n, BIG_ID)), kstart)
+    kfirst_mask = pn & (prefix_n == k_rbase)
+    k_max, k_first = segscan.seg_max_all(
+        (jnp.where(pn, val2, U32(0)),
+         jnp.where(kfirst_mask, val2, U32(0))), kstart)
+
+    # combined active set per (kmer, rank) group
+    act_len = g_act + k_act
+    v_sum = g_sum + k_sum
+    v_min = jnp.minimum(g_min, k_min)
+    v_max = jnp.maximum(g_max, k_max)
+    first_idx = jnp.minimum(g_fidx, k_fidx)
+    v_first = jnp.where(k_fidx < g_fidx, k_first, g_first)
+
+    # per-kmer distinct-input presence (difference / symmetric-difference)
+    pres_others = jnp.zeros((L,), jnp.int32)
+    distinct = jnp.zeros((L,), jnp.int32)
+    for i in range(m):
+        pres_i = segscan.seg_max_all(
+            jnp.where(present & (ids2 == i), 1, 0).astype(jnp.int32), kstart)
+        distinct = distinct + pres_i
+        if i > 0:
+            pres_others = pres_others + pres_i
+
+    zero = jnp.zeros((L,), U32)
+    if op.startswith("intersect"):
+        base = {"intersect": v_first, "intersect-min": v_min,
+                "intersect-max": v_max, "intersect-sum": v_sum}[op]
+        out = jnp.where(act_len == m, base, zero)
+    elif op == "subtract":
+        rest = v_sum - v_first
+        ok = (first_idx == 0) & (v_first > rest)
+        out = jnp.where(ok, v_first - rest, zero)
+    elif op == "difference":
+        out = jnp.where((first_idx == 0) & (pres_others == 0), v_first, zero)
+    else:  # symmetric-difference
+        out = jnp.where(distinct == 1, v_first, zero)
+
+    keep = gstart & (act_len > 0) & (out > U32(0))
+    return s2, out.astype(U32), keep
+
+
 @functools.partial(jax.jit, static_argnames=("op", "m"))
 def _merge_compute_stage(splanes, val, ids, op: str, m: int, threshold):
     from . import segscan

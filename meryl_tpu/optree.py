@@ -83,6 +83,24 @@ class OpNode:
                 out.write("  " * (depth + 1) + f"input: {inp.path}\n")
 
 
+def input_multiset(inp) -> bool:
+    """Whether an input yields multiset (per-instance) entries."""
+    if isinstance(inp, DBInput):
+        return inp.open().multiset
+    if isinstance(inp, OpNode):
+        return node_output_multiset(inp)
+    return False
+
+
+def node_output_multiset(node: OpNode) -> bool:
+    """A merge node's output is a multiset iff any input is (the
+    per-instance merge of merylOp-nextMer.C:296-385 never collapses
+    instances); counting always produces a plain set."""
+    if node.op in COUNT_OPS:
+        return False
+    return any(input_multiset(i) for i in node.inputs)
+
+
 def _node_k(node: OpNode, k: int | None) -> int:
     """Resolve k from the global option or the first DB input."""
     if k:
@@ -142,15 +160,36 @@ class BucketEvaluator:
 
     def eval_bucket(self, node: OpNode, ff: int):
         """-> (hi, lo, counts) for 6-bit prefix bucket ff."""
+        return self.eval_buckets(node, (ff,))
+
+    @staticmethod
+    def _concat_buckets(runs):
+        if len(runs) == 1:
+            return runs[0]
+        return tuple(np.concatenate([r[i] for r in runs])
+                     for i in range(3))
+
+    def eval_buckets(self, node: OpNode, ffs):
+        """-> (hi, lo, counts) for a GROUP of ascending 6-bit prefix
+        buckets, evaluated in one device dispatch.
+
+        Buckets are disjoint ascending kmer ranges, so concatenating
+        them keeps every run intact and the sorted result is still
+        globally ordered — one padded kernel call replaces len(ffs)
+        serial round trips (the reference's 64 cloned trees under
+        OpenMP never pay this latency because its merge is in-process;
+        a device pipeline does, so we batch)."""
         if node.op in COUNT_OPS:
             raise RuntimeError("counting nodes must be materialized first")
 
         ins = []
         for inp in node.inputs:
             if isinstance(inp, DBInput):
-                ins.append(inp.open().load_bucket(ff))
+                db = inp.open()
+                ins.append(self._concat_buckets(
+                    [db.load_bucket(ff) for ff in ffs]))
             elif isinstance(inp, OpNode):
-                ins.append(self.eval_bucket(inp, ff))
+                ins.append(self.eval_buckets(inp, ffs))
             else:
                 raise RuntimeError(f"unexpected input {inp} in merge phase")
 
@@ -180,31 +219,88 @@ class BucketEvaluator:
         ids[pos:] = m  # padding id beyond any real input
 
         thr = np.uint32(node.threshold or 0)
-        splanes, out_vals, keep = setops.merge_op(
-            [jnp.asarray(p) for p in planes], jnp.asarray(values),
-            jnp.asarray(ids), node.op, m, jnp.asarray(thr))
+        ms_flags = tuple(input_multiset(i) for i in node.inputs)
+        if any(ms_flags):
+            splanes, out_vals, keep = setops.merge_op_multiset(
+                [jnp.asarray(p) for p in planes], jnp.asarray(values),
+                jnp.asarray(ids), node.op, m, jnp.asarray(thr), ms_flags)
+        else:
+            splanes, out_vals, keep = setops.merge_op(
+                [jnp.asarray(p) for p in planes], jnp.asarray(values),
+                jnp.asarray(ids), node.op, m, jnp.asarray(thr))
         keep = np.asarray(keep)
         idx = np.flatnonzero(keep)
         hi, lo = km.hilo_from_planes([np.asarray(p)[idx] for p in splanes])
         return hi, lo, np.asarray(out_vals)[idx]
 
 
+def _bucket_entry_estimates(node: OpNode) -> np.ndarray:
+    """Per-bucket input entry estimates from leaf DB file sizes."""
+    from .db import bucket_name
+    est = np.zeros(NUM_FILES, np.int64)
+
+    def walk(n):
+        for inp in n.inputs:
+            if isinstance(inp, DBInput):
+                db = inp.open()
+                for ff in range(NUM_FILES):
+                    try:
+                        sz = os.path.getsize(
+                            os.path.join(db.path, bucket_name(ff)))
+                    except OSError:
+                        sz = 0
+                    est[ff] += max(0, sz - 24) // 20
+            elif isinstance(inp, OpNode):
+                walk(inp)
+
+    walk(node)
+    return est
+
+
+def bucket_groups(node: OpNode, target: int | None = None) -> list:
+    """Pack the 64 buckets into dispatch groups of ~target input
+    entries each (one padded device call per group instead of 64
+    serial round trips — latency batching for the merge phase)."""
+    if target is None:
+        target = int(os.environ.get("MERYL_TPU_SETOP_BATCH", 1 << 20))
+    est = _bucket_entry_estimates(node)
+    groups, cur, acc = [], [], 0
+    for ff in range(NUM_FILES):
+        cur.append(ff)
+        acc += int(est[ff])
+        if acc >= target:
+            groups.append(tuple(cur))
+            cur, acc = [], 0
+    if cur:
+        groups.append(tuple(cur))
+    return groups
+
+
 def execute_root(node: OpNode, k: int, *, out=None, verbose: int = 0):
-    """Run the merge phase for one root: per-bucket eval, printing and
-    DB output as we go.  Returns the written MerylDB (or None)."""
+    """Run the merge phase for one root: bucket-group eval, printing
+    and DB output as we go.  Returns the written MerylDB (or None)."""
     ev = BucketEvaluator(k)
     writer = None
     if node.output_path:
-        writer = MerylDBWriter(node.output_path, k)
+        writer = MerylDBWriter(node.output_path, k,
+                               multiset=node_output_multiset(node))
     pf = None
     if node.print_path is not None:
         pf = sys.stdout if node.print_path == "-" else open(node.print_path, "w")
     try:
         from .reports import print_kmers
-        for ff in range(NUM_FILES):
-            hi, lo, counts = ev.eval_bucket(node, ff)
+        for group in bucket_groups(node):
+            hi, lo, counts = ev.eval_buckets(node, group)
             if writer is not None:
-                writer.add_bucket(ff, hi, lo, counts)
+                if len(group) == 1:
+                    writer.add_bucket(group[0], hi, lo, counts)
+                else:
+                    pref = km.prefix6_from_hilo(hi, lo, k)
+                    for ff in group:
+                        s = np.searchsorted(pref, ff, "left")
+                        e = np.searchsorted(pref, ff, "right")
+                        writer.add_bucket(ff, hi[s:e], lo[s:e],
+                                          counts[s:e])
             if pf is not None and len(counts):
                 print_kmers(hi, lo, counts, k, out=pf,
                             acgt_order=node.print_acgt)
