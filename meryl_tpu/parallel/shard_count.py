@@ -9,23 +9,36 @@ fused SPMD step over a device mesh:
      of the base stream (data parallelism over input),
   2. sorts + run-length-counts locally (dedup before the wire),
   3. shuffles unique (kmer, count) pairs to their *owner* device with an
-     ICI all-to-all keyed on the kmer's 6-bit prefix — the same 64-way
-     partition the reference uses for its DB files
-     (documentation/source/reference.rst:71-81), so device d owns
-     prefixes [d*64/n, (d+1)*64/n),
-  4. merges the received sorted runs (sort + segment-sum), and
-  5. psums the per-device value histograms so every chip ends with the
-     global histogram.
+     ICI all-to-all keyed on the kmer's top prefix bits — a widened
+     version of the reference's 6-bit DB partition
+     (documentation/source/reference.rst:71-81): ownership uses
+     `prefix_bits` >= 6 bits so meshes larger than 64 devices map, while
+     the on-disk 64-file layout stays at the edges, and
+  4. merges the received sorted runs (sort + segment-sum).
 
 Because local kmers are already sorted and the owner id is the top bits
-of the kmer, step 3's send buffer is built with one scatter — kmers are
+of the kmer, step 3's send buffer is built with gathers — kmers are
 already grouped by destination.
+
+Capacity model: the all-to-all carries `pair_cap` slots per
+(source, destination) pair.  Ownership boundaries are mass-balanced for
+canonical kmers, so the expected per-pair load is ~uniques/n; the step
+counts kmers that exceed pair_cap and the driver raises (no silent
+drops).  When a device's accumulated unique set approaches `acc_cap`,
+the accumulator is spilled to host RAM as a sorted run and reset (the
+reference's out-of-core batch dump, merylOp-countThreads.C:311-380);
+finalize() merges the spilled runs per owner.  The exact value
+histogram is computed from the final merged counts — never from
+per-step partials, which would reflect intermediate multiplicities.
 """
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..kmer import num_planes
@@ -36,18 +49,35 @@ U32 = jnp.uint32
 SENT = U32(0xFFFFFFFF)
 
 
-def _prefix6(planes, k: int):
-    """Top 6 bits of each 2k-bit kmer from its uint32 planes."""
-    P_ = len(planes)
-    top_bit = 2 * k - 1                 # index of the kmer's MSB
-    top_plane = top_bit // 32
-    used = 2 * k - 32 * top_plane       # bits used in the top plane (1..32)
-    if used >= 6:
-        return (planes[top_plane] >> U32(used - 6)) & U32(63)
-    # top plane holds < 6 bits: combine with the next plane down
-    hi = planes[top_plane] & ((U32(1) << U32(used)) - U32(1))
-    lo = planes[top_plane - 1] >> U32(32 - (6 - used))
-    return ((hi << U32(6 - used)) | lo) & U32(63)
+def default_prefix_bits(n: int, k: int) -> int:
+    """Ownership prefix width: >= log2(n) (so every device owns at
+    least one prefix) plus headroom for mass balancing, capped by the
+    kmer width."""
+    need = max(6, (n - 1).bit_length() + 2 if n > 1 else 6)
+    cap = min(16, 2 * k)
+    bits = min(need, cap)
+    if n > (1 << bits):
+        raise ValueError(f"{n} devices need > {bits} ownership prefix "
+                         f"bits (k={k} allows at most {cap})")
+    return bits
+
+
+def _prefix_top_bits(planes, k: int, bits: int):
+    """Top `bits` bits of each 2k-bit kmer from its uint32 planes
+    (bits <= 16, so the result fits one uint32)."""
+    shift = 2 * k - bits
+    out = jnp.zeros_like(planes[0])
+    for p, pl in enumerate(planes):
+        lo_bit = 32 * p
+        if lo_bit + 32 <= shift:
+            continue
+        sh = shift - lo_bit
+        if sh >= 0:
+            if sh < 32:
+                out = out | (pl >> U32(sh))
+        else:
+            out = out | (pl << U32(-sh))
+    return out & U32((1 << bits) - 1)
 
 
 def _exclusive_cumsum(x):
@@ -55,8 +85,8 @@ def _exclusive_cumsum(x):
     return c - x
 
 
-def owner_boundaries(n: int, mode: str) -> list:
-    """Static 6-bit-prefix boundaries assigning prefixes to n owner
+def owner_boundaries(n: int, mode: str, nprefix: int = 64) -> list:
+    """Static prefix boundaries assigning `nprefix` prefixes to n owner
     devices with near-equal *expected canonical mass*.
 
     Canonical kmers are min(fmer, rmer) of two ~uniform values, so their
@@ -66,20 +96,22 @@ def owner_boundaries(n: int, mode: str) -> list:
     all-to-all needs balanced capacities).  Equal-mass boundaries solve
     1-(1-x)^2 = i/n  =>  x_i = 1 - sqrt(1 - i/n).
     """
-    import math
+    if n > nprefix:
+        raise ValueError(f"{n} devices > {nprefix} ownership prefixes")
     if mode != "canonical":
-        bounds = [round(64 * i / n) for i in range(n + 1)]
+        bounds = [round(nprefix * i / n) for i in range(n + 1)]
     else:
-        bounds = [round(64 * (1.0 - math.sqrt(1.0 - i / n))) for i in range(n + 1)]
-        bounds[n] = 64
-    # force strictly increasing (n <= 64 guaranteed by caller)
+        bounds = [round(nprefix * (1.0 - math.sqrt(1.0 - i / n)))
+                  for i in range(n + 1)]
+        bounds[n] = nprefix
+    # force strictly increasing (n <= nprefix guaranteed above)
     for i in range(1, n + 1):
         if bounds[i] <= bounds[i - 1]:
             bounds[i] = bounds[i - 1] + 1
     for i in range(n - 1, -1, -1):
         if bounds[i] >= bounds[i + 1]:
             bounds[i] = bounds[i + 1] - 1
-    assert bounds[0] == 0 and bounds[-1] == 64
+    assert bounds[0] == 0 and bounds[-1] == nprefix
     return bounds
 
 
@@ -93,25 +125,28 @@ def _owner_from_prefix(prefix, bounds) -> jnp.ndarray:
 
 def make_sharded_count_step(mesh: Mesh, k: int, *, chunk_len: int,
                             mode: str = "canonical",
-                            send_cap: int | None = None,
-                            hist_bins: int = 1024):
+                            pair_cap: int | None = None,
+                            prefix_bits: int | None = None):
     """Build the jitted SPMD counting step over `mesh` (axis 'd').
 
     Returns fn(codes) where codes is (n_dev * chunk_len,) uint8 sharded
     over 'd'.  Output per device (stacked on axis 0 in the global view):
-      planes:  P arrays (n_dev, cap) uint32 — unique kmers owned by that
-               device, ascending, sentinel-padded
-      counts:  (n_dev, cap) uint32
-      hist:    (hist_bins,) int64-ish histogram, replicated (psum'd)
+      planes:    P arrays (n_dev, n_dev*pair_cap) uint32 — unique kmers
+                 owned by that device, ascending, sentinel-padded
+      counts:    (n_dev, n_dev*pair_cap) uint32
+      n_unique:  (n_dev,) int32 — real entries per device
+      overflow:  () int32 — total kmers dropped because a
+                 (source, destination) pair exceeded pair_cap; any
+                 nonzero value means the step's output is incomplete
+                 and the caller must retry with a larger pair_cap
     """
     n = mesh.devices.size
-    if n > 64:
-        raise ValueError("more than 64 devices needs a wider ownership prefix")
     nplanes = num_planes(k)
-    local_cap = chunk_len  # worst case: every window unique
-    cap = send_cap if send_cap is not None else local_cap
-    out_cap = n * cap      # worst case: one device owns everything
-    bounds = owner_boundaries(n, mode)
+    bits = prefix_bits if prefix_bits is not None else \
+        default_prefix_bits(n, k)
+    cap = pair_cap if pair_cap is not None else chunk_len
+    out_cap = n * cap
+    bounds = owner_boundaries(n, mode, 1 << bits)
 
     def step(codes):  # per-device view: (chunk_len,)
         codes = codes.reshape(chunk_len)
@@ -123,11 +158,12 @@ def make_sharded_count_step(mesh: Mesh, k: int, *, chunk_len: int,
         # slot (o, j) of the send buffer takes the j-th kmer of owner
         # group o, i.e. source index group_start[o] + j
         is_real = ccounts > U32(0)
-        owner = _owner_from_prefix(_prefix6(cplanes, k).astype(jnp.int32),
-                                   bounds)
+        owner = _owner_from_prefix(
+            _prefix_top_bits(cplanes, k, bits).astype(jnp.int32), bounds)
         owner_oh = (owner[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None])
         owner_ct = jnp.sum(owner_oh & is_real[None, :], axis=1)
         group_start = _exclusive_cumsum(owner_ct)
+        dropped = jnp.sum(jnp.maximum(owner_ct - jnp.int32(cap), 0))
 
         j = jax.lax.broadcasted_iota(jnp.int32, (n, cap), 1)
         o = jax.lax.broadcasted_iota(jnp.int32, (n, cap), 0)
@@ -144,36 +180,38 @@ def make_sharded_count_step(mesh: Mesh, k: int, *, chunk_len: int,
 
         # ICI all-to-all: chunk i of the send buffer goes to device i
         recv_planes = [
-            jax.lax.all_to_all(p, "d", split_axis=0, concat_axis=0, tiled=True)
+            jax.lax.all_to_all(p, "d", split_axis=0, concat_axis=0,
+                               tiled=True)
             for p in send_planes
         ]
         recv_counts = jax.lax.all_to_all(send_counts, "d",
-                                         split_axis=0, concat_axis=0, tiled=True)
+                                         split_axis=0, concat_axis=0,
+                                         tiled=True)
 
         # merge the n sorted runs we received (compacted output)
-        oplanes, ocounts, _ = cnt.merge_counted(
+        oplanes, ocounts, n_unique = cnt.merge_counted(
             [p[:0] for p in recv_planes], recv_counts[:0],  # empty "a" side
             recv_planes, recv_counts)
 
-        hist = cnt.value_histogram(ocounts, hist_bins)
-        hist = jax.lax.psum(hist, "d")
+        overflow = jax.lax.psum(dropped, "d")
 
         return (tuple(p.reshape(1, out_cap) for p in oplanes),
-                ocounts.reshape(1, out_cap), hist)
+                ocounts.reshape(1, out_cap), n_unique.reshape(1), overflow)
 
     fn = jax.shard_map(
         step, mesh=mesh,
         in_specs=P("d"),
         out_specs=(tuple(P("d", None) for _ in range(nplanes)),
-                   P("d", None), P()),
+                   P("d", None), P("d"), P()),
         check_vma=False)
     return jax.jit(fn)
 
 
 def make_sharded_merge(mesh: Mesh, nplanes: int, acc_cap: int):
     """Per-device merge of two sharded unique/count accumulations,
-    truncated to the fixed accumulator capacity `acc_cap` (overflow is
-    detected by the caller via the returned n_unique)."""
+    truncated to the fixed accumulator capacity `acc_cap`.  The returned
+    n_unique is the PRE-truncation run count: n_unique > acc_cap means
+    entries were lost and the caller must spill more aggressively."""
     def merge(acc_planes, acc_counts, new_planes, new_counts):
         a = [p.reshape(p.shape[-1]) for p in acc_planes]
         b = [p.reshape(p.shape[-1]) for p in new_planes]
@@ -199,70 +237,123 @@ class ShardedCounter:
     """End-to-end multi-chip counting: feed (n_dev * chunk_len) base
     codes per step; every step counts, shuffles kmers to owner devices
     over ICI, and merges into each device's accumulated unique set.
-    finalize() returns globally sorted (hi, lo, counts) — owner prefix
-    ranges ascend with device id, so per-device results concatenate in
-    order.
+    When an accumulator nears `acc_cap` it spills to host RAM (the
+    reference's out-of-core batch dump, P5) and resets.  finalize()
+    merges spills + accumulators per owner and returns globally sorted
+    (hi, lo, counts) — owner prefix ranges ascend with device id, so
+    per-device results concatenate in order.
 
     This replaces the reference's external count-shards-then-union-sum
     pattern (SURVEY.md P6) with one fused SPMD pass."""
 
     def __init__(self, mesh: Mesh, k: int, *, chunk_len: int,
-                 mode: str = "canonical", send_cap: int | None = None,
-                 acc_cap: int | None = None, hist_bins: int = 1024):
+                 mode: str = "canonical", pair_cap: int | None = None,
+                 acc_cap: int | None = None,
+                 prefix_bits: int | None = None,
+                 send_cap: int | None = None):
         self.mesh = mesh
         self.k = k
         self.n = mesh.devices.size
         self.chunk_len = chunk_len
         self.nplanes = num_planes(k)
+        if pair_cap is None:
+            pair_cap = send_cap  # back-compat alias
+        if pair_cap is None:
+            if self.n <= 4:
+                pair_cap = chunk_len  # worst case, always safe
+            else:
+                # mass-balanced boundaries make the expected per-pair
+                # load ~chunk_len/n; 4x headroom for composition skew
+                pair_cap = min(chunk_len,
+                               max(4096, -(-4 * chunk_len // self.n)))
+        self.pair_cap = int(pair_cap)
         self._step = make_sharded_count_step(
-            mesh, k, chunk_len=chunk_len, mode=mode, send_cap=send_cap,
-            hist_bins=hist_bins)
-        cap = send_cap if send_cap is not None else chunk_len
-        # HBM budget for each device's accumulated unique set
-        self.acc_cap = acc_cap if acc_cap is not None else 4 * self.n * cap
+            mesh, k, chunk_len=chunk_len, mode=mode,
+            pair_cap=self.pair_cap, prefix_bits=prefix_bits)
+        step_max = self.n * self.pair_cap  # per-device per-step maximum
+        self.acc_cap = acc_cap if acc_cap is not None else 4 * step_max
         self._merge = make_sharded_merge(mesh, self.nplanes, self.acc_cap)
         self._acc = None
-        self._hist = None
+        self._acc_n = 0            # max per-device uniques in _acc
+        self._spills = [[] for _ in range(self.n)]  # host (hi, lo, c) runs
+
+    def _fresh_acc(self):
+        zc = jnp.zeros((self.n, self.acc_cap), jnp.uint32)
+        zp = tuple(jnp.full((self.n, self.acc_cap), 0xFFFFFFFF,
+                            jnp.uint32) for _ in range(self.nplanes))
+        return (zp, zc)
+
+    def _download_acc(self):
+        """Per-device (hi, lo, counts) host runs from the accumulator."""
+        from .. import kmer as km
+        planes, counts = self._acc
+        counts = np.asarray(counts)
+        planes = [np.asarray(p) for p in planes]
+        runs = []
+        for d in range(self.n):
+            c = counts[d]
+            keep = c > 0
+            hi, lo = km.hilo_from_planes([p[d][keep] for p in planes])
+            runs.append((hi, lo, c[keep].astype(np.uint64)))
+        return runs
+
+    def spill(self) -> None:
+        """Download every device's accumulated run to host RAM and
+        reset the accumulators (out-of-core batch dump)."""
+        if self._acc is None or self._acc_n == 0:
+            return
+        for d, run in enumerate(self._download_acc()):
+            if len(run[2]):
+                self._spills[d].append(run)
+        self._acc = None
+        self._acc_n = 0
 
     def add_codes(self, codes) -> None:
         """codes: (n_dev * chunk_len,) uint8; device d's shard is an
         independent sequence window (callers insert separators)."""
-        import numpy as np
-        planes, counts, hist = self._step(codes)
+        planes, counts, step_n, overflow = self._step(codes)
+        if int(np.asarray(overflow)) > 0:
+            raise RuntimeError(
+                f"ShardedCounter all-to-all overflow: "
+                f"{int(np.asarray(overflow))} kmers exceeded pair_cap="
+                f"{self.pair_cap}; raise pair_cap")
+        step_max = int(np.max(np.asarray(step_n)))
+        if self._acc is not None and self._acc_n + step_max > self.acc_cap:
+            self.spill()  # make room before merging (no truncation)
         if self._acc is None:
-            zc = jnp.zeros((self.n, self.acc_cap), jnp.uint32)
-            zp = tuple(jnp.full((self.n, self.acc_cap), 0xFFFFFFFF,
-                                jnp.uint32) for _ in range(self.nplanes))
-            self._acc = (zp, zc)
-            self._hist = jnp.zeros_like(hist)
+            self._acc = self._fresh_acc()
         ap, ac, n_unique = self._merge(self._acc[0], self._acc[1],
                                        planes, counts)
-        if int(np.max(np.asarray(n_unique))) >= self.acc_cap:
+        nmax = int(np.max(np.asarray(n_unique)))
+        if nmax > self.acc_cap:
             raise RuntimeError(
-                f"ShardedCounter accumulator overflow (acc_cap="
-                f"{self.acc_cap}); raise acc_cap or spill more often")
+                f"ShardedCounter accumulator overflow: one step produced "
+                f"{nmax} uniques > acc_cap={self.acc_cap}; raise acc_cap")
         self._acc = (ap, ac)
-        self._hist = self._hist + hist
+        self._acc_n = nmax
 
     def finalize(self):
-        """-> (hi, lo, counts) numpy arrays, globally sorted unique.
-        (The accumulated histogram reflects per-step counts, not the
-        final merged multiplicities; recompute from counts if needed.)"""
-        import numpy as np
-        from .. import kmer as km
-        if self._acc is None:
-            z = np.zeros(0, np.uint64)
-            return z, z.copy(), np.zeros(0, np.uint32)
-        planes, counts = self._acc
+        """-> (hi, lo, counts) numpy arrays, globally sorted unique;
+        spilled runs and the live accumulator are union-sum merged per
+        owner device.  Value histogram/statistics should be computed
+        from these final counts (e.g. by MerylDB.write), never from
+        per-step partials."""
+        from ..counter import merge_runs
+        acc_runs = None
+        if self._acc is not None and self._acc_n > 0:
+            acc_runs = self._download_acc()
         his, los, cs = [], [], []
         for d in range(self.n):
-            c = np.asarray(counts[d])
-            keep = c > 0
-            hi, lo = km.hilo_from_planes(
-                [np.asarray(p[d])[keep] for p in planes])
+            runs = list(self._spills[d])
+            if acc_runs is not None:
+                runs.append(acc_runs[d])
+            hi, lo, c = merge_runs(runs)
             his.append(hi)
             los.append(lo)
-            cs.append(c[keep])
+            cs.append(c)
+        if not his:
+            z = np.zeros(0, np.uint64)
+            return z, z.copy(), np.zeros(0, np.uint32)
         return (np.concatenate(his), np.concatenate(los),
                 np.concatenate(cs).astype(np.uint32))
 

@@ -55,6 +55,8 @@ def test_sharded_counter_with_separators():
 
 
 def test_sharded_counter_overflow_detection():
+    """A single step larger than acc_cap cannot spill its way out and
+    must fail loudly (spilling only helps across steps)."""
     import pytest
     n_dev, chunk, k = 2, 256, 13
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
@@ -63,3 +65,55 @@ def test_sharded_counter_overflow_detection():
     codes = rng.integers(0, 4, size=n_dev * chunk).astype(np.uint8)
     with pytest.raises(RuntimeError, match="overflow"):
         sc.add_codes(codes)
+
+
+def test_sharded_counter_spill_and_histogram():
+    """Total uniques exceed acc_cap across steps: the accumulator must
+    spill to host runs (reference P5 batch dump) and finalize() must
+    union-sum them; the histogram computed from final counts must equal
+    the oracle's (VERDICT r1 item 3)."""
+    n_dev, chunk, k, steps = 4, 256, 13, 5
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
+    sc = ShardedCounter(mesh, k, chunk_len=chunk, acc_cap=512)
+    rng = np.random.default_rng(77)
+    seqs = []
+    for _ in range(steps):
+        codes = rng.integers(0, 4, size=n_dev * chunk).astype(np.uint8)
+        for d in range(n_dev):
+            s = codes[d * chunk:(d + 1) * chunk]
+            seqs.append("".join(km.ALPHABET[c] for c in s))
+        sc.add_codes(codes)
+    assert any(len(s) for s in sc._spills), "spill path not exercised"
+    hi, lo, counts = sc.finalize()
+    got = {(int(h) << 64) | int(l): int(c)
+           for h, l, c in zip(hi, lo, counts)}
+    ohi, olo, oc = oracle.count_kmers(seqs, k)
+    want = {(int(h) << 64) | int(l): int(c)
+            for h, l, c in zip(ohi, olo, oc)}
+    assert got == want
+    # exact histogram from final merged counts
+    gv, go = np.unique(counts, return_counts=True)
+    wv, wo = np.unique(oc, return_counts=True)
+    assert gv.tolist() == wv.tolist()
+    assert go.tolist() == wo.tolist()
+
+
+def test_sharded_counter_wide_mesh_small_paircap():
+    """8 devices with a reduced pair_cap and widened prefix: results
+    must still match the oracle exactly."""
+    n_dev, chunk, k = 8, 512, 15
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
+    sc = ShardedCounter(mesh, k, chunk_len=chunk, pair_cap=256,
+                        prefix_bits=9)
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, size=n_dev * chunk).astype(np.uint8)
+    seqs = ["".join(km.ALPHABET[c] for c in codes[d * chunk:(d + 1) * chunk])
+            for d in range(n_dev)]
+    sc.add_codes(codes)
+    hi, lo, counts = sc.finalize()
+    got = {(int(h) << 64) | int(l): int(c)
+           for h, l, c in zip(hi, lo, counts)}
+    ohi, olo, oc = oracle.count_kmers(seqs, k)
+    want = {(int(h) << 64) | int(l): int(c)
+            for h, l, c in zip(ohi, olo, oc)}
+    assert got == want
