@@ -386,7 +386,8 @@ def run(b: CommandBuilder) -> int:
                     sys.stderr.flush()
             count_to_db(paths, node.output_path, b.k, mode=mode,
                         hpc=b.compress, count_suffix=node.count_suffix,
-                        segment=node.segment, progress=progress)
+                        segment=node.segment, memory_gb=b.memory_gb,
+                        progress=progress)
             if b.progress:
                 sys.stderr.write("\n")
 

@@ -26,9 +26,11 @@ from .ops import extract as ext
 
 import os as _os
 
-# bases per device chunk; overridable for small runs / tests where XLA
-# compile time on a fresh signature dominates
-DEFAULT_CHUNK = int(_os.environ.get("MERYL_TPU_CHUNK", 1 << 22))
+def default_chunk() -> int:
+    """Bases per device chunk (env MERYL_TPU_CHUNK, read at call time
+    so tests/dryruns can shrink it); sort cost is superlinear in chunk
+    size — see docs/tpu-design.md."""
+    return int(_os.environ.get("MERYL_TPU_CHUNK", 1 << 22))
 
 
 _USE_PALLAS = bool(_os.environ.get("MERYL_TPU_PALLAS"))
@@ -145,12 +147,74 @@ def merge_runs(runs):
     return hi[starts], lo[starts], counts
 
 
+def _use_sharded(count_suffix) -> bool:
+    """Whether counting should run the multi-chip SPMD path.
+
+    Auto-on for real multi-device backends (the product analog of the
+    reference's external count-shards-then-union-sum,
+    merylCommandBuilder.C:313-315); MERYL_TPU_SHARDED=1/0 forces it on
+    or off (tests use 1 on the virtual CPU mesh).  count-suffix
+    filtering is not fused into the SPMD step and falls back."""
+    if count_suffix is not None:
+        return False
+    env = _os.environ.get("MERYL_TPU_SHARDED", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    import jax
+    return jax.device_count() > 1 and jax.default_backend() != "cpu"
+
+
+def count_to_arrays_sharded(paths, k: int, mode: str = "canonical",
+                            hpc: bool = False,
+                            chunk_len: int | None = None, progress=None,
+                            segment=None, mesh=None, **shard_kw):
+    """Multi-chip counting: feed n_devices chunker chunks per SPMD step
+    (each chunk is a self-contained window with its own k-1 halo, so
+    consecutive chunks can go to different devices); short final groups
+    are padded with separator-filled shards."""
+    import jax
+    from jax.sharding import Mesh
+    from .io.sequence import SEP
+    from .parallel.shard_count import ShardedCounter
+
+    chunk_len = chunk_len or default_chunk()
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("d",))
+    n = mesh.devices.size
+    sc = ShardedCounter(mesh, k, chunk_len=chunk_len, mode=mode, **shard_kw)
+    group = []
+    nbases = 0
+    for chunk in SequenceChunker(paths, k, chunk_len, hpc=hpc,
+                                 segment=segment):
+        group.append(chunk)
+        nbases += len(chunk)
+        if len(group) == n:
+            sc.add_codes(np.concatenate(group))
+            group = []
+            if progress:
+                progress(nbases)
+    if group:
+        pad = np.full(chunk_len, SEP, np.uint8)
+        group.extend([pad] * (n - len(group)))
+        sc.add_codes(np.concatenate(group))
+        if progress:
+            progress(nbases)
+    return sc.finalize()
+
+
 def count_to_arrays(paths, k: int, mode: str = "canonical", hpc: bool = False,
-                    chunk_len: int = DEFAULT_CHUNK, progress=None,
+                    chunk_len: int | None = None, progress=None,
                     count_suffix: str | None = None, segment=None):
     """Count kmers in sequence files.  Returns sorted (hi, lo, counts)."""
     if not (1 <= k <= km.K_MAX):
         raise ValueError(f"k must be in [1, {km.K_MAX}], got {k}")
+    chunk_len = chunk_len or default_chunk()
+    if _use_sharded(count_suffix):
+        return count_to_arrays_sharded(paths, k, mode=mode, hpc=hpc,
+                                       chunk_len=chunk_len,
+                                       progress=progress, segment=segment)
     suffix = None
     if count_suffix:
         if len(count_suffix) > k:
@@ -177,9 +241,22 @@ def count_to_arrays(paths, k: int, mode: str = "canonical", hpc: bool = False,
 
 
 def count_to_db(paths, out_path: str, k: int, mode: str = "canonical",
-                hpc: bool = False, chunk_len: int = DEFAULT_CHUNK,
+                hpc: bool = False, chunk_len: int | None = None,
                 count_suffix: str | None = None, segment=None,
+                memory_gb: float | None = None,
                 progress=None) -> MerylDB:
+    """Count to a DB.  memory= (memory_gb) is a real bound: when the
+    plan says the merged unique set may exceed it, counting routes
+    through the out-of-core batched path (the reference sizes batches
+    to its memory allowance the same way, merylOp-count.C:355-358)."""
+    if memory_gb is not None and count_suffix is None:
+        plan = configure_counting(paths, k, memory_gb, chunk_len)
+        if plan["batches"] > 1 and not _use_sharded(count_suffix):
+            return count_to_db_batched(
+                paths, out_path, k, mode=mode, hpc=hpc,
+                chunk_len=plan["chunk_len"], memory_gb=memory_gb,
+                progress=progress)
+        chunk_len = plan["chunk_len"]
     hi, lo, counts = count_to_arrays(paths, k, mode=mode, hpc=hpc,
                                      chunk_len=chunk_len,
                                      count_suffix=count_suffix,
@@ -187,15 +264,30 @@ def count_to_db(paths, out_path: str, k: int, mode: str = "canonical",
     return MerylDB.write(out_path, k, hi, lo, counts, mode=mode, hpc=hpc)
 
 
+# Device-memory model of the chunk pipeline (bytes per base), derived
+# from the program structure (see docs/tpu-design.md): extraction
+# materializes P uint32 planes, lax.sort double-buffers them, and the
+# run-length stage carries ~3 int32-sized temporaries (counts, iota,
+# cummin).  The reference's analog minimizes prefix-width memory the
+# same way, analytically (merylOp-count.C:173-295).
+def device_bytes_per_base(k: int) -> int:
+    P = km.num_planes(k)
+    return 4 * P * 3 + 12
+
+
 def configure_counting(paths, k: int, memory_gb: float | None = None,
-                       chunk_len: int = DEFAULT_CHUNK) -> dict:
-    """Counting plan: expected kmers, chunk size, batch count.
+                       chunk_len: int | None = None,
+                       hbm_gb: float | None = None,
+                       n_devices: int | None = None) -> dict:
+    """Counting plan: expected kmers, device chunk size, batch count.
 
     Mirrors the reference's configuration pass (-C dry run;
     /root/reference/src/meryl/merylOp-count.C:299-462): expected kmers
     are guessed from file sizes x1 (plain) / x3 (gz) / x3.5 (bz2) /
-    x4 (xz), and the batch count bounds peak host memory for the
-    merged unique set (the out-of-core dump trigger)."""
+    x4 (xz); the device chunk is sized to the HBM budget via the
+    bytes-per-base model; and the batch count bounds peak host memory
+    for the merged unique set (the out-of-core dump trigger,
+    merylOp-count.C:355-358)."""
     import os
     if isinstance(paths, str):
         paths = [paths]
@@ -212,16 +304,38 @@ def configure_counting(paths, k: int, memory_gb: float | None = None,
             exp += sz * 4
         else:
             exp += sz
+
+    # device plan: largest power-of-two chunk whose pipeline fits the
+    # HBM working budget (half of HBM: XLA needs headroom for the
+    # doubled sort programs and the 1-deep pipeline overlap)
+    hbm = hbm_gb if hbm_gb is not None else \
+        float(_os.environ.get("MERYL_TPU_HBM_GB", 16.0))
+    dev_bpb = device_bytes_per_base(k)
+    fit = int(hbm * 1e9 * 0.5 / dev_bpb)
+    max_chunk = 1 << max(16, fit.bit_length() - 1)
+    if chunk_len is None:
+        chunk_len = min(default_chunk(), max_chunk)
+    else:
+        chunk_len = min(chunk_len, max_chunk)
+
     bytes_per_kmer = 8 + 8 + 4  # hi, lo, count on host
     mem_budget = (memory_gb or 8.0) * 1e9
     n_batches = max(1, int(np.ceil(exp * bytes_per_kmer / mem_budget)))
+    import jax
+    n_dev = n_devices if n_devices is not None else jax.device_count()
     return {
         "k": k,
         "expected_kmers": int(exp),
         "chunk_len": int(chunk_len),
-        "device_chunk_bytes": int(chunk_len),
+        "device_bytes_per_base": dev_bpb,
+        "device_chunk_hbm_bytes": int(chunk_len) * dev_bpb,
+        "hbm_gb": hbm,
+        "devices": int(n_dev),
+        "sharded": bool(n_dev > 1),
         "host_bytes_per_kmer": bytes_per_kmer,
         "memory_gb": memory_gb or 8.0,
+        "host_peak_bytes": int(min(exp, np.ceil(exp / n_batches)) *
+                               bytes_per_kmer),
         "batches": n_batches,
         "batch_bases": int(np.ceil(exp / n_batches)),
     }
@@ -229,7 +343,7 @@ def configure_counting(paths, k: int, memory_gb: float | None = None,
 
 def count_to_db_batched(paths, out_path: str, k: int, *,
                         mode: str = "canonical", hpc: bool = False,
-                        chunk_len: int = DEFAULT_CHUNK,
+                        chunk_len: int | None = None,
                         batch_bases: int | None = None,
                         memory_gb: float | None = None,
                         resume: bool = True, progress=None) -> MerylDB:
@@ -247,6 +361,7 @@ def count_to_db_batched(paths, out_path: str, k: int, *,
     import os
     import shutil
 
+    chunk_len = chunk_len or default_chunk()
     plan = configure_counting(paths, k, memory_gb, chunk_len)
     if batch_bases is None:
         batch_bases = plan["batch_bases"]
