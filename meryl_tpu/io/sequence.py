@@ -91,14 +91,34 @@ def iter_sequences(path: str) -> Iterator[Tuple[str, bytes, bytes | None]]:
             if name is not None:
                 yield name, b"".join(parts), None
         elif fmt == "fastq":
+            # robust FASTQ: sequence may span multiple lines (ended by
+            # the '+' line) and quality spans lines until its length
+            # matches the sequence — so a '@' first quality character
+            # can't be mistaken for a header (dnaSeqFile semantics)
             while True:
                 hdr = buf.readline()
                 if not hdr:
                     break
-                seq = buf.readline().rstrip(b"\r\n")
-                buf.readline()  # '+'
-                qual = buf.readline().rstrip(b"\r\n")
-                name = hdr[1:].rstrip(b"\r\n").split()[0].decode() if len(hdr) > 1 else ""
+                hdr = hdr.rstrip(b"\r\n")
+                if not hdr:
+                    continue
+                seq_parts = []
+                line = buf.readline()
+                while line and not line.startswith(b"+"):
+                    seq_parts.append(line.rstrip(b"\r\n"))
+                    line = buf.readline()
+                seq = b"".join(seq_parts)
+                qual_parts = []
+                qlen = 0
+                while qlen < len(seq):
+                    qline = buf.readline()
+                    if not qline:
+                        break
+                    q = qline.rstrip(b"\r\n")
+                    qual_parts.append(q)
+                    qlen += len(q)
+                qual = b"".join(qual_parts)
+                name = hdr[1:].split()[0].decode() if len(hdr) > 1 else ""
                 yield name, seq, qual
         else:  # raw: whole file is one sequence
             data = buf.read()

@@ -118,6 +118,11 @@ int64_t mt_scan(MtScanner* s, const uint8_t* in, int64_t n, uint8_t* out) {
           s->state = S_HDR;
           break;
         }
+        if (s->fmt == F_FASTQ && c == '+' && s->bol) {
+          // end of (possibly multi-line) sequence; S_PLUS eats the line
+          s->state = S_PLUS;
+          break;
+        }
         const uint8_t* nl =
             (const uint8_t*)memchr(in + i, '\n', (size_t)(n - i));
         int64_t end = nl ? (nl - in) : n;
@@ -144,7 +149,8 @@ int64_t mt_scan(MtScanner* s, const uint8_t* in, int64_t n, uint8_t* out) {
         if (nl == nullptr) { i = n; s->bol = 0; break; }
         i = end + 1;
         s->bol = 1;
-        if (s->fmt == F_FASTQ) s->state = S_PLUS;
+        // FASTQ stays in S_SEQ: sequence may span multiple lines; the
+        // record's '+' line (checked at bol above) ends it
         break;
       }
 
