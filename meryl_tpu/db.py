@@ -65,6 +65,24 @@ def compute_stats(counts: np.ndarray, multiset: bool = False) -> dict:
     }
 
 
+def label_dtype(bits: int):
+    """Smallest unsigned dtype holding a `bits`-wide label (meryl2 -l:
+    width selection affects DB size)."""
+    if bits <= 8:
+        return np.uint8
+    if bits <= 16:
+        return np.uint16
+    if bits <= 32:
+        return np.uint32
+    return np.uint64
+
+
+def label_mask(bits: int) -> np.uint64:
+    if bits >= 64:
+        return np.uint64(0xFFFFFFFFFFFFFFFF)
+    return np.uint64((1 << bits) - 1)
+
+
 def sparse_histogram(counts: np.ndarray):
     if len(counts) == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
@@ -136,7 +154,9 @@ class MerylDB:
             counts = np.fromfile(f, dtype=np.uint32, count=n)
             labels = None
             if int(hdr[1]) & 1:
-                labels = np.fromfile(f, dtype=np.uint64, count=n)
+                bits = (int(hdr[1]) >> 8) & 0xFF or 64
+                labels = np.fromfile(f, dtype=label_dtype(bits),
+                                     count=n).astype(np.uint64)
         return hi, lo, counts, labels
 
     def load_all(self):
@@ -154,16 +174,21 @@ class MerylDB:
     def write(cls, path: str, k: int, hi, lo, counts, *,
               mode: str = "canonical", hpc: bool = False,
               multiset: bool = False, histogram=None,
-              labels=None) -> "MerylDB":
+              labels=None, label_bits: int = 64) -> "MerylDB":
         """Write a full database from sorted (hi, lo, counts) arrays.
 
         Arrays must be sorted ascending by (hi, lo); counts > 0.
+        label_bits (meryl2 -l) selects the stored label width: labels
+        are masked to that many bits and packed into the smallest
+        integer type that holds them (width selection affects DB size,
+        as in the reference's kmer::setLabelSize).
         """
         hi = np.ascontiguousarray(hi, dtype=np.uint64)
         lo = np.ascontiguousarray(lo, dtype=np.uint64)
         counts = np.ascontiguousarray(counts, dtype=np.uint32)
         if labels is not None:
             labels = np.ascontiguousarray(labels, dtype=np.uint64)
+            labels = labels & label_mask(label_bits)
         os.makedirs(path, exist_ok=True)
 
         # split by 6-bit prefix (monotonic in sorted order)
@@ -173,7 +198,8 @@ class MerylDB:
             b, e = int(bounds[ff]), int(bounds[ff + 1])
             cls._write_bucket(os.path.join(path, bucket_name(ff)), k,
                               hi[b:e], lo[b:e], counts[b:e],
-                              labels[b:e] if labels is not None else None)
+                              labels[b:e] if labels is not None else None,
+                              label_bits)
 
         if histogram is None:
             hvals, hocc = sparse_histogram(counts)
@@ -192,6 +218,8 @@ class MerylDB:
             "mode": mode,
             "hpc": bool(hpc),
             "multiset": bool(multiset),
+            **({"labelBits": int(label_bits)} if labels is not None
+               else {}),
             **stats,
         }
         with open(os.path.join(path, "merylIndex.json"), "w") as f:
@@ -199,17 +227,23 @@ class MerylDB:
         return cls(path, meta)
 
     @staticmethod
-    def _write_bucket(p: str, k: int, hi, lo, counts, labels=None):
+    def _write_bucket(p: str, k: int, hi, lo, counts, labels=None,
+                      label_bits: int = 64):
+        # flags word: bit 0 = labels present; bits 8..15 = stored label
+        # width in bits (0 means 64 for pre-width files)
+        flags = 0
+        if labels is not None:
+            flags = 1 | ((label_bits & 0xFF) << 8)
         with open(p, "wb") as f:
             f.write(MAGIC_BUCKET)
-            np.array([k, 1 if labels is not None else 0],
-                     dtype=np.uint32).tofile(f)
+            np.array([k, flags], dtype=np.uint32).tofile(f)
             np.array([len(lo)], dtype=np.uint64).tofile(f)
             np.ascontiguousarray(lo, np.uint64).tofile(f)
             np.ascontiguousarray(hi, np.uint64).tofile(f)
             np.ascontiguousarray(counts, np.uint32).tofile(f)
             if labels is not None:
-                np.ascontiguousarray(labels, np.uint64).tofile(f)
+                np.ascontiguousarray(labels, label_dtype(label_bits)) \
+                    .tofile(f)
 
     def bucket_path(self, ff: int) -> str:
         return os.path.join(self.path, bucket_name(ff))
@@ -226,12 +260,15 @@ class MerylDBWriter:
     stream writers, /root/reference/src/meryl/merylOp-nextMer.C:154-158)."""
 
     def __init__(self, path: str, k: int, *, mode: str = "canonical",
-                 hpc: bool = False, multiset: bool = False):
+                 hpc: bool = False, multiset: bool = False,
+                 label_bits: int = 64):
         self.path = path
         self.k = int(k)
         self.mode = mode
         self.hpc = hpc
         self.multiset = multiset
+        self.label_bits = int(label_bits)
+        self._has_labels = False
         self._written = set()
         self._hist: dict[int, int] = {}
         self._n_distinct = 0
@@ -244,8 +281,13 @@ class MerylDBWriter:
             raise ValueError(f"bucket {ff} written twice")
         self._written.add(ff)
         counts = np.ascontiguousarray(counts, dtype=np.uint32)
+        if labels is not None:
+            labels = np.ascontiguousarray(labels, np.uint64) & \
+                label_mask(self.label_bits)
+            self._has_labels = True
         MerylDB._write_bucket(os.path.join(self.path, bucket_name(ff)),
-                              self.k, hi, lo, counts, labels)
+                              self.k, hi, lo, counts, labels,
+                              self.label_bits)
         vals, occ = sparse_histogram(counts)
         for v, o in zip(vals.tolist(), occ.tolist()):
             self._hist[v] = self._hist.get(v, 0) + o
@@ -269,6 +311,8 @@ class MerylDBWriter:
             "mode": self.mode,
             "hpc": bool(self.hpc),
             "multiset": bool(self.multiset),
+            **({"labelBits": self.label_bits} if self._has_labels
+               else {}),
             "numUnique": self._n_unique,
             "numDistinct": self._n_distinct,
             "numTotal": self._n_total,

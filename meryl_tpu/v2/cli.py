@@ -155,6 +155,7 @@ class Builder:
         self.stack: list[Action] = []
         self.roots: list[Action] = []
         self.pipes: dict[str, Action] = {}
+        self.label_bits = 64
         self._terminating = 0
 
     def top(self) -> Action:
@@ -208,9 +209,18 @@ class Builder:
         if getattr(self, "_swallow_arg", False):
             self._swallow_arg = False
             return
-        if w in ("-t", "-m", "-l"):   # threads/memory/label-size: accepted,
-            self._swallow_arg = True  # value consumed (XLA manages; labels
-            return                    # are fixed 64-bit)
+        if w == "-l":                 # label size in bits (merylGlobals
+            self._expect_l = True     # -l): stored labels are masked and
+            return                    # packed to this width
+        if getattr(self, "_expect_l", False):
+            self.label_bits = int(w)
+            if not (0 <= self.label_bits <= 64):
+                raise ParseError("-l label size must be in [0, 64]")
+            self._expect_l = False
+            return
+        if w in ("-t", "-m"):         # threads/memory: accepted, value
+            self._swallow_arg = True  # consumed (XLA manages resources)
+            return
         if w.startswith("-V") or w in ("-Q", "-P", "-C"):
             return
         if w == "compress":  # homopolymer-compress sequence inputs
@@ -351,10 +361,12 @@ class Builder:
 # ---------------- evaluation ----------------
 
 class Evaluator:
-    def __init__(self, k: int, pipes: dict):
+    def __init__(self, k: int, pipes: dict, label_bits: int = 64):
         self.k = int(k)
         self.P = km.num_planes(self.k)
         self.pipes = pipes
+        self.label_mask = np.uint64(0xFFFFFFFFFFFFFFFF) if \
+            label_bits >= 64 else np.uint64((1 << label_bits) - 1)
 
     @staticmethod
     def _pad_to(n: int) -> int:
@@ -429,7 +441,7 @@ class Evaluator:
         hi, lo = km.hilo_from_planes([np.asarray(p)[idx] for p in sp])
         lab = (np.asarray(olhi)[idx].astype(np.uint64) << np.uint64(32)) | \
             np.asarray(ollo)[idx].astype(np.uint64)
-        return hi, lo, np.asarray(ov)[idx], lab
+        return hi, lo, np.asarray(ov)[idx], lab & self.label_mask
 
 
 def resolve_special_args(act: Action):
@@ -507,7 +519,8 @@ def execute(b: Builder) -> int:
             if act.out_db is None:
                 act.out_db = tempfile.mkdtemp(prefix="meryl2_count_")
                 tmpdirs.append(act.out_db)
-            MerylDB.write(act.out_db, b.k, hi, lo, c, labels=labels)
+            MerylDB.write(act.out_db, b.k, hi, lo, c, labels=labels,
+                          label_bits=b.label_bits)
 
     tmpdirs = []
     try:
@@ -561,8 +574,10 @@ def execute(b: Builder) -> int:
                         walk(i)
             walk(root)
 
-            ev = Evaluator(kk, b.pipes)
-            writer = MerylDBWriter(root.out_db, kk) if root.out_db else None
+            ev = Evaluator(kk, b.pipes, b.label_bits)
+            writer = MerylDBWriter(root.out_db, kk,
+                                   label_bits=b.label_bits) \
+                if root.out_db else None
             listf = None
             list_sharded = root.out_list and "##" in root.out_list
             if root.out_list and not list_sharded:
