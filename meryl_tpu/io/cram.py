@@ -1,0 +1,934 @@
+"""Dependency-free CRAM 3.0 reader (read sequences only).
+
+The reference meryl vendors htslib to ingest CRAM directly
+(/root/reference/src/main.mk:92-140, htsSeqFile in the meryl-utility
+contract, SURVEY.md §2.3).  This module re-provides that capability
+without htslib or pysam: enough of the CRAM 3.0 specification
+(https://samtools.github.io/hts-specs/CRAMv3.pdf) to stream every
+record's bases for k-mer counting — containers, blocks
+(raw/gzip/bzip2/lzma/rANS-4x8 order 0 and 1), the compression header
+maps, slice decoding, and read reconstruction from reference +
+substitution/indel features.
+
+Reference bases come from (in order): the slice's embedded reference
+block; a FASTA given explicitly (ref_path= / env MERYL_TPU_CRAM_REF);
+records whose containers were written reference-less (RR=false) need no
+reference at all.  CRAM 3.1 codecs (rANS-Nx16, adaptive arithmetic,
+fqzcomp, name tokeniser) are not implemented and raise clearly.
+
+Qualities are parsed only as far as needed to keep stream positions
+correct; they are never materialized.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import lzma
+import os
+import struct
+import zlib
+from typing import Iterator, Tuple
+
+import numpy as np
+
+CRAM_MAGIC = b"CRAM"
+
+# block content types
+CT_FILE_HEADER = 0
+CT_COMPRESSION_HEADER = 1
+CT_SLICE_HEADER = 2
+CT_EXTERNAL = 4
+CT_CORE = 5
+
+# BAM / CRAM record flags
+BAM_FUNMAP = 0x4
+CF_QUAL = 0x1
+CF_DETACHED = 0x2
+CF_MATE_DOWNSTREAM = 0x4
+CF_NO_SEQ = 0x8
+CF_EXPLICIT_TLEN = 0x10  # 3.1
+
+
+class CramError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- itf8
+
+def read_itf8(buf: bytes, pos: int):
+    b0 = buf[pos]
+    if b0 < 0x80:
+        v = b0
+        pos += 1
+    elif b0 < 0xC0:
+        v = ((b0 & 0x7F) << 8) | buf[pos + 1]
+        pos += 2
+    elif b0 < 0xE0:
+        v = ((b0 & 0x3F) << 16) | (buf[pos + 1] << 8) | buf[pos + 2]
+        pos += 3
+    elif b0 < 0xF0:
+        v = ((b0 & 0x1F) << 24) | (buf[pos + 1] << 16) | \
+            (buf[pos + 2] << 8) | buf[pos + 3]
+        pos += 4
+    else:
+        v = ((b0 & 0x0F) << 28) | (buf[pos + 1] << 20) | \
+            (buf[pos + 2] << 12) | (buf[pos + 3] << 4) | \
+            (buf[pos + 4] & 0x0F)
+        pos += 5
+    if v >= 1 << 31:
+        v -= 1 << 32
+    return v, pos
+
+
+def read_ltf8(buf: bytes, pos: int):
+    b0 = buf[pos]
+    n = 0
+    while n < 8 and (b0 << n) & 0x80:
+        n += 1
+    v = b0 & (0xFF >> n) if n < 8 else 0
+    for i in range(n):
+        v = (v << 8) | buf[pos + 1 + i]
+    pos += 1 + n
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v, pos
+
+
+# ---------------------------------------------------------- rANS 4x8
+
+RANS_BYTE_L = 1 << 23
+TF_SHIFT = 12
+TOTFREQ = 1 << TF_SHIFT
+
+
+def _rans_read_freqs0(data: bytes, pos: int):
+    """Order-0 frequency table (htslib rANS_static.c layout)."""
+    freq = np.zeros(256, np.uint32)
+    rle = 0
+    sym = data[pos]
+    pos += 1
+    last = -2
+    while True:
+        j = sym
+        f = data[pos]
+        pos += 1
+        if f >= 128:
+            f = ((f & 0x7F) << 8) | data[pos]
+            pos += 1
+        freq[j] = f
+        if rle > 0:
+            rle -= 1
+            sym = j + 1
+        else:
+            sym = data[pos]
+            pos += 1
+            if sym == j + 1:
+                rle = data[pos]
+                pos += 1
+        last = j
+        if sym == 0:
+            break
+    del last
+    return freq, pos
+
+
+def _rans_tables(freq):
+    cum = np.zeros(257, np.uint32)
+    np.cumsum(freq, out=cum[1:])
+    # symbol lookup: ssym[f] = s where cum[s] <= f < cum[s+1]
+    ssym = np.zeros(TOTFREQ, np.uint8)
+    for s in range(256):
+        if freq[s]:
+            ssym[int(cum[s]):int(cum[s + 1])] = s
+    return cum[:256].astype(np.uint32), ssym
+
+
+def _rans_decode_0(data: bytes, pos: int, out_sz: int):
+    freq, pos = _rans_read_freqs0(data, pos)
+    cum, ssym = _rans_tables(freq)
+    R = list(struct.unpack_from("<4I", data, pos))
+    pos += 16
+    out = bytearray(out_sz)
+    dat = data
+    for i in range(out_sz):
+        k = i & 3
+        st = R[k]
+        f = st & (TOTFREQ - 1)
+        s = ssym[f]
+        out[i] = s
+        st = int(freq[s]) * (st >> TF_SHIFT) + f - int(cum[s])
+        while st < RANS_BYTE_L:
+            st = (st << 8) | dat[pos]
+            pos += 1
+        R[k] = st
+    return bytes(out), pos
+
+
+def _rans_decode_1(data: bytes, pos: int, out_sz: int):
+    """Order-1: per-context tables; 4 interleaved streams over
+    quarters of the output."""
+    freqs = {}
+    tabs = {}
+    rle_i = 0
+    i_sym = data[pos]
+    pos += 1
+    while True:
+        ctx = i_sym
+        f, pos = _rans_read_freqs0(data, pos)
+        freqs[ctx] = f
+        tabs[ctx] = _rans_tables(f)
+        if rle_i > 0:
+            rle_i -= 1
+            i_sym = ctx + 1
+        else:
+            i_sym = data[pos]
+            pos += 1
+            if i_sym == ctx + 1:
+                rle_i = data[pos]
+                pos += 1
+        if i_sym == 0:
+            break
+    R = list(struct.unpack_from("<4I", data, pos))
+    pos += 16
+    out = bytearray(out_sz)
+    isz4 = out_sz >> 2
+    L = [0, 0, 0, 0]
+    dat = data
+    for i in range(isz4):
+        for k in range(4):
+            st = R[k]
+            ctx = L[k]
+            f = st & (TOTFREQ - 1)
+            cum, ssym = tabs.get(ctx) or tabs[0]
+            fr = freqs.get(ctx)
+            if fr is None:
+                fr = freqs[0]
+            s = ssym[f]
+            out[k * isz4 + i] = s
+            st = int(fr[s]) * (st >> TF_SHIFT) + f - int(cum[s])
+            while st < RANS_BYTE_L:
+                st = (st << 8) | dat[pos]
+                pos += 1
+            R[k] = st
+            L[k] = s
+    # remainder handled by stream 3
+    st = R[3]
+    ctx = L[3]
+    for i in range(4 * isz4, out_sz):
+        f = st & (TOTFREQ - 1)
+        cum, ssym = tabs.get(ctx) or tabs[0]
+        fr = freqs.get(ctx)
+        if fr is None:
+            fr = freqs[0]
+        s = ssym[f]
+        out[i] = s
+        st = int(fr[s]) * (st >> TF_SHIFT) + f - int(cum[s])
+        while st < RANS_BYTE_L:
+            st = (st << 8) | dat[pos]
+            pos += 1
+        ctx = s
+    return bytes(out), pos
+
+
+def rans_decode(data: bytes, out_sz_hint: int | None = None) -> bytes:
+    order = data[0]
+    # header: order u8, compressed size u32le, uncompressed size u32le
+    out_sz = struct.unpack_from("<I", data, 5)[0]
+    pos = 9
+    if order == 0:
+        out, _ = _rans_decode_0(data, pos, out_sz)
+    elif order == 1:
+        out, _ = _rans_decode_1(data, pos, out_sz)
+    else:
+        raise CramError(f"rANS order {order} unsupported")
+    return out
+
+
+# ------------------------------------------------------------- blocks
+
+def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
+    if method == 0:
+        return data
+    if method == 1:
+        return zlib.decompress(data, 15 + 32)  # gzip or zlib
+    if method == 2:
+        return bz2.decompress(data)
+    if method == 3:
+        return lzma.decompress(data)
+    if method == 4:
+        return rans_decode(data, raw_size)
+    raise CramError(
+        f"CRAM block compression method {method} not supported "
+        f"(3.1 codecs need rANS-Nx16/arith/fqzcomp/tok3)")
+
+
+class Block:
+    __slots__ = ("method", "ctype", "content_id", "data")
+
+    def __init__(self, method, ctype, content_id, data):
+        self.method = method
+        self.ctype = ctype
+        self.content_id = content_id
+        self.data = data
+
+
+def read_block(buf: bytes, pos: int):
+    method = buf[pos]
+    ctype = buf[pos + 1]
+    pos += 2
+    content_id, pos = read_itf8(buf, pos)
+    comp_size, pos = read_itf8(buf, pos)
+    raw_size, pos = read_itf8(buf, pos)
+    data = buf[pos:pos + comp_size]
+    pos += comp_size
+    pos += 4  # CRC32
+    raw = _decompress(method, data, raw_size)
+    if len(raw) != raw_size:
+        raise CramError(f"block raw size mismatch {len(raw)} != {raw_size}")
+    return Block(method, ctype, content_id, raw), pos
+
+
+# ----------------------------------------------------------- encodings
+
+class BitReader:
+    """MSB-first reader over the core block."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bitpos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        bp = self.bitpos
+        d = self.data
+        for _ in range(n):
+            v = (v << 1) | ((d[bp >> 3] >> (7 - (bp & 7))) & 1)
+            bp += 1
+        self.bitpos = bp
+        return v
+
+
+class ExtStream:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def byte(self) -> int:
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def take(self, n: int) -> bytes:
+        b = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return b
+
+    def itf8(self) -> int:
+        v, self.pos = read_itf8(self.data, self.pos)
+        return v
+
+    def until(self, stop: int) -> bytes:
+        e = self.data.index(stop, self.pos)
+        b = self.data[self.pos:e]
+        self.pos = e + 1
+        return b
+
+
+class Codec:
+    def read_int(self, core, ext):
+        raise CramError(f"{type(self).__name__} cannot read ints")
+
+    def read_byte(self, core, ext):
+        raise CramError(f"{type(self).__name__} cannot read bytes")
+
+    def read_array(self, core, ext):
+        raise CramError(f"{type(self).__name__} cannot read arrays")
+
+
+class NullCodec(Codec):
+    def read_int(self, core, ext):
+        return 0
+
+    def read_byte(self, core, ext):
+        return 0
+
+    def read_array(self, core, ext):
+        return b""
+
+
+class ExternalCodec(Codec):
+    def __init__(self, cid):
+        self.cid = cid
+
+    def read_int(self, core, ext):
+        return ext[self.cid].itf8()
+
+    def read_byte(self, core, ext):
+        return ext[self.cid].byte()
+
+
+class HuffmanCodec(Codec):
+    def __init__(self, symbols, lengths):
+        self.symbols = symbols
+        self.lengths = lengths
+        if len(symbols) == 1 and lengths[0] == 0:
+            self.single = symbols[0]
+        else:
+            self.single = None
+            # canonical codes: sort by (length, symbol order as given)
+            order = sorted(range(len(symbols)), key=lambda i: lengths[i])
+            code = 0
+            prev_len = lengths[order[0]]
+            self.table = {}
+            for i in order:
+                code <<= (lengths[i] - prev_len)
+                prev_len = lengths[i]
+                self.table[(lengths[i], code)] = symbols[i]
+                code += 1
+
+    def read_int(self, core, ext):
+        if self.single is not None:
+            return self.single
+        ln = 0
+        code = 0
+        while True:
+            code = (code << 1) | core.read(1)
+            ln += 1
+            if (ln, code) in self.table:
+                return self.table[(ln, code)]
+            if ln > 31:
+                raise CramError("bad huffman stream")
+
+    read_byte = read_int
+
+
+class BetaCodec(Codec):
+    def __init__(self, offset, nbits):
+        self.offset = offset
+        self.nbits = nbits
+
+    def read_int(self, core, ext):
+        return core.read(self.nbits) - self.offset
+
+    read_byte = read_int
+
+
+class GammaCodec(Codec):
+    def __init__(self, offset):
+        self.offset = offset
+
+    def read_int(self, core, ext):
+        n = 0
+        while core.read(1) == 0:
+            n += 1
+        v = 1
+        for _ in range(n):
+            v = (v << 1) | core.read(1)
+        return v - self.offset
+
+
+class SubExpCodec(Codec):
+    def __init__(self, offset, k):
+        self.offset = offset
+        self.k = k
+
+    def read_int(self, core, ext):
+        n = 0
+        while core.read(1) == 1:
+            n += 1
+        if n == 0:
+            b = self.k
+            v = core.read(b)
+        else:
+            b = n + self.k - 1
+            v = (1 << b) | core.read(b)
+        return v - self.offset
+
+
+class ByteArrayLenCodec(Codec):
+    def __init__(self, len_codec, val_codec):
+        self.len_codec = len_codec
+        self.val_codec = val_codec
+
+    def read_array(self, core, ext):
+        n = self.len_codec.read_int(core, ext)
+        if isinstance(self.val_codec, ExternalCodec):
+            return ext[self.val_codec.cid].take(n)
+        return bytes(self.val_codec.read_byte(core, ext) for _ in range(n))
+
+
+class ByteArrayStopCodec(Codec):
+    def __init__(self, stop, cid):
+        self.stop = stop
+        self.cid = cid
+
+    def read_array(self, core, ext):
+        return ext[self.cid].until(self.stop)
+
+
+def parse_encoding(buf: bytes, pos: int):
+    codec_id, pos = read_itf8(buf, pos)
+    nparam, pos = read_itf8(buf, pos)
+    params = buf[pos:pos + nparam]
+    pos += nparam
+    p = 0
+    if codec_id == 0:
+        return NullCodec(), pos
+    if codec_id == 1:
+        cid, p = read_itf8(params, p)
+        return ExternalCodec(cid), pos
+    if codec_id == 3:
+        n, p = read_itf8(params, p)
+        syms = []
+        for _ in range(n):
+            v, p = read_itf8(params, p)
+            syms.append(v)
+        n2, p = read_itf8(params, p)
+        lens = []
+        for _ in range(n2):
+            v, p = read_itf8(params, p)
+            lens.append(v)
+        return HuffmanCodec(syms, lens), pos
+    if codec_id == 4:
+        len_c, p2 = parse_encoding(params, p)
+        val_c, _ = parse_encoding(params, p2)
+        return ByteArrayLenCodec(len_c, val_c), pos
+    if codec_id == 5:
+        stop = params[0]
+        cid, _ = read_itf8(params, 1)
+        return ByteArrayStopCodec(stop, cid), pos
+    if codec_id == 6:
+        off, p = read_itf8(params, p)
+        nbits, p = read_itf8(params, p)
+        return BetaCodec(off, nbits), pos
+    if codec_id == 7:
+        off, p = read_itf8(params, p)
+        k, p = read_itf8(params, p)
+        return SubExpCodec(off, k), pos
+    if codec_id == 9:
+        off, p = read_itf8(params, p)
+        return GammaCodec(off), pos
+    raise CramError(f"CRAM encoding codec {codec_id} unsupported")
+
+
+# -------------------------------------------------- compression header
+
+class CompressionHeader:
+    def __init__(self, data: bytes):
+        pos = 0
+        # preservation map
+        _, pos = read_itf8(data, pos)
+        n, pos = read_itf8(data, pos)
+        self.read_names = True
+        self.ap_delta = True
+        self.reference_required = True
+        self.subst = b"\x00" * 5
+        self.tag_dict = [[]]
+        for _ in range(n):
+            key = data[pos:pos + 2]
+            pos += 2
+            if key == b"RN":
+                self.read_names = bool(data[pos])
+                pos += 1
+            elif key == b"AP":
+                self.ap_delta = bool(data[pos])
+                pos += 1
+            elif key == b"RR":
+                self.reference_required = bool(data[pos])
+                pos += 1
+            elif key == b"SM":
+                self.subst = data[pos:pos + 5]
+                pos += 5
+            elif key == b"TD":
+                ln, pos = read_itf8(data, pos)
+                td = data[pos:pos + ln]
+                pos += ln
+                self.tag_dict = []
+                for line in td.split(b"\x00")[:-1] if td.endswith(b"\x00") \
+                        else td.split(b"\x00"):
+                    tags = []
+                    for i in range(0, len(line), 3):
+                        tags.append(line[i:i + 3])
+                    self.tag_dict.append(tags)
+                if not self.tag_dict:
+                    self.tag_dict = [[]]
+            else:
+                raise CramError(f"unknown preservation key {key!r}")
+        # substitution matrix decode: subst_base[ref_code][code 0..3]
+        alpha = b"ACGTN"
+        self.subst_base = {}
+        for r in range(5):
+            byte = self.subst[r]
+            others = [alpha[i] for i in range(5) if i != r]
+            row = {}
+            for i, b in enumerate(others):
+                code = (byte >> (6 - 2 * i)) & 3
+                row[code] = b
+            self.subst_base[alpha[r]] = row
+
+        # data series encodings
+        _, pos = read_itf8(data, pos)
+        n, pos = read_itf8(data, pos)
+        self.ds = {}
+        for _ in range(n):
+            key = data[pos:pos + 2].decode()
+            pos += 2
+            codec, pos = parse_encoding(data, pos)
+            self.ds[key] = codec
+        # tag encodings
+        _, pos = read_itf8(data, pos)
+        n, pos = read_itf8(data, pos)
+        self.tags = {}
+        for _ in range(n):
+            key, pos = read_itf8(data, pos)
+            codec, pos = parse_encoding(data, pos)
+            self.tags[key] = codec
+
+
+# -------------------------------------------------------------- slices
+
+class SliceHeader:
+    def __init__(self, data: bytes):
+        pos = 0
+        self.ref_id, pos = read_itf8(data, pos)
+        self.start, pos = read_itf8(data, pos)
+        self.span, pos = read_itf8(data, pos)
+        self.nrec, pos = read_itf8(data, pos)
+        self.counter, pos = read_ltf8(data, pos)
+        self.nblocks, pos = read_itf8(data, pos)
+        n, pos = read_itf8(data, pos)
+        self.content_ids = []
+        for _ in range(n):
+            v, pos = read_itf8(data, pos)
+            self.content_ids.append(v)
+        self.embedded_ref_id, pos = read_itf8(data, pos)
+        self.md5 = data[pos:pos + 16]
+
+
+def _revcomp(seq: bytes) -> bytes:
+    comp = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
+    return seq.translate(comp)[::-1]
+
+
+class _RefSource:
+    """Reference base provider: embedded slice block or FASTA file."""
+
+    def __init__(self, ref_path: str | None):
+        self.seqs = {}
+        self.by_index = []
+        if ref_path:
+            name = None
+            parts = []
+            op = gzip.open if ref_path.endswith(".gz") else open
+            with op(ref_path, "rb") as f:
+                for line in f:
+                    line = line.rstrip(b"\r\n")
+                    if line.startswith(b">"):
+                        if name is not None:
+                            self._add(name, b"".join(parts))
+                        name = line[1:].split()[0].decode()
+                        parts = []
+                    else:
+                        parts.append(line.upper())
+            if name is not None:
+                self._add(name, b"".join(parts))
+
+    def _add(self, name, seq):
+        self.seqs[name] = seq
+        self.by_index.append(seq)
+
+    def get(self, ref_id: int, ref_names, start: int, ln: int) -> bytes:
+        """1-based start."""
+        seq = None
+        if ref_names and 0 <= ref_id < len(ref_names):
+            seq = self.seqs.get(ref_names[ref_id])
+        if seq is None and 0 <= ref_id < len(self.by_index):
+            seq = self.by_index[ref_id]
+        if seq is None:
+            raise CramError(
+                f"CRAM needs reference sequence #{ref_id}; supply the "
+                f"FASTA via ref_path= or MERYL_TPU_CRAM_REF")
+        return seq[start - 1:start - 1 + ln]
+
+
+def _parse_sam_header_refs(text: bytes):
+    names = []
+    for line in text.split(b"\n"):
+        if line.startswith(b"@SQ"):
+            for fld in line.split(b"\t"):
+                if fld.startswith(b"SN:"):
+                    names.append(fld[3:].decode())
+    return names
+
+
+class CramReader:
+    """Streaming record iterator over a CRAM 3.x file."""
+
+    def __init__(self, path: str, ref_path: str | None = None):
+        self.path = path
+        with open(path, "rb") as f:
+            self.buf = f.read()
+        if self.buf[:4] != CRAM_MAGIC:
+            raise CramError(f"{path}: not a CRAM file")
+        self.major = self.buf[4]
+        self.minor = self.buf[5]
+        if self.major not in (2, 3):
+            raise CramError(f"CRAM major version {self.major} unsupported")
+        self.pos = 26
+        if ref_path is None:
+            ref_path = os.environ.get("MERYL_TPU_CRAM_REF") or None
+        self.ref = _RefSource(ref_path)
+        self.ref_names = []
+        self._name_counter = 0
+
+    # --- container-level parsing ---
+
+    def _read_container_header(self, pos):
+        (length,) = struct.unpack_from("<i", self.buf, pos)
+        pos += 4
+        h = {}
+        h["ref_id"], pos = read_itf8(self.buf, pos)
+        h["start"], pos = read_itf8(self.buf, pos)
+        h["span"], pos = read_itf8(self.buf, pos)
+        h["nrec"], pos = read_itf8(self.buf, pos)
+        h["counter"], pos = read_ltf8(self.buf, pos)
+        h["nbases"], pos = read_ltf8(self.buf, pos)
+        h["nblocks"], pos = read_itf8(self.buf, pos)
+        nl, pos = read_itf8(self.buf, pos)
+        h["landmarks"] = []
+        for _ in range(nl):
+            v, pos = read_itf8(self.buf, pos)
+            h["landmarks"].append(v)
+        if self.major >= 3:
+            pos += 4  # CRC
+        h["body_start"] = pos
+        h["body_len"] = length
+        return h, pos
+
+    def records(self) -> Iterator[Tuple[str, bytes]]:
+        """Yield (name, bases) for every record."""
+        buf = self.buf
+        pos = self.pos
+        first = True
+        while pos < len(buf):
+            h, body = self._read_container_header(pos)
+            end = h["body_start"] + h["body_len"]
+            if first:
+                # SAM header container
+                blk, _ = read_block(buf, body)
+                text = blk.data
+                if len(text) >= 4:
+                    (tl,) = struct.unpack_from("<i", text, 0)
+                    text = text[4:4 + tl]
+                self.ref_names = _parse_sam_header_refs(text)
+                first = False
+                pos = end
+                continue
+            if h["nrec"] == 0 and h["nblocks"] <= 1 and h["ref_id"] == -1:
+                break  # EOF container
+            yield from self._container_records(h, buf, body, end)
+            pos = end
+
+    def _container_records(self, h, buf, body, end):
+        blk, p = read_block(buf, body)
+        if blk.ctype != CT_COMPRESSION_HEADER:
+            raise CramError("expected compression header block")
+        ch = CompressionHeader(blk.data)
+        while p < end:
+            sh_blk, p = read_block(buf, p)
+            if sh_blk.ctype != CT_SLICE_HEADER:
+                raise CramError("expected slice header block")
+            sh = SliceHeader(sh_blk.data)
+            core = None
+            ext = {}
+            for _ in range(sh.nblocks):
+                b, p = read_block(buf, p)
+                if b.ctype == CT_CORE:
+                    core = BitReader(b.data)
+                elif b.ctype == CT_EXTERNAL:
+                    ext[b.content_id] = ExtStream(b.data)
+            yield from self._slice_records(ch, sh, core, ext)
+
+    # --- record-level decoding ---
+
+    def _int(self, ch, key, core, ext, default=None):
+        c = ch.ds.get(key)
+        if c is None:
+            if default is not None:
+                return default
+            raise CramError(f"data series {key} missing")
+        return c.read_int(core, ext)
+
+    def _slice_records(self, ch: CompressionHeader, sh: SliceHeader,
+                       core, ext):
+        embedded_ref = None
+        if sh.embedded_ref_id >= 0 and sh.embedded_ref_id in ext:
+            embedded_ref = ext[sh.embedded_ref_id].data
+        last_ap = sh.start
+        for _ in range(sh.nrec):
+            bf = self._int(ch, "BF", core, ext)
+            cf = self._int(ch, "CF", core, ext)
+            ref_id = sh.ref_id
+            if sh.ref_id == -2:
+                ref_id = self._int(ch, "RI", core, ext)
+            rl = self._int(ch, "RL", core, ext)
+            ap = self._int(ch, "AP", core, ext)
+            if ch.ap_delta:
+                ap = last_ap + ap
+                last_ap = ap
+            self._int(ch, "RG", core, ext, default=-1)
+            if ch.read_names and "RN" in ch.ds:
+                name = ch.ds["RN"].read_array(core, ext).decode(
+                    "ascii", "replace")
+            else:
+                self._name_counter += 1
+                name = f"{os.path.basename(self.path)}.{self._name_counter}"
+            if cf & CF_DETACHED:
+                self._int(ch, "MF", core, ext)
+                if not ch.read_names and "RN" in ch.ds:
+                    ch.ds["RN"].read_array(core, ext)
+                self._int(ch, "NS", core, ext)
+                self._int(ch, "NP", core, ext)
+                self._int(ch, "TS", core, ext)
+            elif cf & CF_MATE_DOWNSTREAM:
+                self._int(ch, "NF", core, ext)
+            tl = self._int(ch, "TL", core, ext, default=0)
+            if 0 <= tl < len(ch.tag_dict):
+                for tag in ch.tag_dict[tl]:
+                    key = (tag[0] << 16) | (tag[1] << 8) | tag[2]
+                    codec = ch.tags.get(key)
+                    if codec is None:
+                        raise CramError(f"missing tag codec {tag!r}")
+                    codec.read_array(core, ext)
+            if not (bf & BAM_FUNMAP):
+                seq = self._mapped_seq(ch, sh, core, ext, rl, ap, ref_id,
+                                       embedded_ref)
+                if cf & CF_QUAL:
+                    self._skip_quals(ch, core, ext, rl)
+            else:
+                if not (cf & CF_NO_SEQ):
+                    seq = self._read_bases(ch, core, ext, rl)
+                else:
+                    seq = b""
+                if cf & CF_QUAL:
+                    self._skip_quals(ch, core, ext, rl)
+            if bf & 0x10:  # reverse strand: bases stored as aligned
+                pass  # CRAM stores the sequence as in SAM (already fwd)
+            yield name, seq
+
+    def _read_bases(self, ch, core, ext, n):
+        c = ch.ds.get("BA")
+        if c is None:
+            raise CramError("data series BA missing")
+        if isinstance(c, ExternalCodec):
+            return ext[c.cid].take(n)
+        return bytes(c.read_byte(core, ext) for _ in range(n))
+
+    def _skip_quals(self, ch, core, ext, n):
+        c = ch.ds.get("QS")
+        if c is None:
+            return
+        if isinstance(c, ExternalCodec):
+            ext[c.cid].take(n)
+        else:
+            for _ in range(n):
+                c.read_byte(core, ext)
+
+    def _ref_bases(self, sh, ref_id, start, ln, embedded_ref):
+        if ln <= 0:
+            return b""
+        if embedded_ref is not None:
+            off = start - sh.start
+            return embedded_ref[off:off + ln]
+        return self.ref.get(ref_id, self.ref_names, start, ln)
+
+    def _mapped_seq(self, ch, sh, core, ext, rl, ap, ref_id, embedded_ref):
+        fn = self._int(ch, "FN", core, ext)
+        seq = bytearray(rl)
+        fpos = 0          # 0-based position in read of next ref copy
+        rpos = ap         # 1-based reference position of next ref copy
+        prev = 0
+        for _ in range(fn):
+            fc = ch.ds["FC"].read_byte(core, ext)
+            gap = ch.ds["FP"].read_int(core, ext)
+            p = prev + gap  # 1-based read position of this feature
+            prev = p
+            # copy reference bases up to the feature
+            copy = p - 1 - fpos
+            if copy > 0:
+                seq[fpos:fpos + copy] = self._ref_bases(
+                    sh, ref_id, rpos, copy, embedded_ref)
+                fpos += copy
+                rpos += copy
+            fc_ch = chr(fc)
+            if fc_ch == "X":
+                code = ch.ds["BS"].read_byte(core, ext)
+                rb = self._ref_bases(sh, ref_id, rpos, 1, embedded_ref)
+                rb = rb[:1].upper() or b"N"
+                row = ch.subst_base.get(rb[0], ch.subst_base[ord("N")])
+                seq[fpos] = row.get(code, ord("N"))
+                fpos += 1
+                rpos += 1
+            elif fc_ch == "B":
+                seq[fpos] = ch.ds["BA"].read_byte(core, ext)
+                ch.ds["QS"].read_byte(core, ext)
+                fpos += 1
+                rpos += 1
+            elif fc_ch == "i":
+                seq[fpos] = ch.ds["BA"].read_byte(core, ext)
+                fpos += 1
+            elif fc_ch == "I":
+                ins = ch.ds["IN"].read_array(core, ext)
+                seq[fpos:fpos + len(ins)] = ins
+                fpos += len(ins)
+            elif fc_ch == "S":
+                sc = ch.ds["SC"].read_array(core, ext)
+                seq[fpos:fpos + len(sc)] = sc
+                fpos += len(sc)
+            elif fc_ch == "b":
+                bb = ch.ds["BB"].read_array(core, ext)
+                seq[fpos:fpos + len(bb)] = bb
+                fpos += len(bb)
+                rpos += len(bb)
+            elif fc_ch == "q":
+                ch.ds["QQ"].read_array(core, ext)
+            elif fc_ch == "D":
+                rpos += ch.ds["DL"].read_int(core, ext)
+            elif fc_ch == "N":
+                rpos += ch.ds["RS"].read_int(core, ext)
+            elif fc_ch == "H":
+                ch.ds["HC"].read_int(core, ext)
+            elif fc_ch == "P":
+                ch.ds["PD"].read_int(core, ext)
+            elif fc_ch == "Q":
+                ch.ds["QS"].read_byte(core, ext)
+            else:
+                raise CramError(f"unknown feature code {fc_ch!r}")
+        # trailing reference copy
+        copy = rl - fpos
+        if copy > 0:
+            seq[fpos:fpos + copy] = self._ref_bases(
+                sh, ref_id, rpos, copy, embedded_ref)
+        self._int(ch, "MQ", core, ext, default=0)
+        return bytes(seq)
+
+
+def is_cram(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(4) == CRAM_MAGIC
+    except OSError:
+        return False
+
+
+def iter_cram(path: str, ref_path: str | None = None):
+    """Yield (name, bases, None) per record — the iter_sequences
+    contract."""
+    r = CramReader(path, ref_path)
+    for name, seq in r.records():
+        yield name, seq, None

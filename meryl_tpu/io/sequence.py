@@ -60,17 +60,12 @@ def iter_sequences(path: str) -> Iterator[Tuple[str, bytes, bytes | None]]:
     if bam.is_bam(path):
         yield from bam.iter_bam(path)
         return
-    if path.endswith(".cram"):
-        try:
-            import pysam
-        except ImportError:
-            raise RuntimeError(
-                "CRAM input requires pysam (not installed); convert to "
-                "BAM/FASTQ or install pysam") from None
-        with pysam.AlignmentFile(path, "rc") as af:  # pragma: no cover
-            for rec in af:
-                yield (rec.query_name or "",
-                       (rec.query_sequence or "").encode(), None)
+    from . import cram
+    if path.endswith(".cram") or cram.is_cram(path):
+        # dependency-free CRAM 3.0 reader (reference vendors htslib for
+        # this, src/main.mk:92-140); reference FASTA via
+        # MERYL_TPU_CRAM_REF when slices aren't embedded/reference-less
+        yield from cram.iter_cram(path)
         return
     with open_maybe_compressed(path) as f:
         buf = _io.BufferedReader(f) if not isinstance(f, _io.BufferedReader) else f

@@ -1,0 +1,141 @@
+"""Dependency-free CRAM 3.0 reader vs the spec-driven test encoder.
+
+The encoder (tests/cram_writer.py) is written against the CRAM 3.0
+spec independently of the decoder so each checks the other's reading
+of the format.  Covers: itf8/ltf8, rANS-4x8 order 0/1, gzip blocks,
+unmapped records (BA), mapped records reconstructed from reference +
+X/D/I/S/b/i features, AP delta, substitution matrix, generated names,
+and counting a CRAM end-to-end through the CLI.
+"""
+
+import numpy as np
+import pytest
+
+from meryl_tpu.io import cram
+from meryl_tpu.io.sequence import iter_sequences
+
+from tests import cram_writer as cw
+
+
+# ---------------------------------------------------------- primitives
+
+def test_itf8_roundtrip():
+    for v in (0, 1, 127, 128, 300, 0x3FFF, 0x4000, 0x1FFFFF, 0x200000,
+              0xFFFFFFF, 0x10000000, 0x7FFFFFFF, -1, -2):
+        buf = cw.itf8(v)
+        got, pos = cram.read_itf8(buf, 0)
+        assert got == v, v
+        assert pos == len(buf)
+
+
+def test_ltf8_roundtrip():
+    for v in (0, 1, 127, 128, 1 << 20, 1 << 35, (1 << 47) - 3, 1 << 60):
+        buf = cw.ltf8(v)
+        got, pos = cram.read_ltf8(buf, 0)
+        assert got == v, v
+        assert pos == len(buf)
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_rans_roundtrip(order):
+    rng = np.random.default_rng(4)
+    for n in (1, 5, 64, 1000, 4097):
+        # skewed alphabet, like quality strings
+        data = bytes(rng.choice([65, 67, 71, 84, 78],
+                                p=[.4, .3, .2, .08, .02], size=n))
+        enc = cw.rans_encode_o0(data) if order == 0 else \
+            cw.rans_encode_o1(data)
+        assert cram.rans_decode(enc) == data, (order, n)
+
+
+# ------------------------------------------------------------- records
+
+READS = [("r1", "ACGTACGTAACCGGTT"),
+         ("r2", "GGGTTTAAACCC"),
+         ("r3", "ACACACACACACACAC")]
+
+
+@pytest.mark.parametrize("method", [0, 1, 4, 41])
+def test_unmapped_roundtrip(tmp_path, method):
+    p = str(tmp_path / "u.cram")
+    cw.write_unmapped_cram(p, READS, method=method)
+    got = [(n, s.decode()) for n, s, _ in cram.iter_cram(p)]
+    assert got == READS
+
+
+def test_unmapped_generated_names(tmp_path):
+    p = str(tmp_path / "n.cram")
+    cw.write_unmapped_cram(p, READS, with_names=False)
+    got = [s.decode() for _, s, _ in cram.iter_cram(p)]
+    assert got == [s for _, s in READS]
+
+
+REF = "ACGTACGTAACCGGTTACGTACGTTTTTGGGGCCCCAAAA"
+
+
+def test_mapped_features(tmp_path, monkeypatch):
+    ref_fa = tmp_path / "ref.fa"
+    ref_fa.write_text(f">chr1\n{REF}\n")
+    monkeypatch.setenv("MERYL_TPU_CRAM_REF", str(ref_fa))
+    p = str(tmp_path / "m.cram")
+    # read A: pure reference copy, pos 1 len 10 -> REF[0:10]
+    # read B: substitution at read pos 3 (1-based): code maps via the
+    #         0x1B identity matrix: ref base REF[7]='T', others of T in
+    #         ACGN order: code 2 -> 'G'
+    # read C: deletion of 4 after 5 ref bases, then reference copy
+    # read D: soft clip 'TT' at front, then ref copy from pos 1
+    # read E: insertion 'AAA' after 2 ref bases
+    reads = [
+        ("A", 1, 10, []),
+        ("B", 6, 5, [("X", 3, 2)]),
+        ("C", 11, 8, [("D", 6, 4)]),
+        ("D", 1, 8, [("S", 1, "TT")]),
+        ("E", 21, 7, [("I", 3, "AAA")]),
+    ]
+    cw.write_mapped_cram(p, "chr1", REF, reads)
+    got = {n: s.decode() for n, s, _ in cram.iter_cram(p)}
+    assert got["A"] == REF[0:10]
+    want_b = REF[5:7] + "G" + REF[8:10]
+    assert got["B"] == want_b
+    assert got["C"] == REF[10:15] + REF[19:22]
+    assert got["D"] == "TT" + REF[0:6]
+    assert got["E"] == REF[20:22] + "AAA" + REF[22:24]
+
+
+def test_mapped_ap_delta(tmp_path, monkeypatch):
+    ref_fa = tmp_path / "ref.fa"
+    ref_fa.write_text(f">chr1\n{REF}\n")
+    monkeypatch.setenv("MERYL_TPU_CRAM_REF", str(ref_fa))
+    p = str(tmp_path / "d.cram")
+    reads = [("A", 3, 6, []), ("B", 9, 6, []), ("C", 15, 6, [])]
+    cw.write_mapped_cram(p, "chr1", REF, reads, ap_delta=True)
+    got = {n: s.decode() for n, s, _ in cram.iter_cram(p)}
+    assert got == {"A": REF[2:8], "B": REF[8:14], "C": REF[14:20]}
+
+
+def test_iter_sequences_dispatch(tmp_path):
+    p = str(tmp_path / "u.cram")
+    cw.write_unmapped_cram(p, READS)
+    got = [(n, s.decode()) for n, s, _ in iter_sequences(p)]
+    assert got == READS
+
+
+def test_cram_count_cli(tmp_path):
+    """End-to-end: count kmers straight from a CRAM via the CLI."""
+    import io
+    import contextlib
+    from meryl_tpu import cli, oracle, kmer as km
+    from meryl_tpu.db import MerylDB
+
+    rng = np.random.default_rng(6)
+    reads = [("q%d" % i,
+              "".join(km.ALPHABET[c] for c in rng.integers(0, 4, size=400)))
+             for i in range(4)]
+    p = str(tmp_path / "reads.cram")
+    cw.write_unmapped_cram(p, reads, method=4)
+    db = str(tmp_path / "c.meryl")
+    assert cli.main(["k=13", "count", p, "output", db]) == 0
+    hi, lo, c = MerylDB.open(db).load_all()
+    ohi, olo, oc = oracle.count_kmers([s for _, s in reads], 13)
+    assert hi.tolist() == ohi.tolist()
+    assert c.tolist() == oc.tolist()
