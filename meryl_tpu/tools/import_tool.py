@@ -1,13 +1,17 @@
-"""meryl-import: build a database from a text kmer/value list.
+"""meryl-import / meryl2-import: build a database from a text list.
 
-Mirrors /root/reference/src/meryl-import/meryl-import.C:29-257:
-  -kmers FILE  lines 'KMER [value]'; a line '#V' sets the persistent
-               default value for subsequent kmers without one
+Mirrors /root/reference/src/meryl-import/meryl-import.C:29-257 and the
+v2 variant (/root/reference/src/meryl2-import/meryl-import.C:200-240):
+  -kmers FILE  lines 'KMER [value [label]]'; '#V' sets the persistent
+               default value; 'value=V' / 'label=L' lines set the
+               persistent defaults for subsequent kmers (v2 syntax)
   -output DB   database to create
   -k K         kmer size (shorter inputs crash the reference; here we
                error; longer inputs use the left-most K bases)
   -multiset    keep duplicate kmers as separate entries
   -maxvalue V  accepted (memory hint in the reference; no-op here)
+  -valuewidth VW  accepted (values are fixed 32-bit here)
+  -labelwidth LW  store LW-bit labels with each kmer (0 = no labels)
   -forward / -reverse   store the given / reverse-complement kmer
                         instead of the canonical one
 """
@@ -23,16 +27,30 @@ from ..db import MerylDB
 from ..io.sequence import open_maybe_compressed
 
 USAGE = """usage: meryl-import -k <kmer-size> -kmers <input-kmers> -output <db.meryl>
-  [-multiset] [-maxvalue V] [-forward | -reverse] [-threads T]
+  [-multiset] [-maxvalue V] [-valuewidth VW] [-labelwidth LW]
+  [-forward | -reverse] [-threads T]
 """
 
 
+def _decode_int(s: str) -> int:
+    s = s.strip()
+    if s.startswith("0x"):
+        return int(s, 16)
+    if s.startswith("0b"):
+        return int(s, 2)
+    return int(s, 0)
+
+
 def import_kmers(kmers_path: str, k: int, *, multiset: bool = False,
-                 orient: str = "canonical"):
-    """-> (hi, lo, counts) sorted; duplicates summed unless multiset."""
+                 orient: str = "canonical", with_labels: bool = False):
+    """-> (hi, lo, counts[, labels]) sorted; duplicates summed unless
+    multiset (labels of summed duplicates OR together, matching the
+    v2 counting-with-labels convention)."""
     ints = []
     vals = []
+    labs = []
     default_value = 1
+    default_label = 0
     with open_maybe_compressed(kmers_path) as f:
         for raw in f:
             line = raw.decode() if isinstance(raw, bytes) else raw
@@ -40,13 +58,20 @@ def import_kmers(kmers_path: str, k: int, *, multiset: bool = False,
             if not line:
                 continue
             if line.startswith("#"):
-                default_value = int(line[1:])
+                default_value = _decode_int(line[1:])
+                continue
+            if line.startswith("value="):
+                default_value = _decode_int(line[6:])
+                continue
+            if line.startswith("label="):
+                default_label = _decode_int(line[6:])
                 continue
             parts = line.split()
             s = parts[0][:k]
             if len(s) < k:
                 raise ValueError(f"kmer '{parts[0]}' shorter than k={k}")
-            v = int(parts[1]) if len(parts) > 1 else default_value
+            v = _decode_int(parts[1]) if len(parts) > 1 else default_value
+            lb = _decode_int(parts[2]) if len(parts) > 2 else default_label
             x = km.string_to_kmer(s)
             if orient == "canonical":
                 x = km.canonical_kmer(x, k)
@@ -54,18 +79,25 @@ def import_kmers(kmers_path: str, k: int, *, multiset: bool = False,
                 x = km.revcomp_kmer(x, k)
             ints.append(x)
             vals.append(v)
+            labs.append(lb)
     order = sorted(range(len(ints)), key=lambda i: (ints[i], i))
     hi = np.array([ints[i] >> 64 for i in order], np.uint64)
     lo = np.array([ints[i] & ((1 << 64) - 1) for i in order], np.uint64)
     vv = np.array([vals[i] for i in order], np.uint64)
+    ll = np.array([labs[i] for i in order], np.uint64)
     if multiset or len(vv) == 0:
-        return hi, lo, np.minimum(vv, km.VALUE_MAX).astype(np.uint32)
+        out = (hi, lo, np.minimum(vv, km.VALUE_MAX).astype(np.uint32))
+        return out + (ll,) if with_labels else out
     new = np.ones(len(vv), bool)
     new[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
     starts = np.flatnonzero(new)
     sums = np.add.reduceat(vv, starts)
-    return (hi[starts], lo[starts],
-            np.minimum(sums, km.VALUE_MAX).astype(np.uint32))
+    out = (hi[starts], lo[starts],
+           np.minimum(sums, km.VALUE_MAX).astype(np.uint32))
+    if with_labels:
+        olab = np.bitwise_or.reduceat(ll, starts)
+        out = out + (olab,)
+    return out
 
 
 def main(argv=None) -> int:
@@ -74,6 +106,7 @@ def main(argv=None) -> int:
     k = 0
     multiset = False
     orient = "canonical"
+    label_bits = 0
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -86,8 +119,14 @@ def main(argv=None) -> int:
         elif a == "-k":
             i += 1
             k = int(argv[i])
-        elif a == "-maxvalue":
+        elif a in ("-maxvalue", "-valuewidth"):
             i += 1
+        elif a == "-labelwidth":
+            i += 1
+            label_bits = int(argv[i])
+            if not (0 <= label_bits <= 64):
+                sys.stderr.write("-labelwidth must be in [0, 64]\n")
+                return 1
         elif a == "-multiset":
             multiset = True
         elif a == "-forward":
@@ -103,9 +142,15 @@ def main(argv=None) -> int:
     if not kmers_path or not out or not k:
         sys.stderr.write(USAGE)
         return 1
-    hi, lo, counts = import_kmers(kmers_path, k, multiset=multiset,
-                                  orient=orient)
-    MerylDB.write(out, k, hi, lo, counts, multiset=multiset)
+    res = import_kmers(kmers_path, k, multiset=multiset, orient=orient,
+                       with_labels=label_bits > 0)
+    if label_bits > 0:
+        hi, lo, counts, labels = res
+        MerylDB.write(out, k, hi, lo, counts, multiset=multiset,
+                      labels=labels, label_bits=label_bits)
+    else:
+        hi, lo, counts = res
+        MerylDB.write(out, k, hi, lo, counts, multiset=multiset)
     return 0
 
 
