@@ -372,35 +372,46 @@ class Evaluator:
     def _pad_to(n: int) -> int:
         return 256 if n <= 256 else 1 << int(n - 1).bit_length()
 
-    def _load_input(self, inp, ff: int):
+    def _load_input(self, inp, ffs):
         if isinstance(inp, DBInput):
-            hi, lo, c, lab = inp.open().load_bucket_labels(ff)
-            if lab is None:
-                lab = np.zeros(len(c), np.uint64)
+            db = inp.open()
+            runs = [db.load_bucket_labels(ff) for ff in ffs]
+            hi = np.concatenate([r[0] for r in runs])
+            lo = np.concatenate([r[1] for r in runs])
+            c = np.concatenate([r[2] for r in runs])
+            lab = np.concatenate(
+                [r[3] if r[3] is not None else np.zeros(len(r[2]), np.uint64)
+                 for r in runs])
             return hi, lo, c, lab
         if isinstance(inp, Action):
-            return self.eval_bucket(inp, ff)
+            return self.eval_buckets(inp, ffs)
         if isinstance(inp, PipeInput):
             src = self.pipes.get(inp.name)
             if src is None:
                 raise ParseError(f"no action outputs to pipe '{inp.name}'")
-            return self.eval_bucket(src, ff)
+            return self.eval_buckets(src, ffs)
         if isinstance(inp, ListInput):
-            return self._load_list_bucket(inp, ff)
+            return self._load_list_buckets(inp, ffs)
         raise ParseError(f"bad input {inp}")
 
-    def _load_list_bucket(self, inp: ListInput, ff: int):
+    def _load_list_buckets(self, inp: ListInput, ffs):
         if not hasattr(inp, "_data"):
             from ..tools.import_tool import import_kmers
             hi, lo, c = import_kmers(inp.path, self.k)
             inp._data = (hi, lo, c, np.zeros(len(c), np.uint64))
         hi, lo, c, lab = inp._data
         pref = km.prefix6_from_hilo(hi, lo, self.k)
-        m = pref == ff
+        m = (pref >= ffs[0]) & (pref <= ffs[-1])
         return hi[m], lo[m], c[m], lab[m]
 
     def eval_bucket(self, act: Action, ff: int):
-        ins = [self._load_input(i, ff) for i in act.inputs]
+        return self.eval_buckets(act, (ff,))
+
+    def eval_buckets(self, act: Action, ffs):
+        """Evaluate a group of ascending 6-bit buckets in one padded
+        dispatch (buckets are disjoint ascending kmer ranges, so the
+        sorted result stays globally ordered — see optree.eval_buckets)."""
+        ins = [self._load_input(i, ffs) for i in act.inputs]
         m = len(ins)
         total = sum(len(x[2]) for x in ins)
         if total == 0:
@@ -583,18 +594,50 @@ def execute(b: Builder) -> int:
             if root.out_list and not list_sharded:
                 listf = open(root.out_list, "w")
             hist_acc = {}
-            for ff in range(NUM_FILES):
-                hi, lo, vals, labs = ev.eval_bucket(root, ff)
-                if writer:
-                    writer.add_bucket(ff, hi, lo, vals, labs)
-                if list_sharded:
-                    # '##' -> one file per 6-bit prefix bucket
-                    # (reference.rst:528-534: 64 parallel list files)
-                    with open(root.out_list.replace("##", f"{ff:02d}"),
-                              "w") as bf:
-                        print_v2(hi, lo, vals, labs, kk, bf, True,
-                                 acgt=root.out_list_acgt)
-                elif listf:
+            from ..optree import bucket_groups as _groups
+            from ..optree import OpNode as _OpNode
+
+            def _v2_groups(act, target=None):
+                import os as _o
+                if target is None:
+                    target = int(_o.environ.get("MERYL_TPU_SETOP_BATCH",
+                                                1 << 20))
+                # leaf-size estimate via DB bucket files, as in optree
+                node = _OpNode()
+
+                def leaves(a, out):
+                    for i in a.inputs:
+                        if isinstance(i, DBInput):
+                            out.append(i.path)
+                        elif isinstance(i, Action):
+                            leaves(i, out)
+                    return out
+                from ..optree import DBInput as _ODB
+                node.inputs = [_ODB(p) for p in leaves(act, [])]
+                return _groups(node, target)
+
+            for group in _v2_groups(root):
+                hi, lo, vals, labs = ev.eval_buckets(root, group)
+                pref = km.prefix6_from_hilo(hi, lo, kk) if \
+                    (writer or list_sharded) and len(group) > 1 else None
+                for ff in group:
+                    if pref is not None:
+                        s = np.searchsorted(pref, ff, "left")
+                        e = np.searchsorted(pref, ff, "right")
+                        bh, bl, bv, bb = hi[s:e], lo[s:e], vals[s:e], \
+                            labs[s:e]
+                    else:
+                        bh, bl, bv, bb = hi, lo, vals, labs
+                    if writer:
+                        writer.add_bucket(ff, bh, bl, bv, bb)
+                    if list_sharded:
+                        # '##' -> one file per 6-bit prefix bucket
+                        # (reference.rst:528-534: 64 parallel lists)
+                        with open(root.out_list.replace(
+                                "##", f"{ff:02d}"), "w") as bf:
+                            print_v2(bh, bl, bv, bb, kk, bf, True,
+                                     acgt=root.out_list_acgt)
+                if listf:
                     print_v2(hi, lo, vals, labs, kk, listf, True,
                              acgt=root.out_list_acgt)
                 if root.out_show:
