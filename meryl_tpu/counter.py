@@ -66,13 +66,15 @@ def _extract_filtered(codes, k: int, mode: str, suffix):
 
 @functools.partial(jax.jit, static_argnames=("k", "mode", "suffix"))
 def _chunk_pipeline(codes, k: int, mode: str, suffix=None):
-    """codes (L,) uint8 -> (sorted planes, counts, start mask, n_unique).
+    """codes (L,) uint8 -> (sorted planes, start mask, n_invalid).
 
-    suffix: optional (bits, length) static pair — only count kmers whose
-    last `length` bases encode to `bits` (the reference's count-suffix,
-    /root/reference/src/meryl/merylOp-countSimple.C:50-90)."""
+    Device program is extract + sort + neighbor-compare only; run
+    lengths are recovered on the host from start positions
+    (cnt.sort_starts rationale).  suffix: optional (bits, length)
+    static pair — only count kmers whose last `length` bases encode to
+    `bits` (the reference's count-suffix, merylOp-countSimple.C:50-90)."""
     planes, valid = _extract_filtered(codes, k, mode, suffix)
-    return cnt.sort_count(planes, valid)
+    return cnt.sort_starts(planes, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mode", "suffix"))
@@ -95,26 +97,14 @@ def _finish_chunk(result):
         uplanes, counts, n_unique = result
         n = int(n_unique)
         planes_np = [np.asarray(p[:n]) for p in uplanes]
-        c = np.asarray(counts[:n])
+        c = np.asarray(counts[:n]).astype(np.uint64)
     else:
-        splanes, counts, start, _ = result
-        start = np.asarray(start)
-        idx = np.flatnonzero(start)
-        planes_np = [np.asarray(p)[idx] for p in splanes]
-        c = np.asarray(counts)[idx]
+        splanes, start, n_invalid = result
+        planes_np, c = cnt.host_rle_finish(
+            [np.asarray(p) for p in splanes], np.asarray(start),
+            int(n_invalid))
     hi, lo = km.hilo_from_planes(planes_np)
-    return hi, lo, c.astype(np.uint64)
-
-
-def _compact_host(splanes, counts, start, n_unique=None):
-    """Slice unique entries out on the host (device gathers/scatters
-    are far slower than one host boolean take; see ops/count.py)."""
-    start = np.asarray(start)
-    idx = np.flatnonzero(start)
-    planes_np = [np.asarray(p)[idx] for p in splanes]
-    c = np.asarray(counts)[idx]
-    hi, lo = km.hilo_from_planes(planes_np)
-    return hi, lo, c.astype(np.uint64)
+    return hi, lo, c
 
 
 def merge_runs(runs):

@@ -97,6 +97,43 @@ def sort_count(planes, validb):
     return splanes, counts, start, n_unique
 
 
+@jax.jit
+def sort_starts(planes, validb):
+    """Minimal device program for the host-RLE counting path: sort and
+    mark run starts only.  Run lengths are differences of start
+    positions, which the host computes from the downloaded start mask
+    (np.diff over flatnonzero) while the device works on the next
+    chunk — this removes the reversed-cummin scan (the second most
+    expensive op after the sort) from the hot program and shrinks the
+    device->host transfer by the counts array.
+
+    Returns (sorted_planes, start_mask, n_invalid).  Invalid entries
+    sort into the trailing sentinel run; the host subtracts n_invalid
+    from the final run (the sentinel-collision rule of sort_count)."""
+    n_invalid = jnp.sum((~validb).astype(jnp.int32))
+    masked = [jnp.where(validb, p, SENT) for p in planes]
+    splanes, _ = _sort_planes(masked)
+    start = _run_starts(splanes)
+    return splanes, start, n_invalid
+
+
+def host_rle_finish(splanes_np, start_np, n_invalid: int):
+    """Host side of sort_starts: unique planes + counts from the start
+    mask (numpy)."""
+    import numpy as np
+    idx = np.flatnonzero(start_np)
+    L = len(start_np)
+    ends = np.append(idx[1:], L)
+    counts = (ends - idx).astype(np.int64)
+    if n_invalid and len(counts):
+        counts[-1] -= n_invalid
+        if counts[-1] <= 0:
+            idx = idx[:-1]
+            counts = counts[:-1]
+    planes = [p[idx] for p in splanes_np]
+    return planes, counts.astype(np.uint64)
+
+
 def _compact_by_flag(flag, payloads):
     """Stable-sort payloads so entries with flag=True come first, in
     their original order.  (A 1-key binary sort: radix fast path.)"""

@@ -5,7 +5,7 @@ import pytest
 
 from meryl_tpu import kmer as km
 from meryl_tpu import oracle
-from meryl_tpu.counter import count_to_arrays, merge_runs, _chunk_pipeline, _compact_host
+from meryl_tpu.counter import count_to_arrays, merge_runs, _chunk_pipeline, _finish_chunk
 from meryl_tpu.io.sequence import SEP
 
 
@@ -23,8 +23,7 @@ def run_pipeline_on_seqs(seqs, k, mode="canonical"):
         codes_parts.append(km.encode_bases(s))
         codes_parts.append(np.full(1, SEP, np.uint8))
     codes = np.concatenate(codes_parts)
-    splanes, counts, start, _ = _chunk_pipeline(jnp.asarray(codes), k, mode)
-    return _compact_host(splanes, counts, start)
+    return _finish_chunk(_chunk_pipeline(jnp.asarray(codes), k, mode))
 
 
 @pytest.mark.parametrize("k", [4, 15, 16, 17, 21, 31, 32, 33, 48, 63, 64])
