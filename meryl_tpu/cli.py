@@ -183,6 +183,8 @@ class CommandBuilder:
             return True
         if key == "threads":
             self.threads = int(val)
+            # host-side parallelism: the merge cascade reads this
+            os.environ["MERYL_TPU_THREADS"] = str(self.threads)
             return True
         if key == "segment" and "/" in val:
             a, b = val.split("/", 1)

@@ -138,49 +138,78 @@ def _pool_buffers(total: int):
     return _merge_pool[0], _merge_pool[1]
 
 
-def merge_cascade(runs):
+def merge_threads() -> int:
+    """Host merge parallelism: the CLI's threads= option (env
+    MERYL_TPU_THREADS); default caps at 4 — the cascade is
+    memory-bandwidth-bound well before that."""
+    v = os.environ.get("MERYL_TPU_THREADS")
+    if v:
+        return max(1, int(v))
+    return max(1, min(4, (os.cpu_count() or 2) // 2))
+
+
+def merge_cascade(runs, threads: int | None = None):
     """Merge any number of sorted unique (hi, lo, count-u64) runs with
     the native linear pairwise merge, ping-ponging two pooled buffer
-    sets."""
+    sets.  Pairwise merges within a cascade level are independent and
+    run on `threads` host threads (ctypes releases the GIL) — the
+    reference's threads= maps here (its OpenMP dump/merge loops)."""
     lib = get_lib()
     runs = [tuple(np.ascontiguousarray(x, np.uint64) for x in r)
             for r in runs]
     total = sum(len(r[2]) for r in runs)
+    if threads is None:
+        threads = merge_threads()
     A, B = _pool_buffers(total)
-    bounds = [0]
+    segs = []  # (start, n) in A, ascending disjoint
     o = 0
     for h, l, c in runs:
         n = len(c)
         A[0][o:o + n] = h
         A[1][o:o + n] = l
         A[2][o:o + n] = c
+        segs.append((o, n))
         o += n
-        bounds.append(o)
 
-    while len(bounds) > 2:
-        newb = [0]
-        o = 0
-        i = 0
-        while i + 2 < len(bounds):
-            a0, a1, a2 = bounds[i], bounds[i + 1], bounds[i + 2]
-            n = lib.mt_merge2(
-                _u64p(A[0], a0), _u64p(A[1], a0), _u64p(A[2], a0), a1 - a0,
-                _u64p(A[0], a1), _u64p(A[1], a1), _u64p(A[2], a1), a2 - a1,
-                _u64p(B[0], o), _u64p(B[1], o), _u64p(B[2], o))
-            o += n
-            newb.append(o)
-            i += 2
-        if i + 1 < len(bounds):  # odd run copies through
-            a0, a1 = bounds[i], bounds[i + 1]
-            n = a1 - a0
-            for x in range(3):
-                B[x][o:o + n] = A[x][a0:a1]
-            o += n
-            newb.append(o)
-        A, B = B, A
-        bounds = newb
-    n = bounds[-1]
-    return A[0][:n].copy(), A[1][:n].copy(), A[2][:n].copy()
+    ex = None
+    if threads > 1 and len(segs) > 2:
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(max_workers=threads)
+    try:
+        while len(segs) > 1:
+            pairs = [(segs[i], segs[i + 1])
+                     for i in range(0, len(segs) - 1, 2)]
+            tail = segs[-1] if len(segs) % 2 else None
+            Ai, Bi = A, B
+
+            def do_pair(pq):
+                (s0, n0), (s1, n1) = pq
+                # output lands at the left input's start; the merged
+                # size <= n0+n1 <= s_next - s0, so regions stay disjoint
+                n = lib.mt_merge2(
+                    _u64p(Ai[0], s0), _u64p(Ai[1], s0), _u64p(Ai[2], s0),
+                    n0,
+                    _u64p(Ai[0], s1), _u64p(Ai[1], s1), _u64p(Ai[2], s1),
+                    n1,
+                    _u64p(Bi[0], s0), _u64p(Bi[1], s0), _u64p(Bi[2], s0))
+                return (s0, n)
+            if ex is not None and len(pairs) > 1:
+                new_segs = list(ex.map(do_pair, pairs))
+            else:
+                new_segs = [do_pair(p) for p in pairs]
+            if tail is not None:  # odd run copies through
+                s0, n = tail
+                for x in range(3):
+                    B[x][s0:s0 + n] = A[x][s0:s0 + n]
+                new_segs.append((s0, n))
+            A, B = B, A
+            segs = new_segs
+    finally:
+        if ex is not None:
+            ex.shutdown()
+    s0, n = segs[0]
+    return (A[0][s0:s0 + n].copy(), A[1][s0:s0 + n].copy(),
+            A[2][s0:s0 + n].copy())
 
 
 def scan_codes(path: str, hpc: bool = False, block: int = 1 << 22):

@@ -218,8 +218,16 @@ class Builder:
                 raise ParseError("-l label size must be in [0, 64]")
             self._expect_l = False
             return
-        if w in ("-t", "-m"):         # threads/memory: accepted, value
-            self._swallow_arg = True  # consumed (XLA manages resources)
+        if w == "-t":                 # threads: host merge parallelism
+            self._expect_t = True
+            return
+        if getattr(self, "_expect_t", False):
+            import os as _o
+            _o.environ["MERYL_TPU_THREADS"] = str(int(w))
+            self._expect_t = False
+            return
+        if w == "-m":                 # memory: accepted, value consumed
+            self._swallow_arg = True  # (XLA manages device memory)
             return
         if w.startswith("-V") or w in ("-Q", "-P", "-C"):
             return
