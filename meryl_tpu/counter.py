@@ -230,6 +230,20 @@ def count_to_arrays(paths, k: int, mode: str = "canonical", hpc: bool = False,
     return merge_runs(runs)
 
 
+def _use_multihost(count_suffix, segment) -> bool:
+    """Whether counting should run the multi-process (multi-host)
+    distributed path: either the MERYL_TPU_COORD launcher contract is
+    set, or the caller already initialized a >1-process jax.distributed
+    job.  count-suffix / explicit segment= fall back to local paths."""
+    if count_suffix is not None or segment is not None:
+        return False
+    from .parallel import multihost as mh
+    if mh.env_requested():
+        return int(_os.environ.get("MERYL_TPU_NPROCS", "1")) > 1
+    import jax
+    return jax.process_count() > 1
+
+
 def count_to_db(paths, out_path: str, k: int, mode: str = "canonical",
                 hpc: bool = False, chunk_len: int | None = None,
                 count_suffix: str | None = None, segment=None,
@@ -239,6 +253,13 @@ def count_to_db(paths, out_path: str, k: int, mode: str = "canonical",
     plan says the merged unique set may exceed it, counting routes
     through the out-of-core batched path (the reference sizes batches
     to its memory allowance the same way, merylOp-count.C:355-358)."""
+    if _use_multihost(count_suffix, segment):
+        from .parallel import multihost as mh
+        if mh.env_requested():
+            mh.init_from_env()
+        return mh.count_to_db_multihost(paths, out_path, k, mode=mode,
+                                        hpc=hpc, chunk_len=chunk_len,
+                                        progress=progress)
     if memory_gb is not None and count_suffix is None:
         plan = configure_counting(paths, k, memory_gb, chunk_len)
         if plan["batches"] > 1 and not _use_sharded(count_suffix):

@@ -1,0 +1,231 @@
+"""Multi-host (multi-process) counting: the product path for meshes
+that span more than one host.
+
+The reference meryl has no in-process distributed mode — its one
+multi-node story is external sharding (`segment=a/b`,
+/root/reference/src/meryl/merylCommandBuilder.C:313-315) followed by a
+DB `union-sum` merge run by the user.  Here multi-host is first-class:
+
+  * every process joins one `jax.distributed` job (ICI/DCN collectives
+    come from XLA; on CPU test meshes, gloo),
+  * each process reads a disjoint sequence segment of the SAME input
+    (the chunker's sequence-modulo split) and feeds shards for its own
+    addressable devices,
+  * one global `ShardedCounter` SPMD program counts + all-to-alls
+    kmers to owner devices (meryl_tpu/parallel/shard_count.py) — its
+    control scalars are replicated, so every process can drive the
+    spill logic identically,
+  * each process writes its owner ranges as a sorted part file;
+    process 0 assembles the final 64-bucket DB (exact histogram and
+    statistics from the final merged counts).
+
+Lockstep rule: every process must invoke the same jitted programs the
+same number of times.  Processes whose input segment is exhausted keep
+feeding separator-padded shards until ALL processes are done (the
+per-step `_all_done` allgather), so collectives never deadlock.
+
+Environment contract (the launcher sets these):
+  MERYL_TPU_COORD    coordinator address host:port
+  MERYL_TPU_NPROCS   number of processes
+  MERYL_TPU_PROCID   this process id (0-based)
+  MERYL_TPU_LOCAL_DEVICES   optional: virtual CPU devices per process
+                            (test meshes)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+PART_DIR_SUFFIX = ".mhparts"
+
+
+def env_requested() -> bool:
+    return "MERYL_TPU_COORD" in os.environ
+
+
+_initialized = False
+
+
+def init_from_env() -> tuple[int, int]:
+    """Join the jax.distributed job described by MERYL_TPU_* and return
+    (process_id, num_processes).  Idempotent.  Must run before anything
+    initializes the JAX backend (jax.devices()/process_count()/first
+    computation)."""
+    global _initialized
+    import jax
+
+    coord = os.environ["MERYL_TPU_COORD"]
+    nprocs = int(os.environ["MERYL_TPU_NPROCS"])
+    pid = int(os.environ["MERYL_TPU_PROCID"])
+    ndev = os.environ.get("MERYL_TPU_LOCAL_DEVICES")
+    if ndev:  # virtual CPU mesh (tests / dev boxes)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(ndev))
+    if not _initialized and nprocs > 1:
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=nprocs, process_id=pid)
+        _initialized = True
+    return pid, nprocs
+
+
+def _all_done(local_done: bool) -> bool:
+    """True iff every process's input is exhausted (host-level
+    allgather — one tiny collective per step)."""
+    from jax.experimental import multihost_utils
+    flags = multihost_utils.process_allgather(
+        np.array([1 if local_done else 0], np.int32))
+    return bool(np.asarray(flags).min() >= 1)
+
+
+def count_to_arrays_multihost(paths, k: int, mode: str = "canonical",
+                              hpc: bool = False,
+                              chunk_len: int | None = None,
+                              progress=None, **shard_kw):
+    """Distributed counting over all processes' devices.
+
+    Returns the process-LOCAL owner parts [(row, hi, lo, counts)];
+    rows ascend with global device id, and concatenating all
+    processes' parts in row order yields the globally sorted unique
+    (kmer, count) set.  Use assemble_db() to build the final DB.
+    """
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..counter import default_chunk
+    from ..io.sequence import SEP, SequenceChunker
+    from .shard_count import ShardedCounter
+
+    chunk_len = chunk_len or default_chunk()
+    pid, nprocs = jax.process_index(), jax.process_count()
+    mesh = Mesh(np.array(jax.devices()), ("d",))
+    n = mesh.devices.size
+    n_local = jax.local_device_count()
+    sharding = NamedSharding(mesh, P("d"))
+    global_shape = (n * chunk_len,)
+
+    sc = ShardedCounter(mesh, k, chunk_len=chunk_len, mode=mode, **shard_kw)
+
+    # each process reads its own sequence-modulo segment
+    chunker = iter(SequenceChunker(paths, k, chunk_len, hpc=hpc,
+                                   segment=(pid + 1, nprocs)))
+    pad = np.full(chunk_len, SEP, np.uint8)
+    exhausted = False
+    nbases = 0
+    while True:
+        group = []
+        for _ in range(n_local):
+            chunk = None if exhausted else next(chunker, None)
+            if chunk is None:
+                exhausted = True
+                group.append(pad)
+            else:
+                nbases += len(chunk)
+                group.append(chunk)
+        if _all_done(exhausted and all(c is pad for c in group)):
+            break
+        codes = jax.make_array_from_process_local_data(
+            sharding, np.concatenate(group), global_shape)
+        sc.add_codes(codes)
+        if progress:
+            progress(nbases)
+    return sc.finalize_parts()
+
+
+def write_parts(out_path: str, k: int, parts) -> str:
+    """Persist this process's owner parts; returns the parts dir."""
+    import jax
+
+    pdir = out_path + PART_DIR_SUFFIX
+    os.makedirs(pdir, exist_ok=True)
+    pid = jax.process_index()
+    meta = []
+    for row, hi, lo, c in parts:
+        fn = os.path.join(pdir, f"part_r{row:05d}.npz")
+        np.savez(fn, hi=hi, lo=lo, counts=c.astype(np.uint32))
+        meta.append({"row": int(row), "n": int(len(c)), "file": fn})
+    with open(os.path.join(pdir, f"proc{pid}.json"), "w") as f:
+        json.dump({"k": int(k), "parts": meta}, f)
+    return pdir
+
+
+def assemble_db(out_path: str, k: int, *, mode: str = "canonical",
+                hpc: bool = False):
+    """Process 0: merge all part files (disjoint, globally ordered by
+    device row) into the final 64-bucket DB; histogram/statistics from
+    the final merged counts.  Other processes: no-op.  All processes
+    barrier before and after, and every process returns only after the
+    DB is complete on shared storage."""
+    import shutil
+
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..db import NUM_FILES, MerylDBWriter
+    from .. import kmer as km
+
+    multihost_utils.sync_global_devices("meryl_mh_parts_written")
+    db = None
+    if jax.process_index() == 0:
+        pdir = out_path + PART_DIR_SUFFIX
+        metas = []
+        for fn in sorted(os.listdir(pdir)):
+            if fn.startswith("proc") and fn.endswith(".json"):
+                with open(os.path.join(pdir, fn)) as f:
+                    metas.extend(json.load(f)["parts"])
+        metas.sort(key=lambda m: m["row"])
+        w = MerylDBWriter(out_path, k, mode=mode, hpc=hpc)
+        # stream parts in global order, cutting at 6-bit-file boundaries
+        # (an owner range may straddle a file when prefix_bits > 6)
+        cur_ff = 0
+        buf = []  # (hi, lo, c) pieces belonging to cur_ff and beyond
+
+        def flush_through(ff_end):
+            """Write complete buckets cur_ff..ff_end-1 from buf."""
+            nonlocal cur_ff, buf
+            if not buf:
+                hi = lo = np.zeros(0, np.uint64)
+                c = np.zeros(0, np.uint32)
+            else:
+                hi = np.concatenate([b[0] for b in buf])
+                lo = np.concatenate([b[1] for b in buf])
+                c = np.concatenate([b[2] for b in buf])
+            pref = km.prefix6_from_hilo(hi, lo, k)
+            for ff in range(cur_ff, ff_end):
+                m = pref == ff
+                w.add_bucket(ff, hi[m], lo[m], c[m])
+            keep = pref >= ff_end
+            buf = [(hi[keep], lo[keep], c[keep])] if keep.any() else []
+            cur_ff = ff_end
+
+        for m in metas:
+            z = np.load(m["file"])
+            hi, lo, c = z["hi"], z["lo"], z["counts"]
+            if len(c):
+                first = int(km.prefix6_from_hilo(hi[:1], lo[:1], k)[0])
+                if first > cur_ff:
+                    flush_through(first)
+                buf.append((hi, lo, c))
+        flush_through(NUM_FILES)
+        db = w.finalize()
+        shutil.rmtree(pdir, ignore_errors=True)
+    multihost_utils.sync_global_devices("meryl_mh_db_assembled")
+    if db is None:
+        from ..db import MerylDB
+        db = MerylDB.open(out_path)
+    return db
+
+
+def count_to_db_multihost(paths, out_path: str, k: int,
+                          mode: str = "canonical", hpc: bool = False,
+                          chunk_len: int | None = None, progress=None,
+                          **shard_kw):
+    """The full multi-host product path: distributed count -> per-
+    process part files -> process-0 DB assembly."""
+    parts = count_to_arrays_multihost(paths, k, mode=mode, hpc=hpc,
+                                      chunk_len=chunk_len,
+                                      progress=progress, **shard_kw)
+    write_parts(out_path, k, parts)
+    return assemble_db(out_path, k, mode=mode, hpc=hpc)

@@ -194,15 +194,18 @@ def make_sharded_count_step(mesh: Mesh, k: int, *, chunk_len: int,
             recv_planes, recv_counts)
 
         overflow = jax.lax.psum(dropped, "d")
+        # replicated max so every HOST sees the same control values
+        # (per-device outputs are not addressable across processes)
+        n_max = jax.lax.pmax(n_unique, "d")
 
         return (tuple(p.reshape(1, out_cap) for p in oplanes),
-                ocounts.reshape(1, out_cap), n_unique.reshape(1), overflow)
+                ocounts.reshape(1, out_cap), n_max, overflow)
 
     fn = jax.shard_map(
         step, mesh=mesh,
         in_specs=P("d"),
         out_specs=(tuple(P("d", None) for _ in range(nplanes)),
-                   P("d", None), P("d"), P()),
+                   P("d", None), P(), P()),
         check_vma=False)
     return jax.jit(fn)
 
@@ -220,15 +223,16 @@ def make_sharded_merge(mesh: Mesh, nplanes: int, acc_cap: int):
         mplanes, mcounts, n_unique = cnt.merge_counted(a, ac, b, bc)
         mplanes = [p[:acc_cap] for p in mplanes]
         mcounts = mcounts[:acc_cap]
+        n_max = jax.lax.pmax(n_unique, "d")  # replicated (multihost-safe)
         return (tuple(p.reshape(1, acc_cap) for p in mplanes),
-                mcounts.reshape(1, acc_cap), n_unique.reshape(1))
+                mcounts.reshape(1, acc_cap), n_max)
 
     fn = jax.shard_map(
         merge, mesh=mesh,
         in_specs=(tuple(P("d", None) for _ in range(nplanes)), P("d", None),
                   tuple(P("d", None) for _ in range(nplanes)), P("d", None)),
         out_specs=(tuple(P("d", None) for _ in range(nplanes)),
-                   P("d", None), P("d")),
+                   P("d", None), P()),
         check_vma=False)
     return jax.jit(fn)
 
@@ -275,7 +279,9 @@ class ShardedCounter:
         self._merge = make_sharded_merge(mesh, self.nplanes, self.acc_cap)
         self._acc = None
         self._acc_n = 0            # max per-device uniques in _acc
-        self._spills = [[] for _ in range(self.n)]  # host (hi, lo, c) runs
+        # host (hi, lo, c) runs per ADDRESSABLE device row (multi-host:
+        # each process only downloads its own devices' owner ranges)
+        self._spills: dict = {}
 
     def _fresh_acc(self):
         zc = jnp.zeros((self.n, self.acc_cap), jnp.uint32)
@@ -283,28 +289,38 @@ class ShardedCounter:
                             jnp.uint32) for _ in range(self.nplanes))
         return (zp, zc)
 
+    @staticmethod
+    def _local_rows(arr):
+        """{device row -> (rows, cap) numpy data} for the process-local
+        (addressable) shards of a P('d', None)-sharded array."""
+        out = {}
+        for sh in arr.addressable_shards:
+            idx = sh.index[0]
+            r = idx.start or 0
+            out[r] = np.asarray(sh.data)[0]
+        return out
+
     def _download_acc(self):
-        """Per-device (hi, lo, counts) host runs from the accumulator."""
+        """{row: (hi, lo, counts)} host runs for addressable devices."""
         from .. import kmer as km
         planes, counts = self._acc
-        counts = np.asarray(counts)
-        planes = [np.asarray(p) for p in planes]
-        runs = []
-        for d in range(self.n):
-            c = counts[d]
+        crows = self._local_rows(counts)
+        prows = [self._local_rows(p) for p in planes]
+        runs = {}
+        for d, c in crows.items():
             keep = c > 0
-            hi, lo = km.hilo_from_planes([p[d][keep] for p in planes])
-            runs.append((hi, lo, c[keep].astype(np.uint64)))
+            hi, lo = km.hilo_from_planes([pr[d][keep] for pr in prows])
+            runs[d] = (hi, lo, c[keep].astype(np.uint64))
         return runs
 
     def spill(self) -> None:
-        """Download every device's accumulated run to host RAM and
-        reset the accumulators (out-of-core batch dump)."""
+        """Download every local device's accumulated run to host RAM
+        and reset the accumulators (out-of-core batch dump)."""
         if self._acc is None or self._acc_n == 0:
             return
-        for d, run in enumerate(self._download_acc()):
+        for d, run in self._download_acc().items():
             if len(run[2]):
-                self._spills[d].append(run)
+                self._spills.setdefault(d, []).append(run)
         self._acc = None
         self._acc_n = 0
 
@@ -317,14 +333,14 @@ class ShardedCounter:
                 f"ShardedCounter all-to-all overflow: "
                 f"{int(np.asarray(overflow))} kmers exceeded pair_cap="
                 f"{self.pair_cap}; raise pair_cap")
-        step_max = int(np.max(np.asarray(step_n)))
+        step_max = int(np.asarray(step_n))  # replicated pmax scalar
         if self._acc is not None and self._acc_n + step_max > self.acc_cap:
             self.spill()  # make room before merging (no truncation)
         if self._acc is None:
             self._acc = self._fresh_acc()
         ap, ac, n_unique = self._merge(self._acc[0], self._acc[1],
                                        planes, counts)
-        nmax = int(np.max(np.asarray(n_unique)))
+        nmax = int(np.asarray(n_unique))
         if nmax > self.acc_cap:
             raise RuntimeError(
                 f"ShardedCounter accumulator overflow: one step produced "
@@ -332,30 +348,38 @@ class ShardedCounter:
         self._acc = (ap, ac)
         self._acc_n = nmax
 
-    def finalize(self):
-        """-> (hi, lo, counts) numpy arrays, globally sorted unique;
-        spilled runs and the live accumulator are union-sum merged per
-        owner device.  Value histogram/statistics should be computed
-        from these final counts (e.g. by MerylDB.write), never from
-        per-step partials."""
+    def finalize_parts(self):
+        """-> [(device row, hi, lo, counts)] for the process-local
+        devices, ascending row; spilled runs and the live accumulator
+        are union-sum merged per owner."""
         from ..counter import merge_runs
-        acc_runs = None
+        acc_runs = {}
         if self._acc is not None and self._acc_n > 0:
             acc_runs = self._download_acc()
-        his, los, cs = [], [], []
-        for d in range(self.n):
-            runs = list(self._spills[d])
-            if acc_runs is not None:
+        rows = sorted(set(self._spills) | set(acc_runs))
+        parts = []
+        for d in rows:
+            runs = list(self._spills.get(d, []))
+            if d in acc_runs:
                 runs.append(acc_runs[d])
             hi, lo, c = merge_runs(runs)
-            his.append(hi)
-            los.append(lo)
-            cs.append(c)
-        if not his:
+            parts.append((d, hi, lo, c))
+        return parts
+
+    def finalize(self):
+        """-> (hi, lo, counts) numpy arrays, globally sorted unique
+        (single-process meshes; multi-host assembly uses
+        finalize_parts).  Owner prefix ranges ascend with device id, so
+        per-device results concatenate in order.  Value histogram /
+        statistics should be computed from these final counts (e.g. by
+        MerylDB.write), never from per-step partials."""
+        parts = self.finalize_parts()
+        if not parts:
             z = np.zeros(0, np.uint64)
             return z, z.copy(), np.zeros(0, np.uint32)
-        return (np.concatenate(his), np.concatenate(los),
-                np.concatenate(cs).astype(np.uint32))
+        return (np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+                np.concatenate([p[3] for p in parts]).astype(np.uint32))
 
 
 def demo_codes(n_dev: int, chunk_len: int, seed: int = 7):

@@ -1,0 +1,80 @@
+"""Multi-host (multi-process) counting: the launcher spawns a real
+2-process jax.distributed job (gloo collectives on a virtual CPU mesh,
+4 devices per process) driving the PRODUCT CLI; the assembled DB must
+decode identically to a single-process count of the same input.
+
+This is the code-level test of SURVEY §2.5 P6 / §5 "distributed
+communication backend" — cross-process collectives + shared-filesystem
+DB assembly, not just a single-process mesh."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from meryl_tpu.db import MerylDB
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_reads(path, rng, n_reads=10, length=400):
+    bases = "ACGT"
+    with open(path, "w") as f:
+        for i in range(n_reads):
+            seq = "".join(bases[b] for b in rng.integers(0, 4, size=length))
+            # embed an N run in some reads to exercise breakers
+            if i % 3 == 0:
+                seq = seq[:50] + "NNN" + seq[53:]
+            f.write(f">r{i}\n{seq}\n")
+
+
+@pytest.mark.slow
+def test_multihost_cli_count_matches_single(tmp_path):
+    rng = np.random.default_rng(42)
+    fa = str(tmp_path / "reads.fa")
+    _write_reads(fa, rng)
+    db_mh = str(tmp_path / "mh.meryldb")
+    db_1 = str(tmp_path / "single.meryldb")
+
+    env = dict(os.environ)
+    env["MERYL_TPU_CHUNK"] = "512"
+    env.pop("MERYL_TPU_COORD", None)
+    # children must never touch a real TPU backend (this environment
+    # pins an external tunnel); force CPU everywhere
+    env["JAX_PLATFORMS"] = "cpu"
+
+    # 2-process distributed job through the launcher + product CLI
+    r = subprocess.run(
+        [sys.executable, "-m", "meryl_tpu.parallel.launch",
+         "--nprocs", "2", "--devices-per-proc", "4", "--",
+         "count", "k=21", fa, "output", db_mh],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
+
+    # single-process reference (forced non-distributed, sharded off)
+    env1 = dict(env)
+    env1["MERYL_TPU_SHARDED"] = "0"
+    r1 = subprocess.run(
+        [sys.executable, "-m", "meryl_tpu",
+         "count", "k=21", fa, "output", db_1],
+        env=env1, cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert r1.returncode == 0, f"stdout={r1.stdout}\nstderr={r1.stderr}"
+
+    hi_m, lo_m, c_m = MerylDB.open(db_mh).load_all()
+    hi_1, lo_1, c_1 = MerylDB.open(db_1).load_all()
+    assert len(c_m) == len(c_1)
+    assert (hi_m == hi_1).all() and (lo_m == lo_1).all()
+    assert (c_m == c_1).all()
+
+    # stored stats/histogram must match too (assembled from parts)
+    s_m = MerylDB.open(db_mh).stats()
+    s_1 = MerylDB.open(db_1).stats()
+    assert s_m == s_1
+    hv_m, ho_m = MerylDB.open(db_mh).histogram()
+    hv_1, ho_1 = MerylDB.open(db_1).histogram()
+    assert hv_m.tolist() == hv_1.tolist()
+    assert ho_m.tolist() == ho_1.tolist()
+    # no leftover part dir
+    assert not os.path.exists(db_mh + ".mhparts")

@@ -24,7 +24,10 @@ def _run(k, n_dev, chunk_len, seed=3, **kw):
     planes = [np.asarray(p).reshape(-1) for p in planes]
     counts = np.asarray(counts).reshape(-1)
     keep = counts > 0
-    assert int(keep.sum()) == int(np.asarray(n_unique).sum())
+    # n_unique is the replicated per-device MAX (multihost-safe control
+    # scalar); real totals come from the data itself
+    per_dev = (np.asarray(counts).reshape(n_dev, -1) > 0).sum(axis=1)
+    assert int(np.asarray(n_unique)) == int(per_dev.max())
     hi, lo = km.hilo_from_planes([p[keep] for p in planes])
     got = {(int(h) << 64) | int(l): int(c)
            for h, l, c in zip(hi, lo, counts[keep])}

@@ -83,7 +83,8 @@ def test_sharded_counter_spill_and_histogram():
             s = codes[d * chunk:(d + 1) * chunk]
             seqs.append("".join(km.ALPHABET[c] for c in s))
         sc.add_codes(codes)
-    assert any(len(s) for s in sc._spills), "spill path not exercised"
+    assert any(len(r) for r in sc._spills.values()), \
+        "spill path not exercised"
     hi, lo, counts = sc.finalize()
     got = {(int(h) << 64) | int(l): int(c)
            for h, l, c in zip(hi, lo, counts)}
