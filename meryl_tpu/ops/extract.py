@@ -88,6 +88,80 @@ def _build_windows(base_f, base_r, base_v, k: int, L: int):
     return _trim(accf, L), _trim(accr, L), lax.slice(accv, (0,), (L,))
 
 
+def _build_windows_rolldot(codes_u32, k: int, L: int):
+    """Rolling-dot window build: O(1) passes in k (vs the multiword
+    doubling's O(P log k)).
+
+    One shared ladder of 4 fused mul-add passes builds the 16-base
+    rolling dot products
+        y[m] = sum_{t=0..15} x[m+t] * 4^(15-t)   (forward)
+        z[m] = sum_{t=0..15} xc[m+t] * 4^t       (reverse-complement)
+    in EXACT uint32 arithmetic (max value 4^16-1 = 2^32-1); every
+    32-bit kmer plane is then just a slice of y / z:
+
+      fmer plane p at position i = y[i + lp + k - 16(p+1)]
+        (x left-padded with lp = 16P-k zeros so slice starts stay >= 0)
+      rmer plane p at position i = z[i + lp + 16p]
+
+    Top planes are AND-masked to 2k-32p bits: taps outside the kmer
+    (preceding codes for fmer, following codes for rmer) land at base-4
+    digits >= 2k-32p, and digit placement never carries, so the mask
+    removes them exactly.
+    """
+    P = num_planes(k)
+    lp = 16 * P - k          # left zero-pad so the top fmer slice >= 0
+    rpad = k + 16            # right pad: windows + ladder lookahead
+    x = jnp.concatenate([jnp.zeros((lp,), U32), codes_u32,
+                         jnp.zeros((rpad,), U32)])
+    xc = jnp.concatenate([jnp.zeros((lp,), U32), codes_u32 ^ U32(2),
+                          jnp.zeros((rpad,), U32)])
+
+    def ladder(v, wexp):
+        # wexp=+1: weights 4^(n-1-t) (forward); -1: 4^t (reverse)
+        for step in (1, 2, 4, 8):
+            hiw = U32(1 << (2 * step))
+            a = lax.slice(v, (0,), (v.shape[0] - step,))
+            b = lax.slice(v, (step,), (v.shape[0],))
+            v = (a * hiw + b) if wexp > 0 else (a + b * hiw)
+        return v
+
+    y = ladder(x, +1)
+    z = ladder(xc, -1)
+
+    def top_mask(v, p):
+        bits = 2 * k - 32 * p
+        return v & U32((1 << bits) - 1) if bits < 32 else v
+
+    fmer = [top_mask(lax.slice(y, (lp + k - 16 * (p + 1),),
+                               (lp + k - 16 * (p + 1) + L,)), p)
+            for p in range(P)]
+    rmer = [top_mask(lax.slice(z, (lp + 16 * p,),
+                               (lp + 16 * p + L,)), p)
+            for p in range(P)]
+    return fmer, rmer
+
+
+def _valid_windows(is_valid, k: int, L: int):
+    """AND of k consecutive validity flags by binary doubling (single
+    u32 array, log2(k) fused passes)."""
+    bits = bin(k)[2:]
+    acc, alen = is_valid, 1
+    cur = is_valid.shape[0]
+    for b in bits[1:]:
+        nxt = cur - alen
+        acc = lax.slice(acc, (0,), (nxt,)) & \
+            lax.slice(acc, (alen,), (alen + nxt,))
+        cur = nxt
+        alen *= 2
+        if b == "1":
+            nxt = cur - 1
+            acc = lax.slice(acc, (0,), (nxt,)) & \
+                lax.slice(is_valid, (alen,), (alen + nxt,))
+            cur = nxt
+            alen += 1
+    return lax.slice(acc, (0,), (L,))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mode"))
 def extract_kmers(codes, k: int, mode: str = "canonical"):
     """codes: (L,) uint8/uint32 base codes (0..3, INVALID_CODE elsewhere).
@@ -98,17 +172,14 @@ def extract_kmers(codes, k: int, mode: str = "canonical"):
     """
     codes = codes.astype(U32)
     L = codes.shape[0]
-    P = num_planes(k)
 
     padded = jnp.concatenate(
         [codes, jnp.full((_PAD,), INVALID_CODE, U32)])
     is_valid = (padded <= U32(3)).astype(U32)
     c = jnp.where(padded <= U32(3), padded, U32(0))
-    zero = jnp.zeros((L + _PAD,), U32)
-    base_f = [c] + [zero] * (P - 1)
-    base_r = [c ^ U32(2)] + [zero] * (P - 1)
 
-    fmer, rmer, valid = _build_windows(base_f, base_r, is_valid, k, L)
+    fmer, rmer = _build_windows_rolldot(lax.slice(c, (0,), (L,)), k, L)
+    valid = _valid_windows(is_valid, k, L)
 
     # windows that run off the end of the chunk are invalid (the pad is
     # INVALID_CODE, so `valid` already covers this; pos_ok is belt and
