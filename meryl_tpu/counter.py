@@ -35,6 +35,18 @@ def default_chunk() -> int:
 
 _USE_PALLAS = bool(_os.environ.get("MERYL_TPU_PALLAS"))
 
+
+def _sort_rowlen(chunk_len: int) -> int | None:
+    """Row length for the chunk sort: a single long lax.sort costs up
+    to 20x the ~1.5 ns/element floor that row-batched sorts hit
+    (docs/tpu-design.md), so chunks are sorted as independent rows and
+    the host merge union-sums duplicates across rows.  None disables
+    (tiny chunks, or MERYL_TPU_ROWLEN=0)."""
+    r = int(_os.environ.get("MERYL_TPU_ROWLEN", 1 << 16))
+    if r <= 0 or chunk_len % r or chunk_len // r <= 1:
+        return None
+    return r
+
 # device-side compaction before download: costs an extra ~2x device
 # time but downloads only the unique prefix — a large win when the
 # device->host link is slow (dev tunnels) or data has high coverage
@@ -64,8 +76,9 @@ def _extract_filtered(codes, k: int, mode: str, suffix):
     return planes, valid
 
 
-@functools.partial(jax.jit, static_argnames=("k", "mode", "suffix"))
-def _chunk_pipeline(codes, k: int, mode: str, suffix=None):
+@functools.partial(jax.jit, static_argnames=("k", "mode", "suffix",
+                                              "rowlen"))
+def _chunk_pipeline(codes, k: int, mode: str, suffix=None, rowlen=None):
     """codes (L,) uint8 -> (sorted planes, start mask, n_invalid).
 
     Device program is extract + sort + neighbor-compare only; run
@@ -74,7 +87,7 @@ def _chunk_pipeline(codes, k: int, mode: str, suffix=None):
     static pair — only count kmers whose last `length` bases encode to
     `bits` (the reference's count-suffix, merylOp-countSimple.C:50-90)."""
     planes, valid = _extract_filtered(codes, k, mode, suffix)
-    return cnt.sort_starts(planes, valid)
+    return cnt.sort_starts(planes, valid, rowlen)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mode", "suffix"))
@@ -87,24 +100,39 @@ def _count_chunk(codes, k: int, mode: str, suffix=None):
     """Dispatch one chunk; returns an opaque device result for
     _finish_chunk (keeps the 1-deep host/device pipeline)."""
     if _COMPACT_DEVICE:
-        return _chunk_pipeline_compacted(codes, k, mode, suffix)
-    return _chunk_pipeline(codes, k, mode, suffix)
+        return (_chunk_pipeline_compacted(codes, k, mode, suffix), None)
+    rowlen = _sort_rowlen(codes.shape[0])
+    return (_chunk_pipeline(codes, k, mode, suffix, rowlen), rowlen)
 
 
-def _finish_chunk(result):
-    """Device result -> host (hi, lo, counts-u64) unique triples."""
+def _finish_chunk(result, rowlen=None):
+    """Device result -> LIST of host (hi, lo, counts-u64) sorted unique
+    triples (one per sort row — rows are independently sorted, so each
+    is its own run for the merge cascade)."""
     if _COMPACT_DEVICE:
         uplanes, counts, n_unique = result
         n = int(n_unique)
         planes_np = [np.asarray(p[:n]) for p in uplanes]
         c = np.asarray(counts[:n]).astype(np.uint64)
-    else:
-        splanes, start, n_invalid = result
-        planes_np, c = cnt.host_rle_finish(
-            [np.asarray(p) for p in splanes], np.asarray(start),
-            int(n_invalid))
+        hi, lo = km.hilo_from_planes(planes_np)
+        return [(hi, lo, c)]
+    splanes, start, n_invalid = result
+    planes_np, c, idx = cnt.host_rle_finish(
+        [np.asarray(p) for p in splanes], np.asarray(start),
+        np.asarray(n_invalid) if rowlen else int(n_invalid), rowlen)
     hi, lo = km.hilo_from_planes(planes_np)
-    return hi, lo, c
+    if rowlen is None:
+        return [(hi, lo, c)]
+    # split at row boundaries: each row is independently sorted
+    rows = len(start) // rowlen
+    cuts = np.searchsorted(idx, np.arange(1, rows) * rowlen)
+    out = []
+    prev = 0
+    for cut in list(cuts) + [len(c)]:
+        if cut > prev:
+            out.append((hi[prev:cut], lo[prev:cut], c[prev:cut]))
+        prev = cut
+    return out
 
 
 def merge_runs(runs):
@@ -220,13 +248,13 @@ def count_to_arrays(paths, k: int, mode: str = "canonical", hpc: bool = False,
         codes = jnp.asarray(chunk)
         result = _count_chunk(codes, k, mode, suffix)  # async dispatch
         if pending is not None:
-            runs.append(_finish_chunk(pending))
+            runs.extend(_finish_chunk(*pending))
         pending = result
         nbases += len(chunk)
         if progress:
             progress(nbases)
     if pending is not None:
-        runs.append(_finish_chunk(pending))
+        runs.extend(_finish_chunk(*pending))
     return merge_runs(runs)
 
 
@@ -419,7 +447,7 @@ def count_to_db_batched(paths, out_path: str, k: int, *,
             flush_batch(batch_idx)
             runs = []
         batch_idx = batch_idx_cur
-        runs.append(_finish_chunk(_count_chunk(
+        runs.extend(_finish_chunk(*_count_chunk(
             jnp.asarray(chunk), k, mode, None)))
         if progress:
             progress(nbases)

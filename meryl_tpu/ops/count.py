@@ -97,8 +97,8 @@ def sort_count(planes, validb):
     return splanes, counts, start, n_unique
 
 
-@jax.jit
-def sort_starts(planes, validb):
+@functools.partial(jax.jit, static_argnames=("rowlen",))
+def sort_starts(planes, validb, rowlen: int | None = None):
     """Minimal device program for the host-RLE counting path: sort and
     mark run starts only.  Run lengths are differences of start
     positions, which the host computes from the downloaded start mask
@@ -107,31 +107,82 @@ def sort_starts(planes, validb):
     expensive op after the sort) from the hot program and shrinks the
     device->host transfer by the counts array.
 
-    Returns (sorted_planes, start_mask, n_invalid).  Invalid entries
-    sort into the trailing sentinel run; the host subtracts n_invalid
-    from the final run (the sentinel-collision rule of sort_count)."""
-    n_invalid = jnp.sum((~validb).astype(jnp.int32))
-    masked = [jnp.where(validb, p, SENT) for p in planes]
-    splanes, _ = _sort_planes(masked)
-    start = _run_starts(splanes)
-    return splanes, start, n_invalid
+    rowlen: when set (must divide L), the chunk is sorted as L/rowlen
+    INDEPENDENT rows — a single long lax.sort costs up to 20x the
+    ~1.5 ns/element floor that row-batched sorts hit (measured,
+    docs/tpu-design.md), and duplicates across rows are union-summed
+    by the host merge cascade anyway.  Run starts are forced at row
+    boundaries so no run crosses a row.
+
+    Returns (sorted_planes, start_mask, n_invalid) — all flat, with
+    n_invalid an int32 scalar for rowlen=None or an (L/rowlen,) vector
+    of per-row invalid counts.  Invalid entries sort into each row's
+    trailing sentinel run; the host subtracts n_invalid from it (the
+    sentinel-collision rule of sort_count)."""
+    if rowlen is None:
+        n_invalid = jnp.sum((~validb).astype(jnp.int32))
+        masked = [jnp.where(validb, p, SENT) for p in planes]
+        splanes, _ = _sort_planes(masked)
+        start = _run_starts(splanes)
+        return splanes, start, n_invalid
+
+    L = planes[0].shape[0]
+    assert L % rowlen == 0, (L, rowlen)
+    rows = L // rowlen
+    n_invalid = jnp.sum((~validb).reshape(rows, rowlen).astype(jnp.int32),
+                        axis=1)
+    masked = [jnp.where(validb, p, SENT).reshape(rows, rowlen)
+              for p in planes]
+    P = len(masked)
+    keys = tuple(masked[p] for p in range(P - 1, -1, -1))  # MSB first
+    srows = lax.sort(keys, num_keys=P, dimension=-1)
+    splanes = [srows[P - 1 - p] for p in range(P)]  # back to LSB-first
+    neq = None
+    for p in splanes:
+        d = p[:, 1:] != p[:, :-1]
+        neq = d if neq is None else (neq | d)
+    first = jnp.ones((rows, 1), bool)
+    start = jnp.concatenate([first, neq], axis=1)
+    return ([p.reshape(L) for p in splanes], start.reshape(L), n_invalid)
 
 
-def host_rle_finish(splanes_np, start_np, n_invalid: int):
+def host_rle_finish(splanes_np, start_np, n_invalid, rowlen=None):
     """Host side of sort_starts: unique planes + counts from the start
-    mask (numpy)."""
+    mask (numpy).  n_invalid: int scalar (rowlen=None) or per-row
+    vector; with rows, each row's last run is its sentinel run whenever
+    that row saw invalid entries (the sentinel sorts to the row tail),
+    so the per-row subtraction lands there.
+
+    Returns (planes, counts, start_idx); with rowlen set the output is
+    sorted per ROW, not globally — callers must split at row
+    boundaries (start_idx // rowlen) before treating pieces as sorted
+    runs."""
     import numpy as np
     idx = np.flatnonzero(start_np)
     L = len(start_np)
     ends = np.append(idx[1:], L)
     counts = (ends - idx).astype(np.int64)
-    if n_invalid and len(counts):
-        counts[-1] -= n_invalid
-        if counts[-1] <= 0:
-            idx = idx[:-1]
-            counts = counts[:-1]
+    if rowlen is None:
+        n_invalid = int(n_invalid)
+        if n_invalid and len(counts):
+            counts[-1] -= n_invalid
+            if counts[-1] <= 0:
+                idx = idx[:-1]
+                counts = counts[:-1]
+    else:
+        inv = np.asarray(n_invalid, np.int64)
+        rows = L // rowlen
+        # index (into the runs) of the last run of each row: runs are
+        # ordered by position and every row starts a run at its col 0
+        last = np.searchsorted(idx, np.arange(1, rows + 1) * rowlen) - 1
+        sel = inv > 0
+        if sel.any():
+            counts[last[sel]] -= inv[sel]
+            keep = counts > 0
+            idx = idx[keep]
+            counts = counts[keep]
     planes = [p[idx] for p in splanes_np]
-    return planes, counts.astype(np.uint64)
+    return planes, counts.astype(np.uint64), idx
 
 
 def _compact_by_flag(flag, payloads):

@@ -23,7 +23,8 @@ def run_pipeline_on_seqs(seqs, k, mode="canonical"):
         codes_parts.append(km.encode_bases(s))
         codes_parts.append(np.full(1, SEP, np.uint8))
     codes = np.concatenate(codes_parts)
-    return _finish_chunk(_chunk_pipeline(jnp.asarray(codes), k, mode))
+    (run,) = _finish_chunk(_chunk_pipeline(jnp.asarray(codes), k, mode))
+    return run
 
 
 @pytest.mark.parametrize("k", [4, 15, 16, 17, 21, 31, 32, 33, 48, 63, 64])
