@@ -6,8 +6,8 @@ directly: BGZF is a multi-member gzip stream (python's gzip module
 handles member concatenation transparently) and BAM alignment records
 are a fixed little-endian layout with 4-bit packed bases.
 
-CRAM requires a full reference-based codec stack; it is gated on pysam
-availability (install pysam to enable).
+CRAM's reference-based codec stack lives in io.cram (dependency-free
+CRAM 3.0).
 
 All records (including secondary/supplementary alignments) are yielded
 as stored; canonical counting is strand-insensitive so the alignment

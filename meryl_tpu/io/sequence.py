@@ -12,8 +12,8 @@ Capabilities mirrored from the reference's dnaSeqFile layer
     merylOp-countThreads.C:196-215)
   * homopolymer compression with cross-buffer carry (merylInput.C:258-263)
 
-BAM/CRAM ingest (reference vendors htslib, src/main.mk:92-140) is gated
-on pysam availability; see io.bam.
+BAM and CRAM ingest are dependency-free (reference vendors htslib,
+src/main.mk:92-140): io.bam (BGZF/BAM) and io.cram (CRAM 3.0).
 """
 
 from __future__ import annotations
