@@ -42,7 +42,7 @@ def _sort_rowlen(chunk_len: int) -> int | None:
     (docs/tpu-design.md), so chunks are sorted as independent rows and
     the host merge union-sums duplicates across rows.  None disables
     (tiny chunks, or MERYL_TPU_ROWLEN=0)."""
-    r = int(_os.environ.get("MERYL_TPU_ROWLEN", 1 << 16))
+    r = int(_os.environ.get("MERYL_TPU_ROWLEN", 1 << 14))
     if r <= 0 or chunk_len % r or chunk_len // r <= 1:
         return None
     return r

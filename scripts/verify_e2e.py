@@ -15,7 +15,12 @@ import sys
 import tempfile
 from collections import Counter
 
-os.environ["MERYL_TPU_CHUNK"] = str(1 << 15)
+BIG = "--big" in sys.argv
+if not BIG:
+    # small probes: tiny chunk keeps first-compile time down.  --big
+    # runs the PRODUCTION chunk/rowlen instead (no env override) so
+    # hardware verification also covers the real device program.
+    os.environ["MERYL_TPU_CHUNK"] = str(1 << 15)
 sys.path.insert(0, "/root/repo")
 
 from meryl_tpu import cli  # noqa: E402
@@ -237,5 +242,94 @@ def main():
     print("\nALL VERIFICATION PROBES PASSED", flush=True)
 
 
+def brute_count_rolling(seqs, k):
+    """O(1)-per-base brute force (rolling fwd+rev) for the big probe —
+    independent of meryl_tpu (and of brute_count above)."""
+    counts = {}
+    mask = (1 << (2 * k)) - 1
+    top = 2 * (k - 1)
+    for s in seqs:
+        fwd = rev = run = 0
+        for ch in s:
+            c = CODE.get(ch)
+            if c is None:
+                fwd = rev = run = 0
+                continue
+            fwd = ((fwd << 2) | c) & mask
+            rev = (rev >> 2) | ((c ^ 2) << top)
+            run += 1
+            if run >= k:
+                can = fwd if fwd < rev else rev
+                counts[can] = counts.get(can, 0) + 1
+    return counts
+
+
+def main_big():
+    """Production-scale probe: count ~6 Mbases at the PRODUCTION chunk
+    size (2^22) and rowlen on the current backend, decode the DB, and
+    compare against the rolling brute force; then re-count with a tiny
+    memory= bound to force the out-of-core batched path and assert the
+    two DBs decode identically."""
+    import numpy as np
+    from meryl_tpu.db import MerylDB
+
+    k = 21
+    rng = np.random.default_rng(42)
+    tmp = tempfile.mkdtemp(prefix="meryl_verify_big_")
+    seqs = []
+    for i in range(3):
+        arr = rng.integers(0, 4, size=2_000_000)
+        s = "".join("ACTG"[b] for b in arr)
+        # sprinkle N breaks and a poly-G stretch to hit breakers and
+        # the near-sentinel key range at production shapes
+        s = s[:500_000] + "N" + s[500_000:1_200_000] + "G" * 40 + s[1_200_000:]
+        seqs.append(s)
+    fa = os.path.join(tmp, "big.fa")
+    with open(fa, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">r{i}\n{s}\n")
+
+    db = os.path.join(tmp, "big.meryldb")
+    rc, out = run_cli([f"k={k}", "count", fa, "output", db])
+    if rc != 0:
+        failures.append(f"big count rc={rc}: {out[-300:]}")
+    else:
+        hi, lo, counts = MerylDB.open(db).load_all()
+        got = {(int(h) << 64) | int(l): int(c)
+               for h, l, c in zip(hi, lo, counts)}
+        want = brute_count_rolling(seqs, k)
+        if got == want:
+            print(f"OK big probe: {len(got)} kmers at production chunk "
+                  f"match rolling brute force", flush=True)
+        else:
+            nmiss = sum(1 for x in want if x not in got)
+            nextra = sum(1 for x in got if x not in want)
+            ndiff = sum(1 for x in got
+                        if x in want and got[x] != want[x])
+            failures.append(f"big probe mismatch: missing={nmiss} "
+                            f"extra={nextra} diff={ndiff}")
+
+        db2 = os.path.join(tmp, "big_batched.meryldb")
+        rc, out = run_cli([f"k={k}", "memory=0.05", "count", fa,
+                           "output", db2])
+        if rc != 0:
+            failures.append(f"big batched count rc={rc}: {out[-300:]}")
+        else:
+            hi2, lo2, c2 = MerylDB.open(db2).load_all()
+            if (len(c2) == len(counts) and (hi2 == hi).all()
+                    and (lo2 == lo).all() and (c2 == counts).all()):
+                print("OK big batched (memory=0.05) == single-batch DB",
+                      flush=True)
+            else:
+                failures.append("big batched DB != single-batch DB")
+
+    if failures:
+        print("\nFAILURES:")
+        for f_ in failures:
+            print(" -", f_)
+        sys.exit(1)
+    print("\nBIG VERIFICATION PROBES PASSED", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    main_big() if BIG else main()
