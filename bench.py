@@ -147,6 +147,61 @@ def bench_lookup():
     return max(N_Q / dt / 1e6 for dt in times)
 
 
+def bench_setop():
+    """Set-operation merge-kernel throughput (BASELINE.md workload:
+    'union-sum / intersect-min / subtract set ops'): union-sum over
+    two 1M-entry sorted unique inputs per batch, 8 batches per scan
+    dispatch, fetch-grounded scalar out.  Returns merged entries/s in
+    millions (the same _merge_sort_stage + _merge_compute_stage
+    programs meryl's op-tree evaluator dispatches per bucket group)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from meryl_tpu.ops.setops import _merge_compute_stage, _merge_sort_stage
+
+    N = 1 << 20
+    S = 8
+    TRIALS = 3
+    rng = np.random.default_rng(2)
+
+    def make_input():
+        batches = []
+        for _ in range(S):
+            rows = []
+            for inp in range(2):
+                v = np.unique(rng.integers(0, 1 << 42, size=N,
+                                           dtype=np.uint64))
+                v = np.pad(v, (0, N - len(v)),
+                           constant_values=(1 << 42) - 1)[:N]
+                rows.append(v)
+            v = np.concatenate(rows)
+            lo = (v & 0xFFFFFFFF).astype(np.uint32)
+            hi = (v >> 32).astype(np.uint32)
+            vals = rng.integers(1, 100, size=2 * N).astype(np.uint32)
+            ids = np.repeat(np.arange(2, dtype=np.int32), N)
+            batches.append((lo, hi, vals, ids))
+        stacked = tuple(jnp.asarray(np.stack([b[i] for b in batches]))
+                        for i in range(4))
+        return jax.device_put(stacked)
+
+    def body(carry, xs):
+        lo, hi, vals, ids = xs
+        splanes, val, ids2 = _merge_sort_stage([lo, hi], vals, ids)
+        sp, ov, keep = _merge_compute_stage(splanes, val, ids2,
+                                            "union-sum", 2, jnp.uint32(0))
+        return (carry + jnp.sum(jnp.where(keep, ov, 0)) + sp[0][0]), None
+
+    @jax.jit
+    def pipeline(xs):
+        out, _ = lax.scan(body, jnp.uint32(0), xs)
+        return out
+
+    inputs = [make_input() for _ in range(TRIALS + 1)]
+    jax.block_until_ready(inputs)
+    times = _timeit_fetch(pipeline, inputs, TRIALS)
+    return max(S * 2 * N / dt / 1e6 for dt in times)
+
+
 def main():
     import jax
 
@@ -155,6 +210,10 @@ def main():
         lookup_mqps = bench_lookup()
     except Exception:
         lookup_mqps = None
+    try:
+        setop_meps = bench_setop()
+    except Exception:
+        setop_meps = None
 
     n_chips = jax.device_count()
     per_chip_target = 2.5e9 / 8  # bases/s per chip at 5 GB/s-FASTQ target
@@ -169,6 +228,8 @@ def main():
     }
     if lookup_mqps is not None:
         out["lookup_mqps"] = round(lookup_mqps, 3)
+    if setop_meps is not None:
+        out["setop_union_sum_meps"] = round(setop_meps, 3)
     print(json.dumps(out))
 
 

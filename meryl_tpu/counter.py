@@ -279,7 +279,8 @@ def count_to_db(paths, out_path: str, k: int, mode: str = "canonical",
                 progress=None) -> MerylDB:
     """Count to a DB.  memory= (memory_gb) is a real bound: when the
     plan says the merged unique set may exceed it, counting routes
-    through the out-of-core batched path (the reference sizes batches
+    through an out-of-core path — batched partial DBs single-stream,
+    disk-backed accumulator spills sharded (the reference sizes batches
     to its memory allowance the same way, merylOp-count.C:355-358)."""
     if _use_multihost(count_suffix, segment):
         from .parallel import multihost as mh
@@ -290,7 +291,22 @@ def count_to_db(paths, out_path: str, k: int, mode: str = "canonical",
                                         progress=progress)
     if memory_gb is not None and count_suffix is None:
         plan = configure_counting(paths, k, memory_gb, chunk_len)
-        if plan["batches"] > 1 and not _use_sharded(count_suffix):
+        if plan["batches"] > 1:
+            if _use_sharded(count_suffix):
+                # sharded out-of-core: accumulator spills go to DISK,
+                # and finalize loads one owner device's runs at a time,
+                # so host peak is ~1/n_dev of the merged set instead of
+                # all of it (the sharded analog of the batched path)
+                import shutil
+                spill_dir = out_path + ".spills"
+                hi, lo, counts = count_to_arrays_sharded(
+                    paths, k, mode=mode, hpc=hpc,
+                    chunk_len=plan["chunk_len"], progress=progress,
+                    segment=segment, spill_dir=spill_dir)
+                db = MerylDB.write(out_path, k, hi, lo, counts,
+                                   mode=mode, hpc=hpc)
+                shutil.rmtree(spill_dir, ignore_errors=True)
+                return db
             return count_to_db_batched(
                 paths, out_path, k, mode=mode, hpc=hpc,
                 chunk_len=plan["chunk_len"], memory_gb=memory_gb,

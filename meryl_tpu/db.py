@@ -186,6 +186,8 @@ class MerylDB:
         hi = np.ascontiguousarray(hi, dtype=np.uint64)
         lo = np.ascontiguousarray(lo, dtype=np.uint64)
         counts = np.ascontiguousarray(counts, dtype=np.uint32)
+        if label_bits == 0:
+            labels = None  # -l 0: a 0-wide label is identically 0
         if labels is not None:
             labels = np.ascontiguousarray(labels, dtype=np.uint64)
             labels = labels & label_mask(label_bits)
@@ -281,6 +283,8 @@ class MerylDBWriter:
             raise ValueError(f"bucket {ff} written twice")
         self._written.add(ff)
         counts = np.ascontiguousarray(counts, dtype=np.uint32)
+        if self.label_bits == 0:
+            labels = None  # -l 0: a 0-wide label is identically 0
         if labels is not None:
             labels = np.ascontiguousarray(labels, np.uint64) & \
                 label_mask(self.label_bits)

@@ -273,7 +273,7 @@ class Block:
         self.data = data
 
 
-def read_block(buf: bytes, pos: int):
+def read_block(buf: bytes, pos: int, major: int = 3):
     method = buf[pos]
     ctype = buf[pos + 1]
     pos += 2
@@ -282,7 +282,8 @@ def read_block(buf: bytes, pos: int):
     raw_size, pos = read_itf8(buf, pos)
     data = buf[pos:pos + comp_size]
     pos += comp_size
-    pos += 4  # CRC32
+    if major >= 3:
+        pos += 4  # block CRC32 (added in CRAM 3.0)
     raw = _decompress(method, data, raw_size)
     if len(raw) != raw_size:
         raise CramError(f"block raw size mismatch {len(raw)} != {raw_size}")
@@ -380,8 +381,11 @@ class HuffmanCodec(Codec):
             self.single = symbols[0]
         else:
             self.single = None
-            # canonical codes: sort by (length, symbol order as given)
-            order = sorted(range(len(symbols)), key=lambda i: lengths[i])
+            # canonical codes: within a bit length, codes are assigned
+            # in ascending SYMBOL order (CRAM spec / htslib decoder) —
+            # input order is not guaranteed
+            order = sorted(range(len(symbols)),
+                           key=lambda i: (lengths[i], symbols[i]))
             code = 0
             prev_len = lengths[order[0]]
             self.table = {}
@@ -720,7 +724,7 @@ class CramReader:
             end = h["body_start"] + h["body_len"]
             if first:
                 # SAM header container
-                blk, _ = read_block(buf, body)
+                blk, _ = read_block(buf, body, self.major)
                 text = blk.data
                 if len(text) >= 4:
                     (tl,) = struct.unpack_from("<i", text, 0)
@@ -735,19 +739,19 @@ class CramReader:
             pos = end
 
     def _container_records(self, h, buf, body, end):
-        blk, p = read_block(buf, body)
+        blk, p = read_block(buf, body, self.major)
         if blk.ctype != CT_COMPRESSION_HEADER:
             raise CramError("expected compression header block")
         ch = CompressionHeader(blk.data)
         while p < end:
-            sh_blk, p = read_block(buf, p)
+            sh_blk, p = read_block(buf, p, self.major)
             if sh_blk.ctype != CT_SLICE_HEADER:
                 raise CramError("expected slice header block")
             sh = SliceHeader(sh_blk.data)
             core = None
             ext = {}
             for _ in range(sh.nblocks):
-                b, p = read_block(buf, p)
+                b, p = read_block(buf, p, self.major)
                 if b.ctype == CT_CORE:
                     core = BitReader(b.data)
                 elif b.ctype == CT_EXTERNAL:

@@ -254,7 +254,8 @@ class ShardedCounter:
                  mode: str = "canonical", pair_cap: int | None = None,
                  acc_cap: int | None = None,
                  prefix_bits: int | None = None,
-                 send_cap: int | None = None):
+                 send_cap: int | None = None,
+                 spill_dir: str | None = None):
         self.mesh = mesh
         self.k = k
         self.n = mesh.devices.size
@@ -279,8 +280,16 @@ class ShardedCounter:
         self._merge = make_sharded_merge(mesh, self.nplanes, self.acc_cap)
         self._acc = None
         self._acc_n = 0            # max per-device uniques in _acc
+        self._acc_n_pending = None  # device scalar of the last merge
+        self._pending = None        # last _step output, not yet merged
         # host (hi, lo, c) runs per ADDRESSABLE device row (multi-host:
-        # each process only downloads its own devices' owner ranges)
+        # each process only downloads its own devices' owner ranges).
+        # With spill_dir set, runs go to .npz files instead of RAM (the
+        # out-of-core analog of the reference's batch dumps) and
+        # finalize_parts loads one device's runs at a time — host peak
+        # drops from the whole merged set to ~1/n_local of it.
+        self.spill_dir = spill_dir
+        self._spill_seq = 0
         self._spills: dict = {}
 
     def _fresh_acc(self):
@@ -316,18 +325,59 @@ class ShardedCounter:
     def spill(self) -> None:
         """Download every local device's accumulated run to host RAM
         and reset the accumulators (out-of-core batch dump)."""
+        self._resolve_acc_n()
         if self._acc is None or self._acc_n == 0:
             return
         for d, run in self._download_acc().items():
             if len(run[2]):
-                self._spills.setdefault(d, []).append(run)
+                self._spills.setdefault(d, []).append(
+                    self._store_run(d, run))
         self._acc = None
         self._acc_n = 0
+        self._spill_seq += 1
 
-    def add_codes(self, codes) -> None:
-        """codes: (n_dev * chunk_len,) uint8; device d's shard is an
-        independent sequence window (callers insert separators)."""
-        planes, counts, step_n, overflow = self._step(codes)
+    def _store_run(self, d: int, run):
+        """RAM by default; an .npz path when spill_dir is set."""
+        if self.spill_dir is None:
+            return run
+        import os
+        os.makedirs(self.spill_dir, exist_ok=True)
+        p = os.path.join(self.spill_dir,
+                         f"spill_r{d}_s{self._spill_seq}.npz")
+        np.savez(p, hi=run[0], lo=run[1], c=run[2])
+        return p
+
+    @staticmethod
+    def _load_run(run):
+        if not isinstance(run, str):
+            return run
+        z = np.load(run)
+        return z["hi"], z["lo"], z["c"]
+
+    def _resolve_acc_n(self) -> None:
+        """Fetch the n_unique scalar of the last dispatched merge (it
+        has had a full host iteration to complete) and validate it."""
+        if self._acc_n_pending is None:
+            return
+        nmax = int(np.asarray(self._acc_n_pending))
+        self._acc_n_pending = None
+        self._acc_n = nmax
+        if nmax > self.acc_cap:
+            raise RuntimeError(
+                f"ShardedCounter accumulator overflow: one step produced "
+                f"{nmax} uniques > acc_cap={self.acc_cap}; raise acc_cap")
+
+    def _drain_pending(self) -> None:
+        """Resolve the previously dispatched step: check its overflow
+        scalar, spill if the accumulator cannot absorb it, and dispatch
+        (not await) its merge.  All scalars read here are replicated
+        collectives (pmax), so every process takes identical spill/merge
+        decisions — multi-host lockstep is preserved."""
+        if self._pending is None:
+            return
+        planes, counts, step_n, overflow = self._pending
+        self._pending = None
+        self._resolve_acc_n()
         if int(np.asarray(overflow)) > 0:
             raise RuntimeError(
                 f"ShardedCounter all-to-all overflow: "
@@ -340,26 +390,38 @@ class ShardedCounter:
             self._acc = self._fresh_acc()
         ap, ac, n_unique = self._merge(self._acc[0], self._acc[1],
                                        planes, counts)
-        nmax = int(np.asarray(n_unique))
-        if nmax > self.acc_cap:
-            raise RuntimeError(
-                f"ShardedCounter accumulator overflow: one step produced "
-                f"{nmax} uniques > acc_cap={self.acc_cap}; raise acc_cap")
         self._acc = (ap, ac)
-        self._acc_n = nmax
+        self._acc_n_pending = n_unique  # fetched next drain/spill
+
+    def add_codes(self, codes) -> None:
+        """codes: (n_dev * chunk_len,) uint8; device d's shard is an
+        independent sequence window (callers insert separators).
+
+        Pipelined 1 deep (the sharded analog of the single-stream
+        host/device overlap): the previous step's scalars are resolved
+        and its merge dispatched FIRST — by now the device has finished
+        them, so the fetches don't stall — then this step is dispatched
+        and the call returns while it runs.  Overflow errors therefore
+        surface one call late (or at finalize), before any results."""
+        self._drain_pending()
+        self._pending = self._step(codes)
 
     def finalize_parts(self):
         """-> [(device row, hi, lo, counts)] for the process-local
         devices, ascending row; spilled runs and the live accumulator
         are union-sum merged per owner."""
         from ..counter import merge_runs
+        self._drain_pending()
+        self._resolve_acc_n()
         acc_runs = {}
         if self._acc is not None and self._acc_n > 0:
             acc_runs = self._download_acc()
         rows = sorted(set(self._spills) | set(acc_runs))
         parts = []
         for d in rows:
-            runs = list(self._spills.get(d, []))
+            # one device at a time: with spill_dir, host peak is this
+            # device's runs, not the whole merged set
+            runs = [self._load_run(r) for r in self._spills.get(d, [])]
             if d in acc_runs:
                 runs.append(acc_runs[d])
             hi, lo, c = merge_runs(runs)

@@ -38,7 +38,7 @@ def _decode_int(s: str) -> int:
         return int(s, 16)
     if s.startswith("0b"):
         return int(s, 2)
-    return int(s, 0)
+    return int(s, 10)  # NOT base 0: "007" must parse as decimal 7
 
 
 def import_kmers(kmers_path: str, k: int, *, multiset: bool = False,

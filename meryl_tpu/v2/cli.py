@@ -610,15 +610,23 @@ def execute(b: Builder) -> int:
                 if target is None:
                     target = int(_o.environ.get("MERYL_TPU_SETOP_BATCH",
                                                 1 << 20))
-                # leaf-size estimate via DB bucket files, as in optree
+                # leaf-size estimate via DB bucket files, as in optree;
+                # pipe-fed inputs resolve through their source action
+                # (else a pipe-heavy tree estimates ~0 entries and all
+                # 64 buckets land in one oversized dispatch)
                 node = _OpNode()
 
-                def leaves(a, out):
+                def leaves(a, out, seen=()):
                     for i in a.inputs:
                         if isinstance(i, DBInput):
                             out.append(i.path)
                         elif isinstance(i, Action):
-                            leaves(i, out)
+                            leaves(i, out, seen)
+                        elif (isinstance(i, PipeInput)
+                              and i.name in b.pipes
+                              and i.name not in seen):
+                            leaves(b.pipes[i.name], out,
+                                   seen + (i.name,))
                     return out
                 from ..optree import DBInput as _ODB
                 node.inputs = [_ODB(p) for p in leaves(act, [])]

@@ -166,11 +166,11 @@ int64_t mt_scan(MtScanner* s, const uint8_t* in, int64_t n, uint8_t* out) {
       }
 
       case S_QUAL: {
-        // consume exactly seqlen quality bytes (newlines don't count),
-        // so '@' at the start of a quality line can't be mistaken for
-        // a header
+        // consume exactly seqlen quality bytes (newlines and CR don't
+        // count), so '@' at the start of a quality line can't be
+        // mistaken for a header
         while (i < n && s->quallen < s->seqlen) {
-          if (in[i] != '\n') s->quallen++;
+          if (in[i] != '\n' && in[i] != '\r') s->quallen++;
           i++;
         }
         if (s->quallen >= s->seqlen) {

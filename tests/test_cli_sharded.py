@@ -71,3 +71,25 @@ def test_cli_count_sharded_hpc_and_forward(fasta, tmp_path, monkeypatch):
     b = MerylDB.open(out_1).load_all()
     for x, y in zip(a, b):
         assert x.tolist() == y.tolist()
+
+
+def test_cli_count_sharded_memory_bound(fasta, tmp_path, monkeypatch):
+    """memory= is honored on the sharded path: a tiny bound routes
+    through the disk-spill out-of-core path and still produces a DB
+    decode-identical to the unbounded single-stream count, with the
+    spill directory cleaned up."""
+    import os
+    fa, seqs = fasta
+    monkeypatch.setenv("MERYL_TPU_CHUNK", "512")
+    db_m = str(tmp_path / "m.meryl")
+    db_1 = str(tmp_path / "one2.meryl")
+    monkeypatch.setenv("MERYL_TPU_SHARDED", "1")
+    assert cli.main([f"k={K}", "memory=0.000001", "count", fa,
+                     "output", db_m]) == 0
+    monkeypatch.setenv("MERYL_TPU_SHARDED", "0")
+    assert cli.main([f"k={K}", "count", fa, "output", db_1]) == 0
+    hi_m, lo_m, c_m = MerylDB.open(db_m).load_all()
+    hi_1, lo_1, c_1 = MerylDB.open(db_1).load_all()
+    assert (len(c_m) == len(c_1) and (hi_m == hi_1).all()
+            and (lo_m == lo_1).all() and (c_m == c_1).all())
+    assert not os.path.exists(db_m + ".spills")

@@ -139,3 +139,14 @@ def test_cram_count_cli(tmp_path):
     ohi, olo, oc = oracle.count_kmers([s for _, s in reads], 13)
     assert hi.tolist() == ohi.tolist()
     assert c.tolist() == oc.tolist()
+
+
+def test_huffman_canonical_tiebreak():
+    """Canonical huffman assigns codes within a bit length in ascending
+    SYMBOL order (CRAM spec / htslib), not input order."""
+    from meryl_tpu.io.cram import HuffmanCodec
+    h = HuffmanCodec([5, 3], [1, 1])
+    assert h.table == {(1, 0): 3, (1, 1): 5}
+    h2 = HuffmanCodec([9, 2, 7], [2, 1, 2])
+    # symbol 2 gets the single 1-bit code; 7 < 9 within length 2
+    assert h2.table == {(1, 0): 2, (2, 2): 7, (2, 3): 9}

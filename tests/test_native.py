@@ -104,3 +104,15 @@ def test_fastq_multiline_tiny_blocks(tmp_path):
     a = _native_codes(str(fq), block=7)
     b = _python_codes(str(fq))
     assert (a == b).all()
+
+
+def test_fastq_crlf_multiline_qual(tmp_path):
+    """CRLF line endings with multi-line quality: '\r' must not count
+    toward the quality-length budget (regression: quality bytes were
+    emitted as phantom bases)."""
+    fq = tmp_path / "crlf.fq"
+    fq.write_bytes(b"@r1\r\nACGTACGT\r\nAAAA\r\n+\r\nIIII\r\nIIII\r\n"
+                   b"IIII\r\n@r2\r\nGGTT\r\n+\r\nACGT\r\n")
+    got = _native_codes(str(fq))
+    want = _python_codes(str(fq))
+    assert (got == want).all()

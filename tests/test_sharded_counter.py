@@ -56,7 +56,9 @@ def test_sharded_counter_with_separators():
 
 def test_sharded_counter_overflow_detection():
     """A single step larger than acc_cap cannot spill its way out and
-    must fail loudly (spilling only helps across steps)."""
+    must fail loudly (spilling only helps across steps).  add_codes is
+    pipelined 1 deep, so the error surfaces by finalize at the latest —
+    always before any results are produced."""
     import pytest
     n_dev, chunk, k = 2, 256, 13
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
@@ -65,6 +67,7 @@ def test_sharded_counter_overflow_detection():
     codes = rng.integers(0, 4, size=n_dev * chunk).astype(np.uint8)
     with pytest.raises(RuntimeError, match="overflow"):
         sc.add_codes(codes)
+        sc.finalize()
 
 
 def test_sharded_counter_spill_and_histogram():
@@ -115,6 +118,42 @@ def test_sharded_counter_wide_mesh_small_paircap():
     got = {(int(h) << 64) | int(l): int(c)
            for h, l, c in zip(hi, lo, counts)}
     ohi, olo, oc = oracle.count_kmers(seqs, k)
+    want = {(int(h) << 64) | int(l): int(c)
+            for h, l, c in zip(ohi, olo, oc)}
+    assert got == want
+
+
+def test_sharded_counter_disk_spill(tmp_path):
+    """spill_dir routes accumulator spills to .npz files; results are
+    identical to the RAM-spill path and to the oracle."""
+    from meryl_tpu import oracle
+
+    n_dev, chunk, k, steps = 4, 256, 13, 5
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
+    rng = np.random.default_rng(3)
+    seqs = []
+    groups = []
+    for _ in range(steps):
+        group = []
+        for _ in range(n_dev):
+            codes = rng.integers(0, 4, size=chunk).astype(np.uint8)
+            seqs.append("".join("ACTG"[c] for c in codes))
+            group.append(codes)
+        groups.append(np.concatenate(group))
+
+    sd = str(tmp_path / "spills")
+    sc = ShardedCounter(mesh, k, chunk_len=chunk, acc_cap=512,
+                        spill_dir=sd)
+    for g in groups:
+        sc.add_codes(g)
+    hi, lo, counts = sc.finalize()
+    import os
+    assert os.path.isdir(sd) and len(os.listdir(sd)) > 0, \
+        "expected disk spills with this acc_cap"
+
+    ohi, olo, oc = oracle.count_kmers(seqs, k)
+    got = {(int(h) << 64) | int(l): int(c)
+           for h, l, c in zip(hi, lo, counts)}
     want = {(int(h) << 64) | int(l): int(c)
             for h, l, c in zip(ohi, olo, oc)}
     assert got == want

@@ -130,3 +130,16 @@ def test_position_lookup(tmp_path, capsys):
     paint = {int(p): int(cnt) for p, cnt in
              (l.split() for l in mpb.read_text().strip().split("\n"))}
     assert 200 in paint and 251 in paint
+
+
+def test_import_decimal_leading_zeros(tmp_path):
+    """'007' must parse as decimal 7 (regression: int(s, 0) raised)."""
+    from meryl_tpu.tools import import_tool
+    from meryl_tpu.db import MerylDB
+    kf = tmp_path / "k.txt"
+    kf.write_text("AAAAAAAAC 007\n")
+    dbp = str(tmp_path / "z.meryl")
+    assert import_tool.main(["-k", "9", "-kmers", str(kf), "-output",
+                             dbp, "-forward"]) == 0
+    _, _, counts = MerylDB.open(dbp).load_all()
+    assert counts.tolist() == [7]

@@ -78,3 +78,22 @@ def test_label_width_rejects_bad(tmp_path):
         rc = v2cli.main(["-k", str(K), "-l", "99", "count", fa,
                          "output:show"])
     assert rc != 0
+
+
+def test_label_width_zero_roundtrip(tmp_path):
+    """-l 0 stores no labels at all (regression: width-0 labels were
+    written as uint8 but read back as width 64, misaligning buckets)."""
+    import numpy as np
+    from meryl_tpu.db import MerylDB
+
+    lo = np.array([5, 9], np.uint64)
+    hi = np.zeros(2, np.uint64)
+    c = np.array([1, 2], np.uint32)
+    lab = np.array([3, 7], np.uint64)
+    db = MerylDB.write(str(tmp_path / "z.meryl"), 9, hi, lo, c,
+                       labels=lab, label_bits=0)
+    hi2, lo2, c2 = MerylDB.open(db.path).load_all()
+    assert (lo2 == lo).all() and (c2 == c).all()
+    for ff in range(64):
+        _, _, _, labels = MerylDB.open(db.path).load_bucket_labels(ff)
+        assert labels is None
