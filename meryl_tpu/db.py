@@ -52,8 +52,11 @@ def is_meryl_db(path: str) -> bool:
     return os.path.isfile(os.path.join(path, "merylIndex.json"))
 
 
-def compute_stats(counts: np.ndarray, multiset: bool = False) -> dict:
-    """unique/distinct/total from a full count array."""
+def compute_stats(counts: np.ndarray) -> dict:
+    """unique/distinct/total from a full count array.
+
+    For multiset DBs these count ENTRIES (instances), matching the
+    reference, whose writer accumulates statistics per stored entry."""
     counts = np.asarray(counts)
     n_distinct = int(len(counts))
     n_total = int(counts.astype(np.uint64).sum())
@@ -211,7 +214,7 @@ class MerylDB:
             for v, o in zip(hvals.tolist(), hocc.tolist()):
                 f.write(f"{v}\t{o}\n")
 
-        stats = compute_stats(counts, multiset)
+        stats = compute_stats(counts)
         meta = {
             "magic": MAGIC_INDEX,
             "k": int(k),

@@ -142,6 +142,12 @@ def prefix6_from_hilo(hi: np.ndarray, lo: np.ndarray, k: int) -> np.ndarray:
     hi = np.asarray(hi, dtype=np.uint64)
     lo = np.asarray(lo, dtype=np.uint64)
     shift = 2 * k - 6
+    if shift < 0:
+        # k <= 2: fewer than 6 kmer bits; spread the whole kmer over
+        # the 6-bit file space (any monotone map works — writer and
+        # readers share this function)
+        return ((lo << np.uint64(-shift)) & np.uint64(63)).astype(
+            np.uint32)
     if shift >= 64:
         return ((hi >> np.uint64(shift - 64)) & np.uint64(63)).astype(np.uint32)
     # kmer spans hi:lo boundary only when 2k > 64; for 2k <= 64 all in lo

@@ -124,12 +124,8 @@ def _join_kernel(db_planes, db_values, q_planes, q_valid):
     splanes = [srt[P - 1 - p] for p in range(P)]
     s_isdb, s_vals, s_qidx = srt[P], srt[P + 1], srt[P + 2]
 
-    neq = None
-    for p in splanes:
-        d = p != jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, jnp.uint32),
-                                  p[:-1]])
-        neq = d if neq is None else (neq | d)
-    start = neq | jnp.zeros_like(neq).at[0].set(True)
+    from .ops.multiword import run_starts
+    start = run_starts(splanes)
 
     # broadcast the run-FIRST (value, is_db) to every run element
     first_val, first_db = segscan.seg_scan(

@@ -47,11 +47,8 @@ def _sort_planes(planes, payloads=()):
 
 def _run_starts(planes):
     """Boolean mask of run starts in sorted order."""
-    neq = None
-    for p in planes:
-        d = p != jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, U32), p[:-1]])
-        neq = d if neq is None else (neq | d)
-    return neq | jnp.zeros_like(neq).at[0].set(True)
+    from .multiword import run_starts
+    return run_starts(planes)
 
 
 def _is_sentinel(planes):

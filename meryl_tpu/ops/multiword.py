@@ -69,3 +69,17 @@ def eq(a, b):
 def select(pred, a, b):
     """where(pred, a, b) per plane."""
     return [jnp.where(pred, x, y) for x, y in zip(a, b)]
+
+
+def run_starts(planes):
+    """Boolean run-start mask over SORTED multiword keys: True where an
+    entry differs from its predecessor in any plane (position 0 always
+    starts a run).  The single shared implementation of the
+    neighbor-compare idiom used by counting, set ops, the v2 engine and
+    lookup."""
+    neq = None
+    for p in planes:
+        d = p != jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, U32),
+                                  p[:-1]])
+        neq = d if neq is None else (neq | d)
+    return neq | jnp.zeros_like(neq).at[0].set(True)

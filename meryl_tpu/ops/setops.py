@@ -18,7 +18,9 @@ Value semantics (merylOp-nextMer.C:478-641):
   symmetric-difference  its value if in exactly one input
   less-than/greater-than/at-least/at-most/equal-to/not-equal-to  T
   increase/decrease/multiply/divide/divide-round/modulo          C
-  (arithmetic wraps at 2^32 like the reference's uint32 kmvalu)
+  (arithmetic wraps at 2^32 like the reference: its overflow checks in
+  merylOp-nextMer.C:513-533 compare against UINT64_MAX, so a u32-range
+  overflow passes them and truncates on assignment to the u32 kmvalu)
 """
 
 from __future__ import annotations
@@ -55,11 +57,8 @@ def _sort_with_payload(planes, payloads):
 
 
 def _run_starts(planes):
-    neq = None
-    for p in planes:
-        d = p != jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, U32), p[:-1]])
-        neq = d if neq is None else (neq | d)
-    return neq | jnp.zeros_like(neq).at[0].set(True)
+    from .multiword import run_starts
+    return run_starts(planes)
 
 
 def _apply_value_rule(op: str, m: int, act_len, v_first, first_idx,

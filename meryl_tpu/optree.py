@@ -327,18 +327,32 @@ def execute_compare(node: OpNode, k: int, out=None):
             else:
                 ins.append(ev.eval_bucket(inp, ff))
         a, b = ins
-        ka = {(int(h) << 64) | int(l): int(c) for h, l, c in zip(*a)}
-        kb = {(int(h) << 64) | int(l): int(c) for h, l, c in zip(*b)}
+        # per-kmer INSTANCE value lists, so multiset inputs compare
+        # per instance (value-rank matched) instead of collapsing to
+        # one entry per kmer; single-entry DBs behave as before
+        ka: dict = {}
+        kb: dict = {}
+        for h, l, c in zip(*a):
+            ka.setdefault((int(h) << 64) | int(l), []).append(int(c))
+        for h, l, c in zip(*b):
+            kb.setdefault((int(h) << 64) | int(l), []).append(int(c))
         for v in sorted(set(ka) | set(kb)):
             s = km.kmer_to_string(v, k)
-            if v not in kb:
-                out.write(f"kmer {s} only in input 0\n")
-                same = False
-            elif v not in ka:
-                out.write(f"kmer {s} only in input 1\n")
-                same = False
-            elif ka[v] != kb[v]:
-                out.write(f"kmer {s} has value {ka[v]} in input 1 != "
-                          f"value {kb[v]} in input 2\n")
-                same = False
+            va = sorted(ka.get(v, []))
+            vb = sorted(kb.get(v, []))
+            # message numbering matches the reference byte-for-byte:
+            # "only in input %u" is the 0-based _actIndex, while the
+            # value mismatch line says "input 1/2"
+            # (merylOp-nextMer.C:617-629 mixes these the same way)
+            for i in range(max(len(va), len(vb))):
+                if i >= len(vb):
+                    out.write(f"kmer {s} only in input 0\n")
+                    same = False
+                elif i >= len(va):
+                    out.write(f"kmer {s} only in input 1\n")
+                    same = False
+                elif va[i] != vb[i]:
+                    out.write(f"kmer {s} has value {va[i]} in input 1 "
+                              f"!= value {vb[i]} in input 2\n")
+                    same = False
     return same

@@ -55,7 +55,8 @@ class SelectorTerm:
     quantity: 'value' | 'label' | 'bases' | 'input'
     arg spec: ('out', 0) output value/label; ('input', n) @n (1-based);
               ('const', c) constant.
-    For 'bases', arg1 is ('base', 'A'|'C'|'G'|'T') count in the kmer.
+    For 'bases', arg1 is ('letters', 'ACGT...') — the summed count of
+    those letters in the kmer (v2/parser.py emits this shape).
     For 'input', the term is count-style: arg1 ('count',0) = number of
     present inputs, or ('present', n) truth of input n present (then
     relation/arg2 ignored, use rel='eq' const 1).
@@ -71,6 +72,20 @@ class SelectorTerm:
 class Selector:
     """Sum of products: OR over groups, AND within group."""
     products: tuple = ()  # tuple[tuple[SelectorTerm, ...], ...]
+
+
+def _sat_add(a, b):
+    """uint32 add saturating at kmvalumax (merylOpCompute.C:171-178)."""
+    s = a + b
+    return jnp.where(s < a, SENT, s)
+
+
+def _sat_mul(a, b):
+    """uint32 multiply saturating at kmvalumax
+    (merylOpCompute.C:196-203: overflow iff kmvalumax/a < b)."""
+    lim = SENT // jnp.maximum(a, U32(1))
+    ov = (a > U32(0)) & (b > lim)
+    return jnp.where(ov, SENT, a * b)
 
 
 def _rel(rel: str, a, b):
@@ -162,11 +177,8 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
 
     from ..ops import segscan
 
-    neq = None
-    for p in splanes:
-        d = p != jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, U32), p[:-1]])
-        neq = d if neq is None else (neq | d)
-    start = neq | jnp.zeros_like(neq).at[0].set(True)
+    from ..ops.multiword import run_starts
+    start = run_starts(splanes)
 
     present = val > U32(0)
     pres1 = jnp.where(present, 1, 0).astype(jnp.int32)
@@ -199,11 +211,8 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
 
     v_first = value_at_rank(1)
     l_first = label_at_rank(1)
-    v_sum = ssum(jnp.where(present, val, U32(0)))
     v_min = smin(jnp.where(present, val, SENT))
     v_max = smax(jnp.where(present, val, U32(0)))
-    v_mul = segscan.seg_all(jnp.multiply,
-                            jnp.where(present, val, U32(1)), start)
 
     # ---- value=selected / label=selected ----
     # The reference DOCUMENTS these as "the value of the kmer selected by
@@ -283,25 +292,82 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
     elif op == "max":
         out_v = jnp.maximum(v_max, vc) if vassign.has_constant else v_max
     elif op in ("add", "sum"):
-        out_v = v_sum + (vc if vassign.has_constant else U32(0))
+        # saturating sum over present inputs + constant (default 0),
+        # merylOpCompute.C:171-178 (kmvalumax clamp per step)
+        acc = jnp.full((N,), 0, U32) + (vc if vassign.has_constant
+                                        else U32(0))
+        for r in range(1, m + 1):
+            acc = _sat_add(acc, value_at_rank(r))  # absent rank -> +0
+        out_v = acc
     elif op in ("sub", "dif"):
-        rest = v_sum - v_first + (vc if vassign.has_constant else U32(0))
+        # sequential clamped subtraction (merylOpCompute.C:180-194) is
+        # equivalent to one clamp against the SATURATING sum of the
+        # other inputs + constant: once the chain hits 0 it stays 0
+        rest = jnp.zeros((N,), U32)
+        for r in range(2, m + 1):
+            rest = _sat_add(rest, value_at_rank(r))
+        if vassign.has_constant:
+            rest = _sat_add(rest, jnp.zeros((N,), U32) + vc)
         out_v = jnp.where(v_first > rest, v_first - rest, U32(0))
     elif op == "mul":
-        out_v = v_mul * (vc if vassign.has_constant else U32(1))
-    elif op in ("div", "divzero"):
-        rest = v_sum - v_first
-        den = jnp.maximum(rest, U32(1)) * (vc if vassign.has_constant else U32(1))
-        den = jnp.maximum(den, U32(1))
-        q = v_first // den
-        if op == "divzero":
-            q = jnp.maximum(q, U32(1))
-        out_v = q
+        # saturating product (merylOpCompute.C:196-203); constant
+        # default 1 (merylCommandBuilder-isAssign.C:86)
+        acc = jnp.full((N,), 0, U32) + (vc if vassign.has_constant
+                                        else U32(1))
+        for r in range(1, m + 1):
+            has = act_len >= r
+            acc = jnp.where(has, _sat_mul(acc, value_at_rank(r)), acc)
+        out_v = acc
+    elif op == "div":
+        # SEQUENTIAL division by each present input then the constant
+        # (default 1), divide-by-zero -> 0 (merylOpCompute.C:206-218)
+        acc = v_first
+        for r in range(2, m + 1):
+            has = act_len >= r
+            acc = jnp.where(has, acc // jnp.maximum(value_at_rank(r),
+                                                    U32(1)), acc)
+        if vassign.has_constant:
+            c = jnp.zeros((N,), U32) + vc
+            acc = jnp.where(c > U32(0),
+                            acc // jnp.maximum(c, U32(1)), U32(0))
+        out_v = acc
+    elif op == "divzero":
+        # sequential rounding division; 0 <= acc < divisor rounds up
+        # to 1, divide-by-zero -> 0 (merylOpCompute.C:225-246);
+        # constant default 1 applies the same rule (0 -> 1)
+        def _divz_step(acc, d):
+            qt = acc // jnp.maximum(d, U32(1))
+            rem = acc - qt * jnp.maximum(d, U32(1))
+            up = rem >= (d - rem)  # 2*rem >= d, overflow-free
+            rounded = qt + jnp.where(up, U32(1), U32(0))
+            return jnp.where(d == U32(0), U32(0),
+                             jnp.where(acc < d, U32(1), rounded))
+        acc = v_first
+        for r in range(2, m + 1):
+            has = act_len >= r
+            acc = jnp.where(has, _divz_step(acc, value_at_rank(r)), acc)
+        c = jnp.zeros((N,), U32) + (vc if vassign.has_constant
+                                    else U32(1))
+        out_v = _divz_step(acc, c)
     elif op in ("mod", "rem"):
-        rest = v_sum - v_first
-        den = jnp.maximum(rest, U32(1)) * (vc if vassign.has_constant else U32(1))
-        den = jnp.maximum(den, U32(1))
-        out_v = v_first % den
+        # sequential quotient/remainder accumulation
+        # (merylOpCompute.C:253-273): q walks the division chain, the
+        # remainders sum; a zero divisor dumps q into the remainder.
+        # Constant default 0 (isAssign.C:89) -> the leftover quotient
+        # joins the remainder at the end.
+        q = v_first
+        racc = jnp.zeros((N,), U32)
+        for r in range(2, m + 1):
+            has = act_len >= r
+            d = jnp.maximum(value_at_rank(r), U32(1))  # present => >0
+            qt = q // d
+            racc = jnp.where(has, racc + (q - qt * d), racc)
+            q = jnp.where(has, qt, q)
+        c = jnp.zeros((N,), U32) + (vc if vassign.has_constant
+                                    else U32(0))
+        qt = q // jnp.maximum(c, U32(1))
+        racc = racc + jnp.where(c > U32(0), q - qt * c, q)
+        out_v = racc
     elif op == "count":
         out_v = act_len.astype(U32)
     else:

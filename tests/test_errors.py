@@ -61,3 +61,24 @@ def test_union_of_mismatched_k(tmp_path, capsys):
 def test_nonexistent_sequence_file(capsys):
     rc = cli.main(["k=9", "count", "/does/not/exist.fa", "output", "/tmp/x"])
     assert rc == 1
+
+
+def test_tiny_k_counting(tmp_path):
+    """k=1 and k=2 must count end-to-end (regression: prefix6 raised
+    OverflowError for 2k < 6)."""
+    import numpy as np
+    from meryl_tpu import cli
+    from meryl_tpu.db import MerylDB
+    fa = tmp_path / "t.fa"
+    fa.write_text(">r\nACGTACGGA\n")
+    for k, want in [(1, {"A": 4, "C": 5}),   # canonical: A<->T, C<->G
+                    (2, None)]:
+        db = str(tmp_path / f"k{k}.meryl")
+        assert cli.main([f"k={k}", "count", str(fa), "output", db]) == 0
+        hi, lo, counts = MerylDB.open(db).load_all()
+        assert int(counts.sum()) == 9 - k + 1
+        if want is not None:
+            from meryl_tpu import kmer as km
+            got = {km.kmer_to_string(int(l), k): int(c)
+                   for l, c in zip(lo, counts)}
+            assert got == want

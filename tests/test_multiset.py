@@ -206,3 +206,32 @@ def test_multiset_output_db_flag(ms_db, tmp_path):
     assert db.multiset
     hi, lo, c = db.load_all()
     assert len(c) == 3  # instances preserved through the op + DB
+
+
+def test_compare_multiset_per_instance(tmp_path):
+    """compare of multiset DBs matches instances by value rank instead
+    of collapsing each kmer to one dict entry (review regression: DBs
+    differing only in instance counts compared equal)."""
+    import io
+
+    from meryl_tpu.optree import execute_compare
+
+    kf_a = tmp_path / "a.txt"
+    kf_a.write_text("AAAAAAAAC 5\nAAAAAAAAC 7\n")
+    kf_b = tmp_path / "b.txt"
+    kf_b.write_text("AAAAAAAAC 7\n")
+    pa, pb = str(tmp_path / "a.meryl"), str(tmp_path / "b.meryl")
+    for kf, p in [(kf_a, pa), (kf_b, pb)]:
+        assert import_tool.main(["-k", str(K), "-kmers", str(kf),
+                                 "-output", p, "-forward",
+                                 "-multiset"]) == 0
+    node = OpNode(op="compare", inputs=[DBInput(pa), DBInput(pb)])
+    out = io.StringIO()
+    same = execute_compare(node, K, out=out)
+    assert not same
+    assert "only in input 0" in out.getvalue()
+    # identical multisets still compare equal
+    node2 = OpNode(op="compare", inputs=[DBInput(pa), DBInput(pa)])
+    out2 = io.StringIO()
+    assert execute_compare(node2, K, out=out2)
+    assert out2.getvalue() == ""

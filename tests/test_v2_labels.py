@@ -147,20 +147,91 @@ def test_multi_input_value_arith(dbs, rule):
     expect_keys = set()
     for kk in set(dicts[0]) | set(dicts[1]):
         entries = [d[kk][0] for d in dicts if kk in d]
-        first = entries[0]
-        rest = sum(entries[1:])
+        # naive models of the reference's SEQUENTIAL semantics
+        # (merylOpCompute.C:196-273), incl. the default constants
+        # mul=1, div=1, divzero=1, mod=0 (isAssign.C:86-90)
         if rule == "mul":
-            v = first
-            for x in entries[1:]:
-                v = (v * x) & 0xFFFFFFFF
+            v = 1
+            for x in entries:
+                v = min(v * x, 0xFFFFFFFF)
         elif rule == "div":
-            v = first // max(rest, 1)
+            v = entries[0]
+            for x in entries[1:]:
+                v = v // x if x else 0
         elif rule == "divzero":
-            v = max(first // max(rest, 1), 1)
+            v = entries[0]
+            for x in entries[1:] + [1]:
+                if x == 0:
+                    v = 0
+                elif v < x:
+                    v = 1
+                else:
+                    q, r = divmod(v, x)
+                    v = q + (1 if 2 * r >= x else 0)
         elif rule == "mod":
-            v = first % max(rest, 1)
+            q, r = entries[0], 0
+            for x in entries[1:]:
+                if x:
+                    r += q % x
+                    q //= x
+                else:
+                    r += q
+                    q = 0
+            v = (r + q) & 0xFFFFFFFF  # constant 0 dumps leftover q
         if v:
             expect_keys.add(kk)
             assert got[kk][0] == v, (km.kmer_to_string(kk, K), rule,
                                      got[kk][0], v)
     assert set(got) == expect_keys
+
+
+def test_value_arith_three_inputs_sequential(tmp_path):
+    """div/mod over THREE inputs follow the reference's SEQUENTIAL
+    chain (merylOpCompute.C:206-273), not division by the sum of the
+    rest (review regression)."""
+    vals_by_input = [(100, 2, 5), (60, 7, 3)]
+    kmers = ["AAAAAAAAC", "AAAAAAAAG"]
+    paths = []
+    for i in range(3):
+        hi = np.zeros(2, np.uint64)
+        lo, c = [], []
+        for kk, vv in zip(kmers, vals_by_input):
+            lo.append(km.string_to_kmer(kk))
+            c.append(vv[i])
+        order = np.argsort(lo)
+        p = str(tmp_path / f"s{i}.meryl")
+        MerylDB.write(p, K, hi, np.array(lo, np.uint64)[order],
+                      np.array(c, np.uint32)[order])
+        paths.append(p)
+
+    got = _run(["union", "assign:value=div", "o:show"] + paths)
+    for kk, (a, b, c3) in zip(kmers, vals_by_input):
+        want = a // b // c3  # sequential, NOT a // (b + c3)
+        assert got[km.string_to_kmer(kk)][0] == want
+
+    got = _run(["union", "assign:value=mod", "o:show"] + paths)
+    for kk, (a, b, c3) in zip(kmers, vals_by_input):
+        q, r = a, 0
+        for x in (b, c3):
+            r += q % x
+            q //= x
+        want = r + q  # constant default 0 dumps leftover quotient
+        assert got[km.string_to_kmer(kk)][0] == want
+
+
+def test_value_add_mul_saturate(tmp_path):
+    """v2 add/mul clamp at kmvalumax instead of wrapping
+    (merylOpCompute.C:171-203); a wrapped 0 would delete the kmer."""
+    kk = "AAAAAAAAC"
+    lo = np.array([km.string_to_kmer(kk)], np.uint64)
+    hi = np.zeros(1, np.uint64)
+    pa = str(tmp_path / "a.meryl")
+    pb = str(tmp_path / "b.meryl")
+    MerylDB.write(pa, K, hi, lo, np.array([0xFFFFFFFE], np.uint32))
+    MerylDB.write(pb, K, hi, lo, np.array([16], np.uint32))
+
+    got = _run(["union", "assign:value=add", "o:show", pa, pb])
+    assert got[km.string_to_kmer(kk)][0] == 0xFFFFFFFF
+
+    got = _run(["union", "assign:value=mul", "o:show", pa, pb])
+    assert got[km.string_to_kmer(kk)][0] == 0xFFFFFFFF
