@@ -184,14 +184,15 @@ def _use_sharded(count_suffix) -> bool:
     return jax.device_count() > 1 and jax.default_backend() != "cpu"
 
 
-def count_to_arrays_sharded(paths, k: int, mode: str = "canonical",
-                            hpc: bool = False,
-                            chunk_len: int | None = None, progress=None,
-                            segment=None, mesh=None, **shard_kw):
-    """Multi-chip counting: feed n_devices chunker chunks per SPMD step
-    (each chunk is a self-contained window with its own k-1 halo, so
-    consecutive chunks can go to different devices); short final groups
-    are padded with separator-filled shards."""
+def _feed_sharded(paths, k: int, mode: str = "canonical",
+                  hpc: bool = False,
+                  chunk_len: int | None = None, progress=None,
+                  segment=None, mesh=None, **shard_kw):
+    """Feed the whole input through a ShardedCounter (n_devices chunker
+    chunks per SPMD step — each chunk is a self-contained window with
+    its own k-1 halo, so consecutive chunks can go to different
+    devices; short final groups are padded with separator-filled
+    shards).  Returns the counter, ready to finalize."""
     import jax
     from jax.sharding import Mesh
     from .io.sequence import SEP
@@ -219,7 +220,18 @@ def count_to_arrays_sharded(paths, k: int, mode: str = "canonical",
         sc.add_codes(np.concatenate(group))
         if progress:
             progress(nbases)
-    return sc.finalize()
+    return sc
+
+
+def count_to_arrays_sharded(paths, k: int, mode: str = "canonical",
+                            hpc: bool = False,
+                            chunk_len: int | None = None, progress=None,
+                            segment=None, mesh=None, **shard_kw):
+    """Multi-chip counting to in-memory arrays (see _feed_sharded)."""
+    return _feed_sharded(paths, k, mode=mode, hpc=hpc,
+                         chunk_len=chunk_len, progress=progress,
+                         segment=segment, mesh=mesh,
+                         **shard_kw).finalize()
 
 
 def count_to_arrays(paths, k: int, mode: str = "canonical", hpc: bool = False,
@@ -294,23 +306,29 @@ def count_to_db(paths, out_path: str, k: int, mode: str = "canonical",
         if plan["batches"] > 1:
             if _use_sharded(count_suffix):
                 # sharded out-of-core: accumulator spills go to DISK,
-                # and finalize loads one owner device's runs at a time,
-                # so host peak is ~1/n_dev of the merged set instead of
-                # all of it (the sharded analog of the batched path)
+                # finalize loads one owner device's runs at a time, and
+                # the DB is written bucket-by-bucket as owner ranges
+                # stream out — host peak is ~1/n_dev of the merged set,
+                # never all of it (the sharded analog of the batched
+                # path)
                 import shutil
+                from .db import stream_sorted_parts
                 spill_dir = out_path + ".spills"
-                hi, lo, counts = count_to_arrays_sharded(
+                sc = _feed_sharded(
                     paths, k, mode=mode, hpc=hpc,
                     chunk_len=plan["chunk_len"], progress=progress,
                     segment=segment, spill_dir=spill_dir)
-                db = MerylDB.write(out_path, k, hi, lo, counts,
-                                   mode=mode, hpc=hpc)
+                db = stream_sorted_parts(
+                    out_path, k,
+                    ((hi, lo, c)  # merge_runs clamps to u32 kmvalu
+                     for _, hi, lo, c in sc.iter_finalized_parts()),
+                    mode=mode, hpc=hpc)
                 shutil.rmtree(spill_dir, ignore_errors=True)
                 return db
             return count_to_db_batched(
                 paths, out_path, k, mode=mode, hpc=hpc,
                 chunk_len=plan["chunk_len"], memory_gb=memory_gb,
-                progress=progress)
+                segment=segment, progress=progress)
         chunk_len = plan["chunk_len"]
     hi, lo, counts = count_to_arrays(paths, k, mode=mode, hpc=hpc,
                                      chunk_len=chunk_len,
@@ -401,6 +419,7 @@ def count_to_db_batched(paths, out_path: str, k: int, *,
                         chunk_len: int | None = None,
                         batch_bases: int | None = None,
                         memory_gb: float | None = None,
+                        segment=None,
                         resume: bool = True, progress=None) -> MerylDB:
     """Out-of-core, restartable counting.
 
@@ -421,21 +440,28 @@ def count_to_db_batched(paths, out_path: str, k: int, *,
     if batch_bases is None:
         batch_bases = plan["batch_bases"]
     manifest_path = out_path + ".manifest.json"
+    # chunk_len and segment are part of the resume identity: batch
+    # boundaries are counted in chunks, so a different chunk size (or
+    # input segment) renames which bases "batch i" covers — resuming
+    # across that silently double/never-counts ranges
     manifest = {"k": k, "mode": mode, "hpc": hpc,
-                "batch_bases": batch_bases, "done": []}
+                "batch_bases": batch_bases, "chunk_len": chunk_len,
+                "segment": list(segment) if segment else None,
+                "done": []}
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             old = json.load(f)
-        if (old.get("k") == k and old.get("mode") == mode and
-                old.get("hpc") == hpc and
-                old.get("batch_bases") == batch_bases):
-            manifest = old
+        if all(old.get(key) == manifest[key]
+               for key in ("k", "mode", "hpc", "batch_bases",
+                           "chunk_len", "segment")):
+            manifest["done"] = old.get("done", [])
 
     def save_manifest():
         with open(manifest_path, "w") as f:
             json.dump(manifest, f)
 
-    chunker = SequenceChunker(paths, k, chunk_len, hpc=hpc)
+    chunker = SequenceChunker(paths, k, chunk_len, hpc=hpc,
+                              segment=segment)
     chunks_per_batch = max(1, int(np.ceil(batch_bases / chunk_len)))
 
     batch_idx = 0

@@ -259,6 +259,50 @@ class MerylDB:
         return "\n".join(lines)
 
 
+def stream_sorted_parts(path: str, k: int, parts, *,
+                        mode: str = "canonical", hpc: bool = False,
+                        multiset: bool = False) -> "MerylDB":
+    """Write a DB from an ITERATOR of sorted (hi, lo, counts) pieces in
+    ascending global kmer order (each piece internally sorted, pieces
+    non-overlapping and ordered).  Buckets are written as soon as their
+    6-bit prefix range is complete, so host peak memory is ~one piece
+    plus the straddle buffer — never the whole kmer set.  Used by the
+    sharded/multi-host assembly paths (their owner ranges may straddle
+    a 64-file boundary when ownership uses > 6 prefix bits)."""
+    w = MerylDBWriter(path, k, mode=mode, hpc=hpc, multiset=multiset)
+    cur_ff = 0
+    buf = []  # pieces belonging to cur_ff and beyond
+
+    def flush_through(ff_end):
+        """Write complete buckets cur_ff..ff_end-1 from buf."""
+        nonlocal cur_ff, buf
+        if not buf:
+            hi = lo = np.zeros(0, np.uint64)
+            c = np.zeros(0, np.uint32)
+        else:
+            hi = np.concatenate([b[0] for b in buf])
+            lo = np.concatenate([b[1] for b in buf])
+            c = np.concatenate([b[2] for b in buf])
+        pref = km.prefix6_from_hilo(hi, lo, k)
+        for ff in range(cur_ff, ff_end):
+            m = pref == ff
+            w.add_bucket(ff, hi[m], lo[m], c[m])
+        keep = pref >= ff_end
+        buf = [(hi[keep], lo[keep], c[keep])] if keep.any() else []
+        cur_ff = ff_end
+
+    for hi, lo, c in parts:
+        if len(c):
+            first = int(km.prefix6_from_hilo(hi[:1], lo[:1], k)[0])
+            if first > cur_ff:
+                flush_through(first)
+            buf.append((np.asarray(hi, np.uint64),
+                        np.asarray(lo, np.uint64),
+                        np.asarray(c, np.uint32)))
+    flush_through(NUM_FILES)
+    return w.finalize()
+
+
 class MerylDBWriter:
     """Incremental bucket-at-a-time DB writer (the merge phase emits one
     6-bit-prefix bucket at a time, mirroring the reference's per-slice

@@ -33,17 +33,20 @@ SEP = 255  # sequence separator / invalid code
 
 
 def open_maybe_compressed(path: str, mode: str = "rb"):
-    """Open a file, transparently decompressing gz/bz2/xz (by magic)."""
-    f = open(path, "rb")
-    magic = f.read(6)
-    f.seek(0)
+    """Open a file, transparently decompressing gz/bz2/xz (by magic).
+
+    The decompressor is opened BY PATH (not wrapping the sniffing fd):
+    gzip/bz2/lzma wrappers around a caller-supplied fileobj do not
+    close it, which would leak one fd per compressed file."""
+    with open(path, "rb") as f:
+        magic = f.read(6)
     if magic[:2] == b"\x1f\x8b":
-        return gzip.open(f)
+        return gzip.open(path, "rb")
     if magic[:3] == b"BZh":
-        return bz2.open(f)
+        return bz2.open(path, "rb")
     if magic[:6] == b"\xfd7zXZ\x00":
-        return lzma.open(f)
-    return f
+        return lzma.open(path, "rb")
+    return open(path, "rb")
 
 
 def detect_format(first_byte: bytes) -> str:

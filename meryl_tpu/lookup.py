@@ -64,15 +64,17 @@ def _top_bits_planes(planes, k: int, b: int):
     return ((hi.astype(jnp.int32) << need) | lo.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "b", "iters"))
-def _query_kernel(db_planes, db_values, offsets, q_planes, valid,
-                  k: int, b: int, iters: int):
-    """Vectorized lower-bound search over sorted multiword keys.
+def _lower_bound(db_planes, offsets, q_planes, k: int, b: int,
+                 iters: int):
+    """Prefix-bucketed vectorized lower-bound over sorted multiword
+    keys (traced helper shared by the value lookup here and the rank
+    lookup in tools/position_lookup.py).
 
-    db_planes: P arrays (N,) ascending; db_values: (N,) uint32
+    db_planes: P arrays (N,) ascending
     offsets:   (2^b + 1,) int32 start offsets per b-bit prefix
-    q_planes:  P arrays (Q,); valid: (Q,) bool
-    -> (Q,) uint32 values, 0 where absent or invalid.
+    q_planes:  P arrays (Q,)
+    -> (idx, found): clipped lower-bound rank per query, and whether
+       the key at idx equals the query (caller ANDs its own validity).
     """
     pref = _top_bits_planes(q_planes, k, b)
     pref = jnp.clip(pref, 0, (1 << b) - 1)
@@ -86,11 +88,20 @@ def _query_kernel(db_planes, db_values, offsets, q_planes, valid,
         active = lo < hi
         lo = jnp.where(active & less, mid + 1, lo)
         hi = jnp.where(active & ~less, mid, hi)
-    n = db_values.shape[0]
+    n = db_planes[0].shape[0]
     idx = jnp.minimum(lo, n - 1)
     key = [jnp.take(p, idx, mode="clip") for p in db_planes]
-    found = mw.eq(key, q_planes) & (lo < end) & valid
-    return jnp.where(found, jnp.take(db_values, idx, mode="clip"), U32(0))
+    found = mw.eq(key, q_planes) & (lo < end)
+    return idx, found
+
+
+@functools.partial(jax.jit, static_argnames=("k", "b", "iters"))
+def _query_kernel(db_planes, db_values, offsets, q_planes, valid,
+                  k: int, b: int, iters: int):
+    """Value of each query kmer; 0 where absent or invalid."""
+    idx, found = _lower_bound(db_planes, offsets, q_planes, k, b, iters)
+    return jnp.where(found & valid,
+                     jnp.take(db_values, idx, mode="clip"), U32(0))
 
 
 @jax.jit

@@ -200,17 +200,25 @@ def _per_position_values(lookups, codes: np.ndarray, k: int):
 
 
 def _is_palindrome(codes: np.ndarray, k: int) -> np.ndarray:
-    """Per-position: is the kmer its own reverse complement (k even only)."""
+    """Per-position: is the kmer its own reverse complement (k even
+    only).  Vectorized over sliding windows in bounded blocks (a
+    per-position Python loop is ~1e8 iterations on a chromosome)."""
     L = len(codes)
     npos = max(0, L - k + 1)
     out = np.zeros(npos, bool)
     if k % 2 == 1 or npos == 0:
         return out
     comp = np.array([2, 3, 0, 1, *([255] * 252)], np.uint8)
-    for p in range(npos):
-        w = codes[p:p + k]
-        if (w <= 3).all() and (w == comp[w[::-1]]).all():
-            out[p] = True
+    ccodes = comp[codes]
+    BLOCK = 1 << 20
+    for b in range(0, npos, BLOCK):
+        e = min(b + BLOCK, npos)
+        win = np.lib.stride_tricks.sliding_window_view(
+            codes[b:e + k - 1], k)
+        # fmer == rmer  <=>  window equals complement of its reversal
+        cwin = np.lib.stride_tricks.sliding_window_view(
+            ccodes[b:e + k - 1], k)[:, ::-1]
+        out[b:e] = (win <= 3).all(axis=1) & (win == cwin).all(axis=1)
     return out
 
 

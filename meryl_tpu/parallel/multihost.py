@@ -135,10 +135,21 @@ def count_to_arrays_multihost(paths, k: int, mode: str = "canonical",
 
 
 def write_parts(out_path: str, k: int, parts) -> str:
-    """Persist this process's owner parts; returns the parts dir."""
+    """Persist this process's owner parts; returns the parts dir.
+
+    Process 0 removes any pre-existing parts dir first (a previous
+    interrupted or different-nprocs run would leave stale proc*.json /
+    part files that assemble_db would otherwise merge in); all
+    processes barrier on that cleanup before writing."""
+    import shutil
+
     import jax
+    from jax.experimental import multihost_utils
 
     pdir = out_path + PART_DIR_SUFFIX
+    if jax.process_index() == 0 and os.path.isdir(pdir):
+        shutil.rmtree(pdir)
+    multihost_utils.sync_global_devices("meryl_mh_parts_clean")
     os.makedirs(pdir, exist_ok=True)
     pid = jax.process_index()
     meta = []
@@ -147,7 +158,8 @@ def write_parts(out_path: str, k: int, parts) -> str:
         np.savez(fn, hi=hi, lo=lo, counts=c.astype(np.uint32))
         meta.append({"row": int(row), "n": int(len(c)), "file": fn})
     with open(os.path.join(pdir, f"proc{pid}.json"), "w") as f:
-        json.dump({"k": int(k), "parts": meta}, f)
+        json.dump({"k": int(k), "nprocs": jax.process_count(),
+                   "parts": meta}, f)
     return pdir
 
 
@@ -163,53 +175,41 @@ def assemble_db(out_path: str, k: int, *, mode: str = "canonical",
     import jax
     from jax.experimental import multihost_utils
 
-    from ..db import NUM_FILES, MerylDBWriter
-    from .. import kmer as km
+    from ..db import stream_sorted_parts
 
     multihost_utils.sync_global_devices("meryl_mh_parts_written")
     db = None
     if jax.process_index() == 0:
         pdir = out_path + PART_DIR_SUFFIX
         metas = []
+        proc_files = []
         for fn in sorted(os.listdir(pdir)):
             if fn.startswith("proc") and fn.endswith(".json"):
+                proc_files.append(fn)
                 with open(os.path.join(pdir, fn)) as f:
-                    metas.extend(json.load(f)["parts"])
+                    j = json.load(f)
+                if j.get("nprocs", jax.process_count()) != \
+                        jax.process_count():
+                    raise RuntimeError(
+                        f"{pdir}/{fn}: written by a {j['nprocs']}-process "
+                        f"run, this job has {jax.process_count()} — stale "
+                        f"parts dir, remove it and rerun")
+                metas.extend(j["parts"])
+        if len(proc_files) != jax.process_count():
+            raise RuntimeError(
+                f"{pdir}: {len(proc_files)} proc manifests for "
+                f"{jax.process_count()} processes — incomplete or stale "
+                f"parts dir")
         metas.sort(key=lambda m: m["row"])
-        w = MerylDBWriter(out_path, k, mode=mode, hpc=hpc)
+
         # stream parts in global order, cutting at 6-bit-file boundaries
         # (an owner range may straddle a file when prefix_bits > 6)
-        cur_ff = 0
-        buf = []  # (hi, lo, c) pieces belonging to cur_ff and beyond
-
-        def flush_through(ff_end):
-            """Write complete buckets cur_ff..ff_end-1 from buf."""
-            nonlocal cur_ff, buf
-            if not buf:
-                hi = lo = np.zeros(0, np.uint64)
-                c = np.zeros(0, np.uint32)
-            else:
-                hi = np.concatenate([b[0] for b in buf])
-                lo = np.concatenate([b[1] for b in buf])
-                c = np.concatenate([b[2] for b in buf])
-            pref = km.prefix6_from_hilo(hi, lo, k)
-            for ff in range(cur_ff, ff_end):
-                m = pref == ff
-                w.add_bucket(ff, hi[m], lo[m], c[m])
-            keep = pref >= ff_end
-            buf = [(hi[keep], lo[keep], c[keep])] if keep.any() else []
-            cur_ff = ff_end
-
-        for m in metas:
+        def load(m):
             z = np.load(m["file"])
-            hi, lo, c = z["hi"], z["lo"], z["counts"]
-            if len(c):
-                first = int(km.prefix6_from_hilo(hi[:1], lo[:1], k)[0])
-                if first > cur_ff:
-                    flush_through(first)
-                buf.append((hi, lo, c))
-        flush_through(NUM_FILES)
-        db = w.finalize()
+            return z["hi"], z["lo"], z["counts"]
+
+        db = stream_sorted_parts(out_path, k, (load(m) for m in metas),
+                                 mode=mode, hpc=hpc)
         shutil.rmtree(pdir, ignore_errors=True)
     multihost_utils.sync_global_devices("meryl_mh_db_assembled")
     if db is None:

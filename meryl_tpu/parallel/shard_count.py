@@ -406,27 +406,32 @@ class ShardedCounter:
         self._drain_pending()
         self._pending = self._step(codes)
 
-    def finalize_parts(self):
-        """-> [(device row, hi, lo, counts)] for the process-local
+    def iter_finalized_parts(self):
+        """Yield (device row, hi, lo, counts) for the process-local
         devices, ascending row; spilled runs and the live accumulator
-        are union-sum merged per owner."""
+        are union-sum merged per owner.  A GENERATOR so callers can
+        stream owner ranges into a DB writer one device at a time —
+        with spill_dir, host peak is one device's merged range, never
+        the whole kmer set."""
         from ..counter import merge_runs
         self._drain_pending()
         self._resolve_acc_n()
         acc_runs = {}
         if self._acc is not None and self._acc_n > 0:
             acc_runs = self._download_acc()
+        self._acc = None  # the downloaded runs own the data now
         rows = sorted(set(self._spills) | set(acc_runs))
-        parts = []
         for d in rows:
-            # one device at a time: with spill_dir, host peak is this
-            # device's runs, not the whole merged set
             runs = [self._load_run(r) for r in self._spills.get(d, [])]
             if d in acc_runs:
-                runs.append(acc_runs[d])
+                runs.append(acc_runs.pop(d))
             hi, lo, c = merge_runs(runs)
-            parts.append((d, hi, lo, c))
-        return parts
+            yield (d, hi, lo, c)
+
+    def finalize_parts(self):
+        """-> [(device row, hi, lo, counts)], materialized (see
+        iter_finalized_parts for the streaming form)."""
+        return list(self.iter_finalized_parts())
 
     def finalize(self):
         """-> (hi, lo, counts) numpy arrays, globally sorted unique

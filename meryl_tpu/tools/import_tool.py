@@ -7,7 +7,9 @@ v2 variant (/root/reference/src/meryl2-import/meryl-import.C:200-240):
                persistent defaults for subsequent kmers (v2 syntax)
   -output DB   database to create
   -k K         kmer size (shorter inputs crash the reference; here we
-               error; longer inputs use the left-most K bases)
+               error; longer inputs keep the RIGHT-most K bases — the
+               reference pushes every base through a rolling window,
+               meryl-import.C:196-197)
   -multiset    keep duplicate kmers as separate entries
   -maxvalue V  accepted (memory hint in the reference; no-op here)
   -valuewidth VW  accepted (values are fixed 32-bit here)
@@ -67,7 +69,7 @@ def import_kmers(kmers_path: str, k: int, *, multiset: bool = False,
                 default_label = _decode_int(line[6:])
                 continue
             parts = line.split()
-            s = parts[0][:k]
+            s = parts[0][-k:]  # rolling window keeps the LAST k bases
             if len(s) < k:
                 raise ValueError(f"kmer '{parts[0]}' shorter than k={k}")
             v = _decode_int(parts[1]) if len(parts) > 1 else default_value

@@ -25,7 +25,6 @@ from ..db import MerylDB
 from ..io.sequence import iter_sequences
 from ..lookup import ExactLookup
 from ..ops import extract as ext
-from ..ops import multiword as mw
 
 CHUNK = 1 << 16
 
@@ -64,24 +63,12 @@ import jax
 
 @functools.partial(jax.jit, static_argnames=("k", "b", "iters"))
 def _index_kernel(db_planes, offsets, q_planes, valid, k, b, iters):
-    """Rank of each query kmer in the sorted DB arrays; -1 if absent."""
-    from ..lookup import _top_bits_planes
-    pref = jnp.clip(_top_bits_planes(q_planes, k, b), 0, (1 << b) - 1)
-    lo = offsets[pref]
-    hi = offsets[pref + 1]
-    end = hi
-    for _ in range(iters):
-        mid = (lo + hi) >> 1
-        key = [jnp.take(p, mid, mode="clip") for p in db_planes]
-        less = mw.lt(key, q_planes)
-        active = lo < hi
-        lo = jnp.where(active & less, mid + 1, lo)
-        hi = jnp.where(active & ~less, mid, hi)
-    n = db_planes[0].shape[0]
-    idx = jnp.minimum(lo, n - 1)
-    key = [jnp.take(p, idx, mode="clip") for p in db_planes]
-    found = mw.eq(key, q_planes) & (lo < end) & valid
-    return jnp.where(found, idx, -1)
+    """Rank of each query kmer in the sorted DB arrays; -1 if absent
+    (the reference's merylExactLookup::index).  Shares the lower-bound
+    search with lookup._query_kernel."""
+    from ..lookup import _lower_bound
+    idx, found = _lower_bound(db_planes, offsets, q_planes, k, b, iters)
+    return jnp.where(found & valid, idx, -1)
 
 
 class PositionTable:

@@ -106,3 +106,25 @@ def test_bam_multimember_bgzf(tmp_path):
     got = list(iter_bam(p))
     assert [g[0] for g in got] == [r[0] for r in reads]
     assert [g[1].decode() for g in got] == [r[1] for r in reads]
+
+
+def test_bam_qual_clamp_no_crash(tmp_path):
+    """A stored quality byte > 222 (not uniform-0xFF-absent) must not
+    abort ingest: Phred+33 is clamped to 255 (regression: bytes()
+    raised ValueError and killed the whole file)."""
+    import struct as _struct
+
+    p = str(tmp_path / "q.bam")
+    _make_bam(p, [("r1", "ACGT", "IIII")])
+    # stored qualities are Phred (ord('I')-33 = 40 = '('); patch the
+    # third to 0xE0 so Phred+33 would exceed 255
+    raw = gzip.open(p, "rb").read()
+    qpos = raw.rfind(b"((((")
+    assert qpos >= 0
+    raw = raw[:qpos + 2] + bytes([0xE0]) + raw[qpos + 3:]
+    with gzip.open(p, "wb") as f:
+        f.write(raw)
+    (name, seq, qual), = list(iter_bam(p))
+    assert seq == b"ACGT"
+    assert qual is not None and len(qual) == 4
+    assert qual[2] == 255  # clamped, not crashed

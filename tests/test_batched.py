@@ -56,7 +56,8 @@ def test_batched_resume_skips_done(tmp_path):
     # simulate a prior run that completed batch 0 with wrong data: the
     # resume must trust it (idempotent restart), proving the skip works
     manifest = {"k": K, "mode": "canonical", "hpc": False,
-                "batch_bases": 1500, "done": [0]}
+                "batch_bases": 1500, "chunk_len": 1 << 11,
+                "segment": None, "done": [0]}
     with open(out + ".manifest.json", "w") as f:
         json.dump(manifest, f)
     z = np.zeros(0, np.uint64)
@@ -69,6 +70,54 @@ def test_batched_resume_skips_done(tmp_path):
     full = {(int(h) << 64) | int(l) for h, l in zip(ohi, olo)}
     got = {(int(h) << 64) | int(l) for h, l in zip(hi, lo)}
     assert got and got < full
+
+
+def test_batched_no_resume_on_chunk_len_change(tmp_path):
+    """A manifest from a run with a DIFFERENT chunk size must be
+    ignored: batch boundaries are counted in chunks, so 'batch 0'
+    denotes a different base range (regression: resuming across a
+    chunk-size change silently skipped/double-counted ranges)."""
+    seqs = _mkseqs(700, 6, seed=4)
+    fa = _fasta(tmp_path, seqs)
+    out = str(tmp_path / "c.meryl")
+    manifest = {"k": K, "mode": "canonical", "hpc": False,
+                "batch_bases": 1500, "chunk_len": 1 << 12,
+                "segment": None, "done": [0]}
+    with open(out + ".manifest.json", "w") as f:
+        json.dump(manifest, f)
+    z = np.zeros(0, np.uint64)
+    MerylDB.write(out + ".batch0", K, z, z.copy(), np.zeros(0, np.uint32))
+    db = count_to_db_batched([fa], out, K, chunk_len=1 << 11,
+                             batch_bases=1500, resume=True)
+    hi, lo, c = db.load_all()
+    ohi, olo, oc = oracle.count_kmers(seqs, K)
+    assert (hi == ohi).all() and (lo == olo).all() and (c == oc).all()
+
+
+def test_batched_respects_segment(tmp_path):
+    """segment= must reach the batched path's chunker (regression: it
+    was dropped, so every segment job counted ALL sequences)."""
+    seqs = _mkseqs(700, 6, seed=5)
+    fa = _fasta(tmp_path, seqs)
+    dbs = []
+    for a in (1, 2):
+        out = str(tmp_path / f"seg{a}.meryl")
+        dbs.append(count_to_db_batched([fa], out, K, chunk_len=1 << 11,
+                                       batch_bases=1500, segment=(a, 2)))
+    # union-sum of the two segments == full count
+    tot = {}
+    for db in dbs:
+        hi, lo, c = db.load_all()
+        for h, l, v in zip(hi, lo, c):
+            kk = (int(h) << 64) | int(l)
+            tot[kk] = tot.get(kk, 0) + int(v)
+    ohi, olo, oc = oracle.count_kmers(seqs, K)
+    want = {(int(h) << 64) | int(l): int(v)
+            for h, l, v in zip(ohi, olo, oc)}
+    assert tot == want
+    # and each segment alone is a strict subset (it did NOT count all)
+    hi, lo, c = dbs[0].load_all()
+    assert int(c.sum()) < int(oc.sum())
 
 
 def test_configure_counting(tmp_path):

@@ -46,3 +46,26 @@ def test_existence_bulk_path(tmp_path):
         if f in d or r in d:
             found += 1
     assert int(nfound) == found
+
+
+def test_palindrome_vectorized_matches_bruteforce():
+    """_is_palindrome (blocked sliding-window form) against a literal
+    per-position brute force, incl. invalid codes and odd k."""
+    import numpy as np
+
+    from meryl_tpu.lookup_cli import _is_palindrome
+
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 4, size=3000).astype(np.uint8)
+    codes[100] = 255  # an N
+    comp = {0: 2, 1: 3, 2: 0, 3: 1}
+    for k in (4, 6, 7, 16):
+        got = _is_palindrome(codes, k)
+        npos = len(codes) - k + 1
+        want = np.zeros(npos, bool)
+        if k % 2 == 0:
+            for p in range(npos):
+                w = codes[p:p + k]
+                want[p] = bool((w <= 3).all() and all(
+                    int(w[i]) == comp[int(w[k - 1 - i])] for i in range(k)))
+        assert (got == want).all(), k

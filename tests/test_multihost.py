@@ -78,3 +78,38 @@ def test_multihost_cli_count_matches_single(tmp_path):
     assert ho_m.tolist() == ho_1.tolist()
     # no leftover part dir
     assert not os.path.exists(db_mh + ".mhparts")
+
+
+def test_stream_sorted_parts_matches_bulk_write(tmp_path):
+    """db.stream_sorted_parts (piece-at-a-time, straddling 6-bit file
+    boundaries) writes a DB decode-identical to MerylDB.write of the
+    concatenated arrays."""
+    import numpy as np
+
+    from meryl_tpu import kmer as km
+    from meryl_tpu.db import MerylDB, stream_sorted_parts
+
+    K = 21
+    rng = np.random.default_rng(9)
+    kk = np.unique(rng.integers(0, 1 << (2 * K), size=5000,
+                                dtype=np.uint64))
+    hi = np.zeros(len(kk), np.uint64)
+    c = rng.integers(1, 50, size=len(kk)).astype(np.uint32)
+
+    p_bulk = str(tmp_path / "bulk.meryl")
+    MerylDB.write(p_bulk, K, hi, kk, c)
+
+    # cut into uneven pieces that straddle bucket boundaries
+    cuts = [0, 7, 8, 1203, 1204, 4000, len(kk)]
+    parts = [(hi[a:b], kk[a:b], c[a:b]) for a, b in zip(cuts, cuts[1:])]
+    p_str = str(tmp_path / "stream.meryl")
+    stream_sorted_parts(p_str, K, iter(parts))
+
+    a = MerylDB.open(p_bulk)
+    b = MerylDB.open(p_str)
+    for x, y in zip(a.load_all(), b.load_all()):
+        assert (x == y).all()
+    assert a.stats() == b.stats()
+    av, ao = a.histogram()
+    bv, bo = b.histogram()
+    assert (av == bv).all() and (ao == bo).all()

@@ -143,3 +143,19 @@ def test_import_decimal_leading_zeros(tmp_path):
                              dbp, "-forward"]) == 0
     _, _, counts = MerylDB.open(dbp).load_all()
     assert counts.tolist() == [7]
+
+
+def test_import_overlong_keeps_rightmost_k(tmp_path):
+    """kmer strings longer than k keep the RIGHT-most k bases: the
+    reference pushes every char through a rolling window
+    (meryl-import.C:196-197), so the window ends holding the suffix."""
+    kf = tmp_path / "long.txt"
+    kf.write_text("ACGTTTGGA 3\n")  # 9 bases, k=4 -> window ends at TGGA
+    out = str(tmp_path / "long.meryl")
+    rc = import_tool.main(["-k", "4", "-kmers", str(kf), "-output", out,
+                           "-forward"])
+    assert rc == 0
+    hi, lo, c = MerylDB.open(out).load_all()
+    assert len(c) == 1
+    assert km.kmer_to_string(int(lo[0]), 4) == "TGGA"
+    assert int(c[0]) == 3
