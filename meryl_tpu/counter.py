@@ -147,7 +147,13 @@ def merge_runs(runs):
 
     from . import native
     if native.available() and len(runs) > 1:
-        hi, lo, c = native.merge_cascade(runs)
+        lib = native.get_lib()
+        if len(runs) > 2 and hasattr(lib, "mt_merge_kway"):
+            # single-pass tournament (bandwidth: 1 read + 1 write per
+            # entry) beats the log2(n)-pass cascade for any real fan-in
+            hi, lo, c = native.merge_kway(runs)
+        else:
+            hi, lo, c = native.merge_cascade(runs)
         counts = np.minimum(c, km.VALUE_MAX).astype(np.uint32)
         return hi, lo, counts
 

@@ -74,6 +74,12 @@ def get_lib():
                                       u64p, u64p, u64p, ctypes.c_int64,
                                       u64p, u64p, u64p]
             lib.mt_merge2.restype = ctypes.c_int64
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            if hasattr(lib, "mt_merge_kway"):
+                lib.mt_merge_kway.argtypes = [
+                    u64p, u64p, u64p, i64p, i64p, ctypes.c_int64,
+                    u64p, u64p, u64p]
+                lib.mt_merge_kway.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib = None
@@ -210,6 +216,173 @@ def merge_cascade(runs, threads: int | None = None):
     s0, n = segs[0]
     return (A[0][s0:s0 + n].copy(), A[1][s0:s0 + n].copy(),
             A[2][s0:s0 + n].copy())
+
+
+def _searchsorted_hilo(h, l, ph, pl):
+    """Insertion index of 128-bit key (ph, pl) in sorted (h, l) arrays."""
+    i0 = int(np.searchsorted(h, ph, "left"))
+    i1 = int(np.searchsorted(h, ph, "right"))
+    return i0 + int(np.searchsorted(l[i0:i1], pl, "left"))
+
+
+_GROUP = 256  # max cursors per tournament (keys+heads must fit cache)
+
+
+def _u64ptr(a, off=0):
+    return ctypes.cast(a.ctypes.data + 8 * off,
+                       ctypes.POINTER(ctypes.c_uint64))
+
+
+def _i64ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _kway_pass(lib, src, dst, offs, lens, base_out: int,
+               threads: int, ex):
+    """One k-way merge of the runs (offs, lens) within buffer set `src`
+    into `dst` starting at base_out.  Range-partitions across `threads`
+    when the work is large enough (the tournament is latency-bound, so
+    disjoint kmer ranges scale).  Returns (out_offsets, out_lens)."""
+    nruns = len(lens)
+    total = int(lens.sum())
+    nparts = min(threads, max(1, total // (1 << 20)))
+    if nparts <= 1 or nruns <= 1 or ex is None:
+        m = lib.mt_merge_kway(_u64ptr(src[0]), _u64ptr(src[1]),
+                              _u64ptr(src[2]), _i64ptr(offs),
+                              _i64ptr(lens), nruns,
+                              _u64ptr(dst[0], base_out),
+                              _u64ptr(dst[1], base_out),
+                              _u64ptr(dst[2], base_out))
+        return [base_out], [m]
+
+    # pivots from a sorted sample; per-run split points by binary search
+    step = max(1, total // 4096)
+    sh = np.concatenate([src[0][o:o + n:step]
+                         for o, n in zip(offs, lens)])
+    sl = np.concatenate([src[1][o:o + n:step]
+                         for o, n in zip(offs, lens)])
+    order = np.lexsort((sl, sh))
+    sh, sl = sh[order], sl[order]
+    pivots = [(int(sh[(len(sh) * t) // nparts]),
+               (int(sl[(len(sh) * t) // nparts])))
+              for t in range(1, nparts)]
+    splits = []
+    for o, n in zip(offs, lens):
+        h, l = src[0][o:o + n], src[1][o:o + n]
+        cuts = [0] + [_searchsorted_hilo(h, l, ph, pl)
+                      for ph, pl in pivots] + [int(n)]
+        splits.append(np.maximum.accumulate(np.array(cuts, np.int64)))
+
+    jobs = []
+    for t in range(nparts):
+        offs_t = np.array([offs[r] + splits[r][t]
+                           for r in range(nruns)], np.int64)
+        lens_t = np.array([splits[r][t + 1] - splits[r][t]
+                           for r in range(nruns)], np.int64)
+        out_off = base_out + int(sum(splits[r][t] for r in range(nruns)))
+        jobs.append((out_off, offs_t, lens_t))
+
+    def do(job):
+        out_off, offs_t, lens_t = job
+        return lib.mt_merge_kway(_u64ptr(src[0]), _u64ptr(src[1]),
+                                 _u64ptr(src[2]), _i64ptr(offs_t),
+                                 _i64ptr(lens_t), nruns,
+                                 _u64ptr(dst[0], out_off),
+                                 _u64ptr(dst[1], out_off),
+                                 _u64ptr(dst[2], out_off))
+
+    ms = list(ex.map(do, jobs))
+    return [j[0] for j in jobs], ms
+
+
+def merge_kway(runs, threads: int | None = None):
+    """K-way loser-tree merge of sorted unique (hi, lo, count-u64)
+    runs, summing counts of equal kmers.
+
+    Replaces the pairwise cascade for the production finish: the
+    cascade rewrites every entry log2(nruns) times and saturates host
+    memory bandwidth regardless of threads, while the tournament
+    touches memory once per level and is LATENCY-bound — disjoint
+    kmer-range partitions scale across threads.  Fan-ins above _GROUP
+    merge in two levels (groups of _GROUP, thread-parallel, then the
+    group results) so cursors+cached keys stay in cache.  All staging
+    ping-pongs between pre-faulted pooled buffers (fresh pages cost
+    ~100+us/page in lazy-memory VMs)."""
+    lib = get_lib()
+    runs = [tuple(np.ascontiguousarray(x, np.uint64) for x in r)
+            for r in runs]
+    runs = [r for r in runs if len(r[2])]
+    if not runs:
+        z = np.zeros(0, np.uint64)
+        return z, z.copy(), np.zeros(0, np.uint64)
+    if threads is None:
+        threads = merge_threads()
+    total = sum(len(r[2]) for r in runs)
+    A, B = _pool_buffers(total)
+    lens = np.array([len(r[2]) for r in runs], np.int64)
+    offs = np.zeros(len(runs), np.int64)
+    o = 0
+    for i, (h, l, c) in enumerate(runs):
+        n = len(c)
+        A[0][o:o + n] = h
+        A[1][o:o + n] = l
+        A[2][o:o + n] = c
+        offs[i] = o
+        o += n
+
+    ex = None
+    if threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(max_workers=threads)
+    try:
+        src, dst = A, B
+        while len(lens) > 1:
+            if len(lens) > _GROUP:
+                # group level: merge spans of _GROUP runs, one job per
+                # group across threads (each group's tree fits cache)
+                spans = [(i, min(i + _GROUP, len(lens)))
+                         for i in range(0, len(lens), _GROUP)]
+
+                def do_group(span):
+                    b, e = span
+                    base = int(offs[b])
+                    return lib.mt_merge_kway(
+                        _u64ptr(src[0]), _u64ptr(src[1]),
+                        _u64ptr(src[2]), _i64ptr(offs[b:e]),
+                        _i64ptr(np.ascontiguousarray(lens[b:e])),
+                        e - b,
+                        _u64ptr(dst[0], base), _u64ptr(dst[1], base),
+                        _u64ptr(dst[2], base))
+                if ex is not None:
+                    ms = list(ex.map(do_group, spans))
+                else:
+                    ms = [do_group(s) for s in spans]
+                offs = np.array([offs[b] for b, _ in spans], np.int64)
+                lens = np.array(ms, np.int64)
+            else:
+                oo, mm = _kway_pass(lib, src, dst, offs, lens, 0,
+                                    threads, ex)
+                offs = np.array(oo, np.int64)
+                lens = np.array(mm, np.int64)
+                src, dst = dst, src
+                break  # partition outputs are globally ordered/disjoint
+            src, dst = dst, src
+    finally:
+        if ex is not None:
+            ex.shutdown()
+
+    # concatenate the (already globally ordered, disjoint) segments
+    n_out = int(lens.sum())
+    oh = np.empty(n_out, np.uint64)
+    ol = np.empty(n_out, np.uint64)
+    oc = np.empty(n_out, np.uint64)
+    w = 0
+    for o, n in zip(offs.tolist(), lens.tolist()):
+        oh[w:w + n] = src[0][o:o + n]
+        ol[w:w + n] = src[1][o:o + n]
+        oc[w:w + n] = src[2][o:o + n]
+        w += n
+    return oh, ol, oc
 
 
 def scan_codes(path: str, hpc: bool = False, block: int = 1 << 22):

@@ -239,6 +239,102 @@ int64_t mt_merge2(const uint64_t* ha, const uint64_t* la,
   return o;
 }
 
+// K-way merge of sorted unique (hi, lo, count-u64) runs, summing the
+// counts of equal kmers — the single-pass replacement for a pairwise
+// merge cascade: the cascade rewrites every entry log2(nruns) times
+// (~12 passes at production run counts) while this touches memory
+// once, with log2(nruns) in-cache winner-tree compares per entry.
+// Runs are given as (offset, length) slices into flat arrays; callers
+// thread-parallelize by kmer-range partitioning (each partition is an
+// independent mt_merge_kway over sub-slices).
+//
+// (The reference's analog is the multi-file merge behind its 64-way
+// DB slices, /root/reference/src/meryl/merylOp-nextMer.C:418-470 —
+// there a per-slice lock-step streaming pull, here a loser-style
+// tournament over run cursors.)
+int64_t mt_merge_kway(const uint64_t* hi, const uint64_t* lo,
+                      const uint64_t* ct,
+                      const int64_t* offs, const int64_t* lens,
+                      int64_t nruns,
+                      uint64_t* ho, uint64_t* lo_out, uint64_t* co) {
+  if (nruns <= 0) return 0;
+  typedef unsigned __int128 u128;
+  const u128 INF = ~(u128)0;
+  int64_t K = 1;
+  while (K < nruns) K <<= 1;
+  // cursor index + cached current 128-bit key per run (keys live in a
+  // contiguous array so the replay loop stays in cache); exhausted
+  // runs hold INF (a real key is < 2^128-1: counts are nonzero, and a
+  // kmer of all-ones pairs with hi=INF only for k=64 where the
+  // canonical form forbids it — but guard anyway via cursor checks)
+  int64_t* idx = new int64_t[K];
+  u128* key = new u128[K];
+  for (int64_t s = 0; s < K; s++) {
+    idx[s] = 0;
+    key[s] = (s < nruns && lens[s] > 0)
+                 ? (((u128)hi[offs[s]] << 64) | lo[offs[s]])
+                 : INF;
+  }
+  // loser tree: build a winner tree first, then store at each internal
+  // node the child-subtree winner that LOST there; replay touches one
+  // node per level with a branchless swap.  Ties break arbitrarily —
+  // equal keys are summed on output, so emission order among equals
+  // does not matter.
+  int32_t* W = new int32_t[2 * K];
+  for (int64_t s = 0; s < K; s++) W[K + s] = (int32_t)s;
+  for (int64_t p = K - 1; p >= 1; p--) {
+    int32_t a = W[2 * p], b = W[2 * p + 1];
+    W[p] = key[a] <= key[b] ? a : b;
+  }
+  int32_t* loser = new int32_t[K];
+  loser[0] = 0;  // unused
+  for (int64_t p = 1; p < K; p++) {
+    int32_t a = W[2 * p], b = W[2 * p + 1];
+    loser[p] = (W[p] == a) ? b : a;
+  }
+  int32_t winner = W[1];
+  delete[] W;
+
+  int64_t o = -1;
+  u128 prev = INF;
+  while (true) {
+    u128 wk = key[winner];
+    if (wk == INF) break;  // every run exhausted
+    int64_t s = winner;
+    uint64_t c = ct[offs[s] + idx[s]];
+    if (wk == prev) {
+      co[o] += c;
+    } else {
+      ++o;
+      ho[o] = (uint64_t)(wk >> 64);
+      lo_out[o] = (uint64_t)wk;
+      co[o] = c;
+      prev = wk;
+    }
+    // advance the winner's cursor and replay its leaf-to-root path
+    int64_t i = ++idx[s];
+    u128 ck = (i < lens[s]) ? (((u128)hi[offs[s] + i] << 64) |
+                               lo[offs[s] + i])
+                            : INF;
+    key[s] = ck;  // must precede replay: s may be stored as a loser
+    int32_t cur = winner;
+    for (int64_t p = (K + s) >> 1; p >= 1; p >>= 1) {
+      int32_t l = loser[p];
+      u128 lk = key[l];
+      bool sw = lk < ck;  // cached loser beats the climber
+      int32_t nl = sw ? cur : l;
+      loser[p] = nl;
+      cur = sw ? l : cur;
+      ck = sw ? lk : ck;
+    }
+    winner = cur;
+  }
+  delete[] loser;
+  delete[] key;
+  delete[] idx;
+  return o + 1;
+}
+
 // Standalone homopolymer compression of a base-code buffer (codes, not
 // chars): collapse runs of equal codes 0..3; 0xFF resets the run.
 int64_t mt_hpc_codes(const uint8_t* in, int64_t n, uint8_t* out) {

@@ -116,3 +116,43 @@ def test_fastq_crlf_multiline_qual(tmp_path):
     got = _native_codes(str(fq))
     want = _python_codes(str(fq))
     assert (got == want).all()
+
+
+def test_merge_kway_matches_cascade_and_numpy():
+    """merge_kway (loser tree, hierarchical groups, range-partitioned
+    threads) against merge_cascade and a numpy reference, across
+    fan-ins that hit the single, partitioned, and grouped paths."""
+    import numpy as np
+
+    from meryl_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(42)
+    for nruns, size in [(1, 100), (2, 1000), (5, 20000), (300, 400),
+                        (600, 300)]:
+        runs = []
+        for _ in range(nruns):
+            v = np.unique(rng.integers(0, 30000, size=size,
+                                       dtype=np.uint64))
+            h = (v & np.uint64(1))
+            o = np.lexsort((v, h))
+            runs.append((h[o], v[o],
+                         rng.integers(1, 9, size=len(v))
+                         .astype(np.uint64)))
+        got = native.merge_kway(runs, threads=3)
+        want = native.merge_cascade(runs, threads=1)
+        for x, y in zip(want, got):
+            assert (x == y).all(), (nruns, size)
+        # numpy reference on the smaller configs
+        if nruns * size <= 200000:
+            agg = {}
+            for hh, ll, cc in runs:
+                for a, b, c in zip(hh, ll, cc):
+                    agg[(int(a), int(b))] = \
+                        agg.get((int(a), int(b)), 0) + int(c)
+            keys = sorted(agg)
+            assert [tuple(map(int, t)) for t in
+                    zip(got[0], got[1])] == keys
+            assert [int(c) for c in got[2]] == [agg[k] for k in keys]
