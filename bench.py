@@ -57,7 +57,7 @@ def bench_counting():
     K = 21
     CHUNK = 1 << 22          # production device chunk
     TOTAL = 1 << 26          # bases per timed dispatch
-    ROWLEN = int(os.environ.get("MERYL_TPU_ROWLEN", 1 << 14))
+    ROWLEN = int(os.environ.get("MERYL_TPU_ROWLEN", 1 << 11))  # = product default (counter._sort_rowlen)
     TRIALS = 3
 
     def body(carry, codes):

@@ -42,7 +42,11 @@ def _sort_rowlen(chunk_len: int) -> int | None:
     (docs/tpu-design.md), so chunks are sorted as independent rows and
     the host merge union-sums duplicates across rows.  None disables
     (tiny chunks, or MERYL_TPU_ROWLEN=0)."""
-    r = int(_os.environ.get("MERYL_TPU_ROWLEN", 1 << 14))
+    # default 2^11: the chip sweep (scripts/probe_rowlen_pipeline.py)
+    # measures device rate rising monotonically as rows shrink (2^14
+    # 873 -> 2^11 1149 -> 2^9 1366 Mbases/s) while the host k-way
+    # finish merge loses only ~14% at 2^11's fan-in (vs ~32% at 2^10)
+    r = int(_os.environ.get("MERYL_TPU_ROWLEN", 1 << 11))
     if r <= 0 or chunk_len % r or chunk_len // r <= 1:
         return None
     return r
