@@ -80,6 +80,10 @@ def get_lib():
                     u64p, u64p, u64p, i64p, i64p, ctypes.c_int64,
                     u64p, u64p, u64p]
                 lib.mt_merge_kway.restype = ctypes.c_int64
+            if hasattr(lib, "mt_merge_kway64"):
+                lib.mt_merge_kway64.argtypes = [
+                    u64p, u64p, i64p, i64p, ctypes.c_int64, u64p, u64p]
+                lib.mt_merge_kway64.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib = None
@@ -237,8 +241,25 @@ def _i64ptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
+def _kway_call(lib, use64, src, dst, offs, lens, nruns, out_off):
+    """Dispatch one tournament merge: the u64-key kernel when every
+    staged hi word is one constant and no lo is all-ones (k <= 31 in
+    practice) — u64 compares cmov where the 128-bit path branches."""
+    if use64:
+        return lib.mt_merge_kway64(_u64ptr(src[1]), _u64ptr(src[2]),
+                                   _i64ptr(offs), _i64ptr(lens), nruns,
+                                   _u64ptr(dst[1], out_off),
+                                   _u64ptr(dst[2], out_off))
+    return lib.mt_merge_kway(_u64ptr(src[0]), _u64ptr(src[1]),
+                             _u64ptr(src[2]), _i64ptr(offs),
+                             _i64ptr(lens), nruns,
+                             _u64ptr(dst[0], out_off),
+                             _u64ptr(dst[1], out_off),
+                             _u64ptr(dst[2], out_off))
+
+
 def _kway_pass(lib, src, dst, offs, lens, base_out: int,
-               threads: int, ex):
+               threads: int, ex, use64=False):
     """One k-way merge of the runs (offs, lens) within buffer set `src`
     into `dst` starting at base_out.  Range-partitions across `threads`
     when the work is large enough (the tournament is latency-bound, so
@@ -247,31 +268,41 @@ def _kway_pass(lib, src, dst, offs, lens, base_out: int,
     total = int(lens.sum())
     nparts = min(threads, max(1, total // (1 << 20)))
     if nparts <= 1 or nruns <= 1 or ex is None:
-        m = lib.mt_merge_kway(_u64ptr(src[0]), _u64ptr(src[1]),
-                              _u64ptr(src[2]), _i64ptr(offs),
-                              _i64ptr(lens), nruns,
-                              _u64ptr(dst[0], base_out),
-                              _u64ptr(dst[1], base_out),
-                              _u64ptr(dst[2], base_out))
+        m = _kway_call(lib, use64, src, dst, offs, lens, nruns, base_out)
         return [base_out], [m]
 
-    # pivots from a sorted sample; per-run split points by binary search
+    # pivots from a sorted sample; per-run split points by binary
+    # search.  In u64 mode the hi plane of intermediate levels is
+    # UNWRITTEN (the kernel skips it), so pivots/splits use lo only.
     step = max(1, total // 4096)
-    sh = np.concatenate([src[0][o:o + n:step]
-                         for o, n in zip(offs, lens)])
     sl = np.concatenate([src[1][o:o + n:step]
                          for o, n in zip(offs, lens)])
-    order = np.lexsort((sl, sh))
-    sh, sl = sh[order], sl[order]
-    pivots = [(int(sh[(len(sh) * t) // nparts]),
-               (int(sl[(len(sh) * t) // nparts])))
-              for t in range(1, nparts)]
-    splits = []
-    for o, n in zip(offs, lens):
-        h, l = src[0][o:o + n], src[1][o:o + n]
-        cuts = [0] + [_searchsorted_hilo(h, l, ph, pl)
-                      for ph, pl in pivots] + [int(n)]
-        splits.append(np.maximum.accumulate(np.array(cuts, np.int64)))
+    if use64:
+        sl = np.sort(sl)
+        pivots = [int(sl[(len(sl) * t) // nparts])
+                  for t in range(1, nparts)]
+        splits = []
+        for o, n in zip(offs, lens):
+            l = src[1][o:o + n]
+            cuts = [0] + [int(np.searchsorted(l, np.uint64(pl), "left"))
+                          for pl in pivots] + [int(n)]
+            splits.append(np.maximum.accumulate(np.array(cuts,
+                                                         np.int64)))
+    else:
+        sh = np.concatenate([src[0][o:o + n:step]
+                             for o, n in zip(offs, lens)])
+        order = np.lexsort((sl, sh))
+        sh, sl = sh[order], sl[order]
+        pivots = [(int(sh[(len(sh) * t) // nparts]),
+                   (int(sl[(len(sh) * t) // nparts])))
+                  for t in range(1, nparts)]
+        splits = []
+        for o, n in zip(offs, lens):
+            h, l = src[0][o:o + n], src[1][o:o + n]
+            cuts = [0] + [_searchsorted_hilo(h, l, ph, pl)
+                          for ph, pl in pivots] + [int(n)]
+            splits.append(np.maximum.accumulate(np.array(cuts,
+                                                         np.int64)))
 
     jobs = []
     for t in range(nparts):
@@ -284,12 +315,8 @@ def _kway_pass(lib, src, dst, offs, lens, base_out: int,
 
     def do(job):
         out_off, offs_t, lens_t = job
-        return lib.mt_merge_kway(_u64ptr(src[0]), _u64ptr(src[1]),
-                                 _u64ptr(src[2]), _i64ptr(offs_t),
-                                 _i64ptr(lens_t), nruns,
-                                 _u64ptr(dst[0], out_off),
-                                 _u64ptr(dst[1], out_off),
-                                 _u64ptr(dst[2], out_off))
+        return _kway_call(lib, use64, src, dst, offs_t, lens_t, nruns,
+                          out_off)
 
     ms = list(ex.map(do, jobs))
     return [j[0] for j in jobs], ms
@@ -330,6 +357,15 @@ def merge_kway(runs, threads: int | None = None):
         offs[i] = o
         o += n
 
+    # u64-key eligibility: one constant hi word across all runs and no
+    # all-ones lo (the kernel's exhausted sentinel) — true for k <= 31
+    hi0 = int(runs[0][0][0])
+    use64 = (hasattr(lib, "mt_merge_kway64")
+             and all(int(h[0]) == hi0 and int(h[-1]) == hi0
+                     for h, l, c in runs)
+             and max(int(l[-1]) for h, l, c in runs
+                     if int(h[-1]) == hi0) != 0xFFFFFFFFFFFFFFFF)
+
     ex = None
     if threads > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -345,14 +381,10 @@ def merge_kway(runs, threads: int | None = None):
 
                 def do_group(span):
                     b, e = span
-                    base = int(offs[b])
-                    return lib.mt_merge_kway(
-                        _u64ptr(src[0]), _u64ptr(src[1]),
-                        _u64ptr(src[2]), _i64ptr(offs[b:e]),
-                        _i64ptr(np.ascontiguousarray(lens[b:e])),
-                        e - b,
-                        _u64ptr(dst[0], base), _u64ptr(dst[1], base),
-                        _u64ptr(dst[2], base))
+                    return _kway_call(
+                        lib, use64, src, dst, offs[b:e],
+                        np.ascontiguousarray(lens[b:e]), e - b,
+                        int(offs[b]))
                 if ex is not None:
                     ms = list(ex.map(do_group, spans))
                 else:
@@ -361,7 +393,7 @@ def merge_kway(runs, threads: int | None = None):
                 lens = np.array(ms, np.int64)
             else:
                 oo, mm = _kway_pass(lib, src, dst, offs, lens, 0,
-                                    threads, ex)
+                                    threads, ex, use64)
                 offs = np.array(oo, np.int64)
                 lens = np.array(mm, np.int64)
                 src, dst = dst, src
@@ -378,10 +410,13 @@ def merge_kway(runs, threads: int | None = None):
     oc = np.empty(n_out, np.uint64)
     w = 0
     for o, n in zip(offs.tolist(), lens.tolist()):
-        oh[w:w + n] = src[0][o:o + n]
+        if not use64:
+            oh[w:w + n] = src[0][o:o + n]
         ol[w:w + n] = src[1][o:o + n]
         oc[w:w + n] = src[2][o:o + n]
         w += n
+    if use64:
+        oh.fill(hi0)
     return oh, ol, oc
 
 

@@ -335,6 +335,78 @@ int64_t mt_merge_kway(const uint64_t* hi, const uint64_t* lo,
   return o + 1;
 }
 
+// u64-key specialization of mt_merge_kway for the common k <= 32 case
+// where every run's hi plane is one constant (the caller checks and
+// fills the output hi itself): u64 compares emit single-instruction
+// cmovs where the 128-bit path tends to branch, roughly doubling
+// tournament throughput.  Key caveat shared with the generic path:
+// exhausted runs are keyed UINT64_MAX, so a real key of UINT64_MAX
+// would terminate early — impossible for kmer los with 2k < 64, and
+// the caller routes k = 32 through the 128-bit path.
+int64_t mt_merge_kway64(const uint64_t* lo, const uint64_t* ct,
+                        const int64_t* offs, const int64_t* lens,
+                        int64_t nruns,
+                        uint64_t* lo_out, uint64_t* co) {
+  if (nruns <= 0) return 0;
+  const uint64_t INF = ~(uint64_t)0;
+  int64_t K = 1;
+  while (K < nruns) K <<= 1;
+  int64_t* idx = new int64_t[K];
+  uint64_t* key = new uint64_t[K];
+  for (int64_t s = 0; s < K; s++) {
+    idx[s] = 0;
+    key[s] = (s < nruns && lens[s] > 0) ? lo[offs[s]] : INF;
+  }
+  int32_t* W = new int32_t[2 * K];
+  for (int64_t s = 0; s < K; s++) W[K + s] = (int32_t)s;
+  for (int64_t p = K - 1; p >= 1; p--) {
+    int32_t a = W[2 * p], b = W[2 * p + 1];
+    W[p] = key[a] <= key[b] ? a : b;
+  }
+  int32_t* loser = new int32_t[K];
+  loser[0] = 0;
+  for (int64_t p = 1; p < K; p++) {
+    int32_t a = W[2 * p], b = W[2 * p + 1];
+    loser[p] = (W[p] == a) ? b : a;
+  }
+  int32_t winner = W[1];
+  delete[] W;
+
+  int64_t o = -1;
+  uint64_t prev = INF;
+  while (true) {
+    uint64_t wk = key[winner];
+    if (wk == INF) break;
+    int64_t s = winner;
+    uint64_t c = ct[offs[s] + idx[s]];
+    if (wk == prev) {
+      co[o] += c;
+    } else {
+      ++o;
+      lo_out[o] = wk;
+      co[o] = c;
+      prev = wk;
+    }
+    int64_t i = ++idx[s];
+    uint64_t ck = (i < lens[s]) ? lo[offs[s] + i] : INF;
+    key[s] = ck;
+    int32_t cur = winner;
+    for (int64_t p = (K + s) >> 1; p >= 1; p >>= 1) {
+      int32_t l = loser[p];
+      uint64_t lk = key[l];
+      bool sw = lk < ck;
+      loser[p] = sw ? cur : l;
+      cur = sw ? l : cur;
+      ck = sw ? lk : ck;
+    }
+    winner = cur;
+  }
+  delete[] loser;
+  delete[] key;
+  delete[] idx;
+  return o + 1;
+}
+
 // Standalone homopolymer compression of a base-code buffer (codes, not
 // chars): collapse runs of equal codes 0..3; 0xFF resets the run.
 int64_t mt_hpc_codes(const uint8_t* in, int64_t n, uint8_t* out) {

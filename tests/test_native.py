@@ -156,3 +156,38 @@ def test_merge_kway_matches_cascade_and_numpy():
             assert [tuple(map(int, t)) for t in
                     zip(got[0], got[1])] == keys
             assert [int(c) for c in got[2]] == [agg[k] for k in keys]
+
+
+def test_merge_kway_u64_path_variants():
+    """The u64-key kernel engages when hi is one constant; verify
+    constant-zero, constant-nonzero, and hi-varying (128-bit fallback)
+    all match the cascade."""
+    import numpy as np
+
+    from meryl_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+
+    def mk(nr, hi_fn):
+        runs = []
+        for _ in range(nr):
+            v = np.unique(rng.integers(0, 50000, size=3000,
+                                       dtype=np.uint64))
+            h = hi_fn(v)
+            o = np.lexsort((v, h))
+            runs.append((h[o], v[o],
+                         rng.integers(1, 9, size=len(v))
+                         .astype(np.uint64)))
+        return runs
+
+    for hi_fn in (lambda v: np.zeros(len(v), np.uint64),
+                  lambda v: np.full(len(v), 7, np.uint64),
+                  lambda v: v & np.uint64(1)):
+        runs = mk(20, hi_fn)
+        want = native.merge_cascade(runs)
+        got = native.merge_kway(runs, threads=3)
+        for x, y in zip(want, got):
+            assert (x == y).all()
