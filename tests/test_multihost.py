@@ -42,8 +42,11 @@ def test_multihost_cli_count_matches_single(tmp_path):
     env["MERYL_TPU_CHUNK"] = "512"
     env.pop("MERYL_TPU_COORD", None)
     # children must never touch a real TPU backend (this environment
-    # pins an external tunnel); force CPU everywhere
+    # pins an external tunnel); force CPU everywhere, and drop the
+    # axon pool var so sitecustomize does not dial the tunnel at
+    # interpreter start (a wedged tunnel would hang every child)
     env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
 
     # 2-process distributed job through the launcher + product CLI
     r = subprocess.run(

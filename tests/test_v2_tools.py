@@ -63,6 +63,7 @@ def test_meryl2_lookup_on_label_db(tmp_path):
     fa = tmp_path / "q.fa"
     fa.write_text(">q\nAAAAAAAACG\n")
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no tunnel dial in children
     r = subprocess.run(
         [sys.executable, os.path.join(BIN, "meryl2-lookup"),
          "-existence", "-sequence", str(fa), "-mers", dbp],
