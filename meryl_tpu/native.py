@@ -56,7 +56,18 @@ def get_lib():
         _tried = True
         if os.environ.get("MERYL_TPU_NO_NATIVE"):
             return None
-        if not os.path.exists(_LIB_PATH) and not _build():
+        stale = False
+        if os.path.exists(_LIB_PATH):
+            try:  # rebuild when a source outran an old checkout's .so
+                so_t = os.path.getmtime(_LIB_PATH)
+                for src in ("mt_host.cpp", "mt_rans.cpp"):
+                    sp = os.path.join(_NATIVE_DIR, src)
+                    if os.path.exists(sp) and os.path.getmtime(sp) > so_t:
+                        stale = True
+            except OSError:
+                pass
+        if (stale or not os.path.exists(_LIB_PATH)) and not _build() \
+                and not os.path.exists(_LIB_PATH):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -336,12 +347,34 @@ def merge_kway(runs, threads: int | None = None):
     ping-pongs between pre-faulted pooled buffers (fresh pages cost
     ~100+us/page in lazy-memory VMs)."""
     lib = get_lib()
+    if lib is None or not hasattr(lib, "mt_merge_kway"):
+        return merge_cascade(runs, threads)  # stale .so without symbol
     runs = [tuple(np.ascontiguousarray(x, np.uint64) for x in r)
             for r in runs]
     runs = [r for r in runs if len(r[2])]
     if not runs:
         z = np.zeros(0, np.uint64)
         return z, z.copy(), np.zeros(0, np.uint64)
+    # The kernels key exhausted cursors as all-ones.  A REAL all-ones
+    # kmer (hi=lo=2^64-1: the k=64 poly-G, G=11) would terminate the
+    # tournament early, so strip it here (it can only be each run's
+    # LAST entry) and re-append the summed entry afterwards.
+    U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+    inf_count = 0
+    stripped = []
+    for h, l, c in runs:
+        if h[-1] == U64MAX and l[-1] == U64MAX:
+            inf_count += int(c[-1])
+            h, l, c = h[:-1], l[:-1], c[:-1]
+        if len(c):
+            stripped.append((h, l, c))
+    runs = stripped
+    if not runs:
+        one = np.full(1, U64MAX, np.uint64)
+        return ((one.copy(), one.copy(),
+                 np.array([inf_count], np.uint64)) if inf_count else
+                (np.zeros(0, np.uint64), np.zeros(0, np.uint64),
+                 np.zeros(0, np.uint64)))
     if threads is None:
         threads = merge_threads()
     total = sum(len(r[2]) for r in runs)
@@ -417,7 +450,14 @@ def merge_kway(runs, threads: int | None = None):
         w += n
     if use64:
         oh.fill(hi0)
+    if inf_count:  # re-append the stripped all-ones kmer (sorts last)
+        oh = np.concatenate([oh, np.full(1, U64MAX, np.uint64)])
+        ol = np.concatenate([ol, np.full(1, U64MAX, np.uint64)])
+        oc = np.concatenate([oc, np.array([inf_count], np.uint64)])
     return oh, ol, oc
+
+
+
 
 
 def scan_codes(path: str, hpc: bool = False, block: int = 1 << 22):

@@ -178,28 +178,32 @@ def assemble_db(out_path: str, k: int, *, mode: str = "canonical",
     from ..db import stream_sorted_parts
 
     multihost_utils.sync_global_devices("meryl_mh_parts_written")
+    # Validate the parts dir on EVERY process (it is on shared storage):
+    # raising only on process 0 between the two barriers would leave the
+    # other processes hanging at meryl_mh_db_assembled until the
+    # distributed-runtime heartbeat timeout, masking the real error.
+    pdir = out_path + PART_DIR_SUFFIX
+    metas = []
+    proc_files = []
+    for fn in sorted(os.listdir(pdir)):
+        if fn.startswith("proc") and fn.endswith(".json"):
+            proc_files.append(fn)
+            with open(os.path.join(pdir, fn)) as f:
+                j = json.load(f)
+            if j.get("nprocs", jax.process_count()) != \
+                    jax.process_count():
+                raise RuntimeError(
+                    f"{pdir}/{fn}: written by a {j['nprocs']}-process "
+                    f"run, this job has {jax.process_count()} — stale "
+                    f"parts dir, remove it and rerun")
+            metas.extend(j["parts"])
+    if len(proc_files) != jax.process_count():
+        raise RuntimeError(
+            f"{pdir}: {len(proc_files)} proc manifests for "
+            f"{jax.process_count()} processes — incomplete or stale "
+            f"parts dir")
     db = None
     if jax.process_index() == 0:
-        pdir = out_path + PART_DIR_SUFFIX
-        metas = []
-        proc_files = []
-        for fn in sorted(os.listdir(pdir)):
-            if fn.startswith("proc") and fn.endswith(".json"):
-                proc_files.append(fn)
-                with open(os.path.join(pdir, fn)) as f:
-                    j = json.load(f)
-                if j.get("nprocs", jax.process_count()) != \
-                        jax.process_count():
-                    raise RuntimeError(
-                        f"{pdir}/{fn}: written by a {j['nprocs']}-process "
-                        f"run, this job has {jax.process_count()} — stale "
-                        f"parts dir, remove it and rerun")
-                metas.extend(j["parts"])
-        if len(proc_files) != jax.process_count():
-            raise RuntimeError(
-                f"{pdir}: {len(proc_files)} proc manifests for "
-                f"{jax.process_count()} processes — incomplete or stale "
-                f"parts dir")
         metas.sort(key=lambda m: m["row"])
 
         # stream parts in global order, cutting at 6-bit-file boundaries

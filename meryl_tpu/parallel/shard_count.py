@@ -414,6 +414,12 @@ class ShardedCounter:
         with spill_dir, host peak is one device's merged range, never
         the whole kmer set."""
         from ..counter import merge_runs
+        if getattr(self, "_finalized", False):
+            raise RuntimeError(
+                "ShardedCounter already finalized: finalize()/"
+                "finalize_parts()/iter_finalized_parts() consume the "
+                "accumulator and may be called only once")
+        self._finalized = True
         self._drain_pending()
         self._resolve_acc_n()
         acc_runs = {}

@@ -191,3 +191,57 @@ def test_merge_kway_u64_path_variants():
         got = native.merge_kway(runs, threads=3)
         for x, y in zip(want, got):
             assert (x == y).all()
+
+
+def test_merge_kway_all_ones_kmer_not_dropped():
+    """The kernels key exhausted cursors as all-ones; a REAL all-ones
+    kmer (k=64 poly-T, forward mode) must survive the merge (regression:
+    it terminated the tournament early and its count vanished)."""
+    import numpy as np
+
+    from meryl_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    M = np.uint64(0xFFFFFFFFFFFFFFFF)
+    rng = np.random.default_rng(11)
+
+    def mk(nr, with_inf, hi_const=None):
+        runs = []
+        for i in range(nr):
+            v = np.unique(rng.integers(0, 5000, size=800,
+                                       dtype=np.uint64))
+            h = (np.full(len(v), hi_const, np.uint64)
+                 if hi_const is not None else v & np.uint64(1))
+            o = np.lexsort((v, h))
+            h, v = h[o], v[o]
+            c = rng.integers(1, 9, size=len(v)).astype(np.uint64)
+            if with_inf(i):
+                h = np.append(h, M)
+                v = np.append(v, M)
+                c = np.append(c, np.uint64(2 + i))
+            runs.append((h, v, c))
+        return runs
+
+    # 128-bit path, one / several / all runs carrying the all-ones kmer
+    for sel in (lambda i: i == 0, lambda i: i % 2 == 0, lambda i: True):
+        runs = mk(5, sel)
+        want = native.merge_cascade(runs)
+        got = native.merge_kway(runs, threads=3)
+        assert got[0][-1] == M and got[1][-1] == M
+        for x, y in zip(want, got):
+            assert (x == y).all()
+
+    # u64 path (constant hi = all-ones after stripping)
+    runs = mk(6, lambda i: i < 3, hi_const=int(M))
+    want = native.merge_cascade(runs)
+    got = native.merge_kway(runs, threads=2)
+    for x, y in zip(want, got):
+        assert (x == y).all()
+
+    # every run is ONLY the all-ones kmer
+    runs = [(np.array([M]), np.array([M]),
+             np.array([3], np.uint64)) for _ in range(4)]
+    hi, lo, c = native.merge_kway(runs)
+    assert list(hi) == [M] and list(lo) == [M] and list(c) == [12]

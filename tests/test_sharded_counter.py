@@ -157,3 +157,20 @@ def test_sharded_counter_disk_spill(tmp_path):
     want = {(int(h) << 64) | int(l): int(c)
             for h, l, c in zip(ohi, olo, oc)}
     assert got == want
+
+
+def test_sharded_counter_finalize_once():
+    """finalize consumes the accumulator; a second call must raise, not
+    silently return spill-only data."""
+    import pytest
+
+    n_dev, chunk, k = 2, 128, 9
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
+    sc = ShardedCounter(mesh, k, chunk_len=chunk, acc_cap=4 * 1024)
+    rng = np.random.default_rng(5)
+    sc.add_codes(rng.integers(0, 4, size=n_dev * chunk).astype(np.uint8))
+    sc.finalize()
+    with pytest.raises(RuntimeError, match="already finalized"):
+        sc.finalize()
+    with pytest.raises(RuntimeError, match="already finalized"):
+        sc.finalize_parts()
