@@ -235,6 +235,10 @@ def rans_decode(data: bytes, out_sz_hint: int | None = None) -> bytes:
     order = data[0]
     # header: order u8, compressed size u32le, uncompressed size u32le
     out_sz = struct.unpack_from("<I", data, 5)[0]
+    from .. import native
+    fast = native.rans4x8_decode(data, out_sz)
+    if fast is not None:
+        return fast
     pos = 9
     if order == 0:
         out, _ = _rans_decode_0(data, pos, out_sz)
@@ -258,19 +262,43 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         return lzma.decompress(data)
     if method == 4:
         return rans_decode(data, raw_size)
+    if method == 5:
+        from . import rans_nx16
+        return rans_nx16.decode(data, raw_size)
+    if method == 6:
+        from . import arith
+        return arith.decode(data, raw_size)
     raise CramError(
         f"CRAM block compression method {method} not supported "
-        f"(3.1 codecs need rANS-Nx16/arith/fqzcomp/tok3)")
+        f"(remaining 3.1 codecs: fqzcomp/tok3 — quality/name-only, "
+        f"never needed for sequence extraction; blocks are lazy)")
 
 
 class Block:
-    __slots__ = ("method", "ctype", "content_id", "data")
+    """One CRAM block.  Decompression is LAZY (first .data access):
+    a 3.1 file whose quality or name blocks use a codec we do not
+    decode (fqzcomp/tok3) still reads fine as long as nothing pulls
+    those series — sequence extraction never does."""
 
-    def __init__(self, method, ctype, content_id, data):
+    __slots__ = ("method", "ctype", "content_id", "data",
+                 "_comp", "_raw_size")
+
+    def __init__(self, method, ctype, content_id, comp, raw_size):
         self.method = method
         self.ctype = ctype
         self.content_id = content_id
-        self.data = data
+        self._comp = comp
+        self._raw_size = raw_size
+
+    def __getattr__(self, name):
+        if name != "data":
+            raise AttributeError(name)
+        raw = _decompress(self.method, self._comp, self._raw_size)
+        if len(raw) != self._raw_size:
+            raise CramError(
+                f"block raw size mismatch {len(raw)} != {self._raw_size}")
+        self.data = raw
+        return raw
 
 
 def read_block(buf: bytes, pos: int, major: int = 3):
@@ -284,10 +312,7 @@ def read_block(buf: bytes, pos: int, major: int = 3):
     pos += comp_size
     if major >= 3:
         pos += 4  # block CRC32 (added in CRAM 3.0)
-    raw = _decompress(method, data, raw_size)
-    if len(raw) != raw_size:
-        raise CramError(f"block raw size mismatch {len(raw)} != {raw_size}")
-    return Block(method, ctype, content_id, raw), pos
+    return Block(method, ctype, content_id, data, raw_size), pos
 
 
 # ----------------------------------------------------------- encodings
@@ -313,11 +338,29 @@ class BitReader:
 
 
 class ExtStream:
-    __slots__ = ("data", "pos")
+    """Cursor over one external block's bytes.  When built from a
+    Block, decompression happens on first actual read — skip() and
+    pure cursor advances never force it."""
 
-    def __init__(self, data: bytes):
-        self.data = data
+    __slots__ = ("data", "pos", "_blk")
+
+    def __init__(self, src):
+        if isinstance(src, (bytes, bytearray, memoryview)):
+            self.data = bytes(src)
+            self._blk = None
+        else:
+            self._blk = src
         self.pos = 0
+
+    def __getattr__(self, name):
+        if name != "data" or self._blk is None:
+            raise AttributeError(name)
+        d = self._blk.data
+        self.data = d
+        return d
+
+    def skip(self, n: int) -> None:
+        self.pos += n
 
     def byte(self) -> int:
         b = self.data[self.pos]
@@ -689,6 +732,7 @@ class CramReader:
         self.ref = _RefSource(ref_path)
         self.ref_names = []
         self._name_counter = 0
+        self._rn_ok = True
 
     # --- container-level parsing ---
 
@@ -755,7 +799,7 @@ class CramReader:
                 if b.ctype == CT_CORE:
                     core = BitReader(b.data)
                 elif b.ctype == CT_EXTERNAL:
-                    ext[b.content_id] = ExtStream(b.data)
+                    ext[b.content_id] = ExtStream(b)
             yield from self._slice_records(ch, sh, core, ext)
 
     # --- record-level decoding ---
@@ -768,8 +812,106 @@ class CramReader:
             raise CramError(f"data series {key} missing")
         return c.read_int(core, ext)
 
+    def _itf8_series(self, ch, key, ext, nrec):
+        """nrec values of an int data series as an int64 array, or
+        None when the codec shape prevents bulk decode.  Accepts
+        EXTERNAL (bulk ITF8 parse of the block) and constant
+        single-symbol Huffman."""
+        import numpy as np
+        c = ch.ds.get(key)
+        if isinstance(c, HuffmanCodec) and c.single is not None:
+            return np.full(nrec, c.single, np.int64)
+        if not isinstance(c, ExternalCodec):
+            return None
+        from .. import native
+        data = ext[c.cid].data
+        parsed = native.itf8_parse(data)
+        if parsed is None:            # pure-Python fallback
+            vals = np.empty(nrec, np.int64)
+            pos = 0
+            try:
+                for i in range(nrec):
+                    vals[i], pos = read_itf8(data, pos)
+            except IndexError:
+                raise CramError(f"data series {key} truncated")
+            return vals
+        vals, _ = parsed
+        if len(vals) < nrec:
+            raise CramError(f"data series {key} truncated")
+        return vals[:nrec]
+
+    def _bulk_unmapped(self, ch, sh, ext):
+        """Vectorized decode of an all-unmapped slice: bulk-parse the
+        flag/length series, slice BA once, split names once.  Returns
+        [(name, bases)] or None when any precondition fails (the
+        per-record path below remains the reference decoder).  Series
+        whose values the unmapped path discards (AP/RG/MF/NS/NP/TS/NF/
+        RI/QS...) need no decoding at all: nothing reads the core or
+        external cursors after a slice is fully consumed."""
+        import numpy as np
+        nrec = sh.nrec
+        if nrec == 0:
+            return None
+        bf = self._itf8_series(ch, "BF", ext, nrec)
+        cf = self._itf8_series(ch, "CF", ext, nrec)
+        rl = self._itf8_series(ch, "RL", ext, nrec)
+        if bf is None or cf is None or rl is None:
+            return None
+        if not (bf & BAM_FUNMAP).all():
+            return None                       # mapped records present
+        # tag lists must be empty for every record's TL
+        if "TL" in ch.ds:
+            tl = self._itf8_series(ch, "TL", ext, nrec)
+            if tl is None:
+                return None
+            for t in np.unique(tl):
+                if 0 <= t < len(ch.tag_dict) and ch.tag_dict[t]:
+                    return None
+        elif any(ch.tag_dict[:1]):            # implicit TL=0
+            return None
+        # names
+        names = None
+        if ch.read_names and "RN" in ch.ds and self._rn_ok:
+            c = ch.ds["RN"]
+            if not isinstance(c, ByteArrayStopCodec):
+                return None
+            try:
+                blob = ext[c.cid].data
+            except CramError:
+                self._rn_ok = False           # e.g. 3.1 name tokenizer
+            else:
+                parts = blob.split(bytes([c.stop]))
+                if len(parts) <= nrec:
+                    raise CramError("name block truncated")
+                names = [p.decode("ascii", "replace") for p in
+                         parts[:nrec]]
+        if names is None:
+            base = os.path.basename(self.path)
+            start = self._name_counter
+            self._name_counter += nrec
+            names = [f"{base}.{start + i + 1}" for i in range(nrec)]
+        # sequences: BA sliced at run-length boundaries
+        ba_lens = np.where(cf & CF_NO_SEQ, 0, rl)
+        total = int(ba_lens.sum())
+        if total == 0:
+            return list(zip(names, [b""] * nrec))
+        c = ch.ds.get("BA")
+        if not isinstance(c, ExternalCodec):
+            return None
+        blob = ext[c.cid].data
+        if len(blob) < total:
+            raise CramError("BA block truncated")
+        ends = np.cumsum(ba_lens)
+        starts = ends - ba_lens
+        return [(names[i], blob[starts[i]:ends[i]])
+                for i in range(nrec)]
+
     def _slice_records(self, ch: CompressionHeader, sh: SliceHeader,
                        core, ext):
+        bulk = self._bulk_unmapped(ch, sh, ext)
+        if bulk is not None:
+            yield from bulk
+            return
         embedded_ref = None
         if sh.embedded_ref_id >= 0 and sh.embedded_ref_id in ext:
             embedded_ref = ext[sh.embedded_ref_id].data
@@ -786,16 +928,27 @@ class CramReader:
                 ap = last_ap + ap
                 last_ap = ap
             self._int(ch, "RG", core, ext, default=-1)
-            if ch.read_names and "RN" in ch.ds:
-                name = ch.ds["RN"].read_array(core, ext).decode(
-                    "ascii", "replace")
-            else:
+            name = None
+            if ch.read_names and "RN" in ch.ds and self._rn_ok:
+                try:
+                    name = ch.ds["RN"].read_array(core, ext).decode(
+                        "ascii", "replace")
+                except CramError:
+                    # name block uses an undecodable codec (e.g. the
+                    # 3.1 name tokenizer): names are not needed for
+                    # counting — fall back to synthetic names (no
+                    # other series reads from the RN block)
+                    self._rn_ok = False
+            if name is None:
                 self._name_counter += 1
                 name = f"{os.path.basename(self.path)}.{self._name_counter}"
             if cf & CF_DETACHED:
                 self._int(ch, "MF", core, ext)
-                if not ch.read_names and "RN" in ch.ds:
-                    ch.ds["RN"].read_array(core, ext)
+                if not ch.read_names and "RN" in ch.ds and self._rn_ok:
+                    try:
+                        ch.ds["RN"].read_array(core, ext)
+                    except CramError:
+                        self._rn_ok = False
                 self._int(ch, "NS", core, ext)
                 self._int(ch, "NP", core, ext)
                 self._int(ch, "TS", core, ext)
@@ -838,7 +991,7 @@ class CramReader:
         if c is None:
             return
         if isinstance(c, ExternalCodec):
-            ext[c.cid].take(n)
+            ext[c.cid].skip(n)  # never forces QS decompression
         else:
             for _ in range(n):
                 c.read_byte(core, ext)

@@ -95,6 +95,20 @@ def get_lib():
                 lib.mt_merge_kway64.argtypes = [
                     u64p, u64p, i64p, i64p, ctypes.c_int64, u64p, u64p]
                 lib.mt_merge_kway64.restype = ctypes.c_int64
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            if hasattr(lib, "mt_rans4x8_decode"):
+                lib.mt_rans4x8_decode.argtypes = [
+                    u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+                lib.mt_rans4x8_decode.restype = ctypes.c_int64
+            if hasattr(lib, "mt_ransnx16_core"):
+                lib.mt_ransnx16_core.argtypes = [
+                    u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                    u8p, ctypes.c_int64]
+                lib.mt_ransnx16_core.restype = ctypes.c_int64
+            if hasattr(lib, "mt_itf8_parse"):
+                lib.mt_itf8_parse.argtypes = [
+                    u8p, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
+                lib.mt_itf8_parse.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib = None
@@ -166,7 +180,8 @@ def merge_threads() -> int:
     v = os.environ.get("MERYL_TPU_THREADS")
     if v:
         return max(1, int(v))
-    return max(1, min(4, (os.cpu_count() or 2) // 2))
+    from .resources import max_threads
+    return max(1, min(4, max_threads() // 2))
 
 
 def merge_cascade(runs, threads: int | None = None):
@@ -457,7 +472,60 @@ def merge_kway(runs, threads: int | None = None):
     return oh, ol, oc
 
 
+def rans4x8_decode(data: bytes, out_sz: int):
+    """Native full-stream rANS 4x8 decode, or None if unavailable/
+    failed (callers fall back to the Python reference decoder)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mt_rans4x8_decode"):
+        return None
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(out_sz, np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    r = lib.mt_rans4x8_decode(
+        src.ctypes.data_as(u8), len(data),
+        out.ctypes.data_as(u8), out_sz)
+    if r < 0:
+        return None
+    return out[:r].tobytes()
 
+
+def ransnx16_core(data, pos: int, order1: bool, n_states: int,
+                  out_sz: int):
+    """Native rANS-Nx16 entropy core starting at the frequency table.
+    -> (decoded bytes, new pos) or None on unavailable/failure."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mt_ransnx16_core"):
+        return None
+    src = np.frombuffer(data, np.uint8)[pos:]
+    out = np.empty(out_sz, np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    consumed = lib.mt_ransnx16_core(
+        src.ctypes.data_as(u8), len(src), 1 if order1 else 0,
+        n_states, out.ctypes.data_as(u8), out_sz)
+    if consumed < 0:
+        return None
+    return out.tobytes(), pos + int(consumed)
+
+
+def itf8_parse(data: bytes):
+    """Bulk-parse consecutive CRAM ITF8 values.  -> (values, end byte
+    offsets) int64 arrays, or None when the native library is
+    unavailable (callers fall back to per-value Python parsing)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mt_itf8_parse"):
+        return None
+    if not len(data):
+        z = np.zeros(0, np.int64)
+        return z, z.copy()
+    src = np.frombuffer(data, np.uint8)
+    vals = np.empty(len(data), np.int64)
+    ends = np.empty(len(data), np.int64)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    cnt = lib.mt_itf8_parse(
+        src.ctypes.data_as(u8), len(data),
+        vals.ctypes.data_as(i64), ends.ctypes.data_as(i64), len(data))
+    return vals[:cnt], ends[:cnt]
 
 
 def scan_codes(path: str, hpc: bool = False, block: int = 1 << 22):

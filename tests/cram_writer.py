@@ -270,6 +270,33 @@ def block(method: int, ctype: int, content_id: int, raw: bytes) -> bytes:
     elif method == 41:  # test alias: rANS order-1
         method = 4
         comp = rans_encode_o1(raw)
+    elif method == 5:   # rANS-Nx16 order-0
+        from meryl_tpu.io import rans_nx16
+        method = 5
+        comp = rans_nx16.encode(raw)
+    elif method == 51:  # test alias: rANS-Nx16 order-1, 32-way
+        from meryl_tpu.io import rans_nx16
+        method = 5
+        f = rans_nx16.ORDER1 | rans_nx16.X32 if len(raw) >= 32 else 0
+        comp = rans_nx16.encode(raw, f)
+    elif method == 52:  # test alias: rANS-Nx16 stripe+pack/rle mix
+        from meryl_tpu.io import rans_nx16
+        method = 5
+        if 0 < len(set(raw)) <= 16:
+            f = rans_nx16.PACK | rans_nx16.RLE
+        else:
+            f = rans_nx16.STRIPE | rans_nx16.NOSZ
+        comp = rans_nx16.encode(raw, f)
+    elif method == 6:   # adaptive arithmetic order-0
+        from meryl_tpu.io import arith
+        comp = arith.encode(raw)
+    elif method == 61:  # test alias: arith order-1 + RLE
+        from meryl_tpu.io import arith, rans_nx16
+        method = 6
+        comp = arith.encode(raw, arith.ORDER1 | rans_nx16.RLE)
+    elif method == 97:  # test alias: fqzcomp id with opaque payload
+        method = 7
+        comp = b"\xde\xad" + raw[:2]
     else:
         raise ValueError(method)
     out = bytes([method, ctype]) + itf8(content_id) + \
@@ -369,8 +396,10 @@ def sam_header_container(ref_names_lens) -> bytes:
     return container([blk], nrec=0, ref_id=0)
 
 
-def write_unmapped_cram(path, reads, method=0, with_names=True):
-    """reads: list of (name, seq str)."""
+def write_unmapped_cram(path, reads, method=0, with_names=True,
+                        series_methods=None):
+    """reads: list of (name, seq str).  series_methods overrides the
+    block compression method per data series, e.g. {"RN": 97}."""
     streams = {k: bytearray() for k in IDS}
     for name, seq in reads:
         streams["BF"] += itf8(0x4)       # unmapped
@@ -392,7 +421,8 @@ def write_unmapped_cram(path, reads, method=0, with_names=True):
     sh = slice_header(-1, 0, 0, len(reads), content_ids)
     blocks = [block(0, 2, 0, sh), block(0, 5, 0, b"")]  # header + core
     for k in used:
-        blocks.append(block(method, 4, IDS[k], bytes(streams[k])))
+        m = (series_methods or {}).get(k, method)
+        blocks.append(block(m, 4, IDS[k], bytes(streams[k])))
     cont = container([ch_blk] + blocks, ref_id=-1, nrec=len(reads),
                      landmarks=(len(ch_blk),))
     with open(path, "wb") as f:

@@ -55,12 +55,34 @@ READS = [("r1", "ACGTACGTAACCGGTT"),
          ("r3", "ACACACACACACACAC")]
 
 
-@pytest.mark.parametrize("method", [0, 1, 4, 41])
+@pytest.mark.parametrize("method", [0, 1, 4, 41, 5, 51, 52, 6, 61])
 def test_unmapped_roundtrip(tmp_path, method):
     p = str(tmp_path / "u.cram")
     cw.write_unmapped_cram(p, READS, method=method)
     got = [(n, s.decode()) for n, s, _ in cram.iter_cram(p)]
     assert got == READS
+
+
+def test_unsupported_name_codec_lazy(tmp_path):
+    """CRAM 3.1 files often compress names with the tokenizer (method
+    8) and qualities with fqzcomp (7).  Blocks decompress lazily, so
+    sequences still extract; names fall back to synthetic."""
+    p = str(tmp_path / "tok.cram")
+    cw.write_unmapped_cram(p, READS, method=5,
+                           series_methods={"RN": 97})
+    got = [(n, s.decode()) for n, s, _ in cram.iter_cram(p)]
+    assert [s for _, s in got] == [s for _, s in READS]
+    assert all(n.startswith("tok.cram.") for n, _ in got)
+
+
+def test_unsupported_method_still_raises_when_read(tmp_path):
+    """A sequence-bearing block with an unsupported codec must still
+    fail loudly (lazily) — not silently yield garbage."""
+    p = str(tmp_path / "bad.cram")
+    cw.write_unmapped_cram(p, READS, method=5,
+                           series_methods={"BA": 97})
+    with pytest.raises(cram.CramError, match="method 7"):
+        list(cram.iter_cram(p))
 
 
 def test_unmapped_generated_names(tmp_path):
