@@ -402,7 +402,12 @@ def configure_counting(paths, k: int, memory_gb: float | None = None,
         chunk_len = min(chunk_len, max_chunk)
 
     bytes_per_kmer = 8 + 8 + 4  # hi, lo, count on host
-    mem_budget = (memory_gb or 8.0) * 1e9
+    if memory_gb is None:
+        # grid-aware default, like the reference's getMaxMemoryAllowed
+        # (documentation/source/reference.rst:117-120)
+        from .resources import max_memory_gb
+        memory_gb = max_memory_gb()
+    mem_budget = memory_gb * 1e9
     n_batches = max(1, int(np.ceil(exp * bytes_per_kmer / mem_budget)))
     import jax
     n_dev = n_devices if n_devices is not None else jax.device_count()
@@ -416,7 +421,7 @@ def configure_counting(paths, k: int, memory_gb: float | None = None,
         "devices": int(n_dev),
         "sharded": bool(n_dev > 1),
         "host_bytes_per_kmer": bytes_per_kmer,
-        "memory_gb": memory_gb or 8.0,
+        "memory_gb": memory_gb,
         "host_peak_bytes": int(min(exp, np.ceil(exp / n_batches)) *
                                bytes_per_kmer),
         "batches": n_batches,
