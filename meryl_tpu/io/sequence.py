@@ -164,17 +164,20 @@ class SequenceChunker:
     def _code_stream(self) -> Iterator[np.ndarray]:
         from .. import native
         from . import bam
-        use_native = (native.available() and self.segment is None and
-                      not any(bam.is_bam(p) or p.endswith(".cram")
-                              for p in self.paths))
-        if use_native:
-            # native C++ scanner: FASTA/FASTQ bytes -> codes + separators
-            for path in self.paths:
-                yield from native.scan_codes(path, hpc=self.hpc)
-            return
         sep = np.full(1, SEP, dtype=np.uint8)
         seq_idx = 0
         for path in self.paths:
+            is_bam = bam.is_bam(path)
+            is_cram = path.endswith(".cram")
+            if self.segment is None and is_bam:
+                # bulk BAM -> codes decoder (skips names/quals)
+                yield from bam.iter_codes(path, hpc=self.hpc)
+                continue
+            if self.segment is None and native.available() \
+                    and not is_bam and not is_cram:
+                # native C++ scanner: FASTA/FASTQ bytes -> codes + seps
+                yield from native.scan_codes(path, hpc=self.hpc)
+                continue
             for _, seq, _ in iter_sequences(path):
                 idx = seq_idx
                 seq_idx += 1

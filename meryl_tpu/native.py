@@ -109,6 +109,11 @@ def get_lib():
                 lib.mt_itf8_parse.argtypes = [
                     u8p, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
                 lib.mt_itf8_parse.restype = ctypes.c_int64
+            if hasattr(lib, "mt_bam_scan"):
+                lib.mt_bam_scan.argtypes = [
+                    u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+                    ctypes.c_int32, i64p]
+                lib.mt_bam_scan.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib = None
@@ -526,6 +531,35 @@ def itf8_parse(data: bytes):
         src.ctypes.data_as(u8), len(data),
         vals.ctypes.data_as(i64), ends.ctypes.data_as(i64), len(data))
     return vals[:cnt], ends[:cnt]
+
+
+_bam_out: np.ndarray | None = None
+
+
+def bam_scan(win: bytes, hpc: bool):
+    """Native bulk BAM window scan: records -> 2-bit codes +
+    separators.  -> (codes array copy, bytes consumed) or None
+    (callers fall back to the numpy/python path).  Reuses one
+    pre-faulted output buffer: fresh pages cost 10-400us/page in
+    lazy-memory VMs."""
+    global _bam_out
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mt_bam_scan"):
+        return None
+    cap = 2 * len(win) + 64
+    if _bam_out is None or len(_bam_out) < cap:
+        _bam_out = np.empty(max(cap, 1 << 23), np.uint8)
+        _bam_out[::2048] = 0  # pre-fault
+    src = np.frombuffer(win, np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    consumed = ctypes.c_int64(0)
+    w = lib.mt_bam_scan(
+        src.ctypes.data_as(u8), len(win),
+        _bam_out.ctypes.data_as(u8), len(_bam_out),
+        1 if hpc else 0, ctypes.byref(consumed))
+    if w < 0:
+        return None
+    return _bam_out[:w].copy(), int(consumed.value)
 
 
 def scan_codes(path: str, hpc: bool = False, block: int = 1 << 22):

@@ -470,4 +470,60 @@ int64_t mt_itf8_parse(const uint8_t* in, int64_t n, int64_t* vals,
   return cnt;
 }
 
+// Bulk BAM window scan+decode: walk block_size-framed alignment
+// records, expanding each record's 4-bit packed bases straight to
+// 2-bit codes (A=00 C=01 T=10 G=11; non-ACGT -> 0xFF breaker), one
+// 0xFF separator per record, optional homopolymer compression.
+// Stops at the first record that extends past the window and reports
+// how many input bytes were consumed so the caller can carry the
+// remainder into the next window.  out needs 2*win_len+1 bytes.
+// Returns bytes written, or -1 on a structurally bad record.
+int64_t mt_bam_scan(const uint8_t* win, int64_t win_len, uint8_t* out,
+                    int64_t out_cap, int32_t hpc, int64_t* consumed) {
+  // SEQ16 "=ACMGRSVTWYHKDBN" nibble -> 2-bit code (0xFF = breaker)
+  static const uint8_t kNib[16] = {0xFF, 0, 1, 0xFF, 3,    0xFF, 0xFF,
+                                   0xFF, 2, 0xFF, 0xFF, 0xFF, 0xFF,
+                                   0xFF, 0xFF, 0xFF};
+  int64_t p = 0, w = 0;
+  while (p + 4 <= win_len) {
+    int32_t bs;
+    std::memcpy(&bs, win + p, 4);
+    if (bs < 32) return -1;
+    const int64_t end = p + 4 + bs;
+    if (end > win_len) break;
+    const uint8_t* r = win + p + 4;
+    const uint8_t lrn = r[8];
+    uint16_t ncig;
+    std::memcpy(&ncig, r + 12, 2);
+    int32_t ls;
+    std::memcpy(&ls, r + 16, 4);
+    const int64_t off = 32 + int64_t(lrn) + 4 * int64_t(ncig);
+    const int64_t nb = (int64_t(ls) + 1) / 2;
+    if (ls < 0 || off + nb > bs) return -1;
+    if (w + ls + 1 > out_cap) break;
+    const uint8_t* pk = r + off;
+    if (hpc) {
+      uint8_t prev = 0xFE;  // never matches a first code
+      for (int64_t i = 0; i < ls; i++) {
+        uint8_t b = pk[i >> 1];
+        uint8_t c = kNib[(i & 1) ? (b & 0xF) : (b >> 4)];
+        if (c != prev) out[w++] = c;
+        prev = c;
+      }
+    } else {
+      int64_t i = 0;
+      for (; i + 2 <= ls; i += 2) {
+        uint8_t b = pk[i >> 1];
+        out[w++] = kNib[b >> 4];
+        out[w++] = kNib[b & 0xF];
+      }
+      if (i < ls) out[w++] = kNib[pk[i >> 1] >> 4];
+    }
+    out[w++] = 0xFF;  // record separator
+    p = end;
+  }
+  *consumed = p;
+  return w;
+}
+
 }  // extern "C"

@@ -128,3 +128,56 @@ def test_bam_qual_clamp_no_crash(tmp_path):
     assert seq == b"ACGT"
     assert qual is not None and len(qual) == 4
     assert qual[2] == 255  # clamped, not crashed
+
+
+def test_iter_codes_matches_fallback_and_straddles(tmp_path):
+    """The native window scan, the numpy fallback, and a 100-byte
+    window (records straddling every boundary) must produce identical
+    code streams; hpc collapses runs identically up to duplicate
+    breakers."""
+    import random
+
+    from meryl_tpu import native
+    from meryl_tpu.io import bam as B
+
+    random.seed(3)
+    reads = [(f"r{i}",
+              "".join(random.choices("ACGTN", weights=[4, 4, 4, 4, 1],
+                                     k=random.choice([0, 3, 150, 151]))),
+              None) for i in range(500)]
+    p = str(tmp_path / "mix.bam")
+    _make_bam(p, reads)
+    got = np.concatenate(list(B.iter_codes(p)))
+    # reference: per-record decode
+    want = []
+    code = {65: 0, 67: 1, 84: 2, 71: 3}
+    for _, s, _ in reads:
+        want.extend(code.get(ord(c), 0xFF) for c in s)
+        want.append(0xFF)
+    assert np.array_equal(got, np.array(want, np.uint8))
+    # numpy fallback path
+    orig = native.get_lib
+    native.get_lib = lambda: None
+    try:
+        got_py = np.concatenate(list(B.iter_codes(p)))
+    finally:
+        native.get_lib = orig
+    assert np.array_equal(got_py, got)
+    # window straddling
+    got_tiny = np.concatenate(list(B.iter_codes(p, window=100)))
+    assert np.array_equal(got_tiny, got)
+    # hpc: equal after collapsing duplicate breakers on both sides
+    def squeeze(a):
+        keep = np.ones(len(a), bool)
+        keep[1:] = ~((a[1:] == a[:-1]) & (a[1:] == 0xFF))
+        return a[keep]
+    got_h = squeeze(np.concatenate(list(B.iter_codes(p, hpc=True))))
+    wh = []
+    for _, s, _ in reads:
+        prev = None
+        for c in s:
+            if c != prev:
+                wh.append(code.get(ord(c), 0xFF))
+            prev = c
+        wh.append(0xFF)
+    assert np.array_equal(got_h, squeeze(np.array(wh, np.uint8)))
