@@ -202,6 +202,43 @@ def bench_setop():
     return max(S * 2 * N / dt / 1e6 for dt in times)
 
 
+def bench_bam_ingest():
+    """Host-side BAM -> 2-bit-code ingest rate (BASELINE.md workload:
+    'BAM/CRAM counting'), Mbases/s through the native window scan.
+    Pure host work — independent of the device link."""
+    import gzip
+    import struct
+    import tempfile
+
+    from meryl_tpu.io import bam
+
+    rng = np.random.default_rng(3)
+    n_reads, rlen = 30000, 150
+    seqs = rng.integers(0, 4, size=(n_reads, rlen))
+    code2nib = np.array([1, 2, 8, 4], np.uint8)  # ACTG -> SEQ16 nibble
+    out = bytearray(b"BAM\x01")
+    text = b"@HD\tVN:1.6\n"
+    out += struct.pack("<i", len(text)) + text
+    out += struct.pack("<i", 0)
+    name = b"r\x00"
+    for row in code2nib[seqs]:
+        packed = ((row[0::2] << 4) | row[1::2]).astype(np.uint8).tobytes()
+        rec = struct.pack("<iiBBHHHiiii", -1, -1, len(name), 0, 4680,
+                          0, 4, rlen, -1, -1, 0)
+        rec += name + packed + b"\xff" * rlen
+        out += struct.pack("<i", len(rec)) + rec
+    with tempfile.NamedTemporaryFile(suffix=".bam", delete=False) as f:
+        with gzip.open(f, "wb", compresslevel=1) as g:
+            g.write(bytes(out))
+        path = f.name
+    sum(len(c) for c in bam.iter_codes(path))  # warm page cache
+    t0 = time.perf_counter()
+    nc = sum(len(c) for c in bam.iter_codes(path))
+    dt = time.perf_counter() - t0
+    os.unlink(path)
+    return (nc - n_reads) / dt / 1e6
+
+
 def main():
     import jax
 
@@ -214,6 +251,10 @@ def main():
         setop_meps = bench_setop()
     except Exception:
         setop_meps = None
+    try:
+        bam_mbps = bench_bam_ingest()
+    except Exception:
+        bam_mbps = None
 
     n_chips = jax.device_count()
     per_chip_target = 2.5e9 / 8  # bases/s per chip at 5 GB/s-FASTQ target
@@ -230,6 +271,8 @@ def main():
         out["lookup_mqps"] = round(lookup_mqps, 3)
     if setop_meps is not None:
         out["setop_union_sum_meps"] = round(setop_meps, 3)
+    if bam_mbps is not None:
+        out["bam_ingest_mbases_s"] = round(bam_mbps, 1)
     print(json.dumps(out))
 
 
