@@ -16,11 +16,13 @@ orientation does not affect counts.
 
 from __future__ import annotations
 
-import gzip
+import gzip  # noqa: F401 (re-exported for tests/back-compat)
 import struct
 from typing import Iterator, Tuple
 
 import numpy as np
+
+from .bgzf import open_bam_stream
 
 # 4-bit base codes: =ACMGRSVTWYHKDBN
 SEQ16 = b"=ACMGRSVTWYHKDBN"
@@ -44,7 +46,7 @@ for _b in range(256):
 
 def is_bam(path: str) -> bool:
     try:
-        with gzip.open(path, "rb") as f:
+        with open_bam_stream(path) as f:
             return f.read(4) == b"BAM\x01"
     except Exception:
         return False
@@ -102,7 +104,7 @@ def iter_codes(path: str, hpc: bool = False,
     faster than going through iter_bam's per-record tuples."""
     from .. import native
     lib = native.get_lib()
-    with gzip.open(path, "rb") as f:
+    with open_bam_stream(path) as f:
         _skip_header(f)
         if lib is not None and hasattr(lib, "mt_bam_scan"):
             # native path: the whole record walk + nibble decode is
@@ -184,7 +186,7 @@ def iter_bam(path: str) -> Iterator[Tuple[str, bytes, bytes | None]]:
     stream (per-record gzip reads cost more than the decode itself)
     with C-speed base unpacking: a 256-entry packed-byte -> base-pair
     join for typical short reads, the numpy LUT for long ones."""
-    with gzip.open(path, "rb") as f:
+    with open_bam_stream(path) as f:
         _skip_header(f)
         buf = b""
         pos = 0

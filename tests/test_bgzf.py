@@ -1,0 +1,95 @@
+"""Parallel BGZF reader: real blocked-gzip members (BC extra field)
+decode identically to the stdlib path, with block-boundary stress."""
+
+import gzip
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from meryl_tpu.io import bgzf
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+def _bgzf_member(payload: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    cdata = co.compress(payload) + co.flush()
+    bsize = 12 + 6 + len(cdata) + 8  # hdr + xtra + cdata + trailer
+    hdr = (b"\x1f\x8b\x08\x04" + b"\x00" * 4 + b"\x00\xff"
+           + struct.pack("<H", 6)
+           + b"BC" + struct.pack("<H", 2) + struct.pack("<H", bsize - 1))
+    return hdr + cdata + struct.pack("<I", zlib.crc32(payload)) + \
+        struct.pack("<I", len(payload) & 0xFFFFFFFF)
+
+
+def _write_bgzf(path, data: bytes, block=57000):
+    with open(path, "wb") as f:
+        for i in range(0, len(data), block):
+            f.write(_bgzf_member(data[i:i + block]))
+        f.write(BGZF_EOF)
+
+
+def test_detect_and_roundtrip(tmp_path):
+    rng = np.random.default_rng(4)
+    data = rng.integers(0, 256, size=1 << 20).astype(np.uint8).tobytes()
+    p = str(tmp_path / "x.bgzf")
+    _write_bgzf(p, data)
+    assert bgzf.is_bgzf(p)
+    with bgzf.open_bam_stream(p) as f:
+        got = bytearray()
+        while True:  # odd read sizes straddle member boundaries
+            chunk = f.read(12345)
+            if not chunk:
+                break
+            got += chunk
+    assert bytes(got) == data
+    # stdlib gzip agrees (BGZF is valid multi-member gzip)
+    assert gzip.open(p, "rb").read() == data
+
+
+def test_plain_gzip_fallback(tmp_path):
+    p = str(tmp_path / "p.gz")
+    with gzip.open(p, "wb") as f:
+        f.write(b"hello world" * 1000)
+    assert not bgzf.is_bgzf(p)
+    with bgzf.open_bam_stream(p) as f:
+        assert f.read(11) == b"hello world"
+
+
+def test_bam_over_real_bgzf(tmp_path):
+    """A BAM whose container is genuine BGZF streams through both the
+    record iterator and the bulk counting decoder."""
+    import random
+
+    from meryl_tpu.io import bam
+    from tests.test_bam import _make_bam
+
+    random.seed(9)
+    reads = [(f"r{i}", "".join(random.choices("ACGT", k=151)), None)
+             for i in range(2000)]
+    plain = str(tmp_path / "plain.bam")
+    _make_bam(plain, reads)
+    raw = gzip.open(plain, "rb").read()
+    p = str(tmp_path / "real.bam")
+    _write_bgzf(p, raw)
+    assert bam.is_bam(p) and bgzf.is_bgzf(p)
+    got = [(n, s.decode()) for n, s, _ in bam.iter_bam(p)]
+    assert got == [(n, s) for n, s, _ in reads]
+    codes = np.concatenate(list(bam.iter_codes(p)))
+    want = np.concatenate(list(bam.iter_codes(plain)))
+    assert np.array_equal(codes, want)
+
+
+def test_truncated_member_stops_cleanly(tmp_path):
+    data = b"A" * 100000
+    p = str(tmp_path / "t.bgzf")
+    full = _bgzf_member(data)
+    with open(p, "wb") as f:
+        f.write(full)
+        f.write(_bgzf_member(data)[: 30])  # truncated second member
+    with bgzf.open_bam_stream(p) as f:
+        assert f.read(len(data)) == data
+        assert f.read(10) == b""
