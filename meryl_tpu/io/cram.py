@@ -1083,6 +1083,39 @@ def is_cram(path: str) -> bool:
         return False
 
 
+def iter_cram_codes(path: str, ref_path: str | None = None,
+                    hpc: bool = False, batch: int = 1 << 22):
+    """Bulk CRAM -> 2-bit code arrays with 0xFF breakers, for the
+    counting path (names/quals never materialize beyond what record
+    parsing itself needs): reads are joined and LUT-encoded one big
+    batch at a time instead of per-record."""
+    from ..kmer import CODE_LUT
+    r = CramReader(path, ref_path)
+    pend = []
+    npend = 0
+    for _name, seq in r.records():
+        pend.append(seq)
+        npend += len(seq) + 1
+        if npend >= batch:
+            yield _encode_read_batch(pend, hpc, CODE_LUT)
+            pend = []
+            npend = 0
+    if pend:
+        yield _encode_read_batch(pend, hpc, CODE_LUT)
+
+
+def _encode_read_batch(seqs, hpc, lut):
+    import numpy as np
+    blob = b"\xff".join(seqs) + b"\xff"   # 0xFF LUTs to the breaker
+    codes = lut[np.frombuffer(blob, np.uint8)]
+    if hpc:  # collapse equal consecutive codes (case-insensitive HPC)
+        keep = np.empty(len(codes), bool)
+        keep[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=keep[1:])
+        codes = codes[keep]
+    return codes
+
+
 def iter_cram(path: str, ref_path: str | None = None):
     """Yield (name, bases, None) per record — the iter_sequences
     contract."""

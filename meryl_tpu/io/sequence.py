@@ -173,6 +173,10 @@ class SequenceChunker:
                 # bulk BAM -> codes decoder (skips names/quals)
                 yield from bam.iter_codes(path, hpc=self.hpc)
                 continue
+            if self.segment is None and is_cram:
+                from . import cram
+                yield from cram.iter_cram_codes(path, hpc=self.hpc)
+                continue
             if self.segment is None and native.available() \
                     and not is_bam and not is_cram:
                 # native C++ scanner: FASTA/FASTQ bytes -> codes + seps

@@ -172,3 +172,57 @@ def test_huffman_canonical_tiebreak():
     h2 = HuffmanCodec([9, 2, 7], [2, 1, 2])
     # symbol 2 gets the single 1-bit code; 7 < 9 within length 2
     assert h2.table == {(1, 0): 2, (2, 2): 7, (2, 3): 9}
+
+
+def test_iter_cram_codes_matches_per_record(tmp_path):
+    """The bulk counting decoder equals LUT(record bases) + breakers,
+    across batch boundaries and with hpc."""
+    import random
+
+    from meryl_tpu.kmer import CODE_LUT
+
+    random.seed(11)
+    reads = [(f"r{i}", "".join(random.choices(
+        "ACGTN", weights=[4, 4, 4, 4, 1],
+        k=random.choice([0, 3, 150, 151])))) for i in range(300)]
+    p = str(tmp_path / "c.cram")
+    cw.write_unmapped_cram(p, reads, method=5)
+    got = np.concatenate(list(cram.iter_cram_codes(p, batch=1000)))
+    want = []
+    for _, s in reads:
+        want.extend(int(CODE_LUT[b]) for b in s.encode())
+        want.append(0xFF)
+    assert np.array_equal(got, np.array(want, np.uint8))
+
+    def squeeze(a):  # duplicate breakers are semantically null
+        keep = np.ones(len(a), bool)
+        keep[1:] = ~((a[1:] == a[:-1]) & (a[1:] == 0xFF))
+        return a[keep]
+
+    got_h = np.concatenate(list(cram.iter_cram_codes(p, hpc=True,
+                                                     batch=1000)))
+    wh = np.array(want, np.uint8)
+    keep = np.ones(len(wh), bool)
+    keep[1:] = wh[1:] != wh[:-1]
+    assert np.array_equal(squeeze(got_h), squeeze(wh[keep]))
+
+
+def test_cram_counting_via_chunker(tmp_path):
+    """CRAM counting flows through the bulk codes path and matches the
+    FASTA count of the same reads."""
+    import random
+
+    from meryl_tpu.counter import count_to_arrays
+
+    random.seed(13)
+    reads = [(f"r{i}", "".join(random.choices("ACGT", k=120)))
+             for i in range(40)]
+    p = str(tmp_path / "c.cram")
+    cw.write_unmapped_cram(p, reads, method=41)
+    fa = tmp_path / "c.fa"
+    fa.write_text("".join(f">{n}\n{s}\n" for n, s in reads))
+    k = 21
+    a = count_to_arrays([p], k)
+    b = count_to_arrays([str(fa)], k)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
