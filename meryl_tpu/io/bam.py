@@ -45,8 +45,8 @@ for _b in range(256):
 
 
 def is_bam(path: str) -> bool:
-    try:
-        with open_bam_stream(path) as f:
+    try:  # cheap probe: stdlib gzip reads 4 bytes lazily (BGZF is
+        with gzip.open(path, "rb") as f:  # valid multi-member gzip)
             return f.read(4) == b"BAM\x01"
     except Exception:
         return False
@@ -152,6 +152,8 @@ def iter_codes(path: str, hpc: bool = False,
                 if len(buf) < 4:
                     break
             (block_size,) = u32.unpack_from(buf, pos)
+            if block_size < 32:
+                raise ValueError("malformed BAM record (block_size)")
             end = pos + 4 + block_size
             if end > len(buf):
                 out = flush()
@@ -198,6 +200,8 @@ def iter_bam(path: str) -> Iterator[Tuple[str, bytes, bytes | None]]:
                 if len(buf) < 4:
                     break
             (block_size,) = u32.unpack_from(buf, pos)
+            if block_size < 32:
+                raise ValueError("malformed BAM record (block_size)")
             end = pos + 4 + block_size
             while end > len(buf):
                 nxt = f.read(max(1 << 22, end - len(buf)))

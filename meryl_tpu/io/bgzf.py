@@ -39,7 +39,11 @@ def _bc_size(header: bytes) -> int | None:
 def is_bgzf(path: str) -> bool:
     try:
         with open(path, "rb") as f:
-            return _bc_size(f.read(18 + 64)) is not None
+            head = f.read(12)
+            if len(head) < 12 or head[:4] != b"\x1f\x8b\x08\x04":
+                return False
+            (xlen,) = struct.unpack_from("<H", head, 10)
+            return _bc_size(head + f.read(xlen)) is not None
     except OSError:
         return False
 
@@ -66,15 +70,20 @@ class _BgzfStream:
 
     def _submit_more(self) -> None:
         while not self._eof and len(self._futures) < self._lookahead:
-            header = self._f.read(18)
-            if len(header) < 18:
+            fixed = self._f.read(12)
+            if len(fixed) < 12:
                 self._eof = True
                 break
-            size = _bc_size(header)
-            if size is None:
+            if fixed[:4] != b"\x1f\x8b\x08\x04":
                 raise ValueError("not a BGZF member (corrupt stream?)")
-            rest = self._f.read(size - 18)
-            if len(rest) != size - 18:
+            (xlen,) = struct.unpack_from("<H", fixed, 10)
+            extra = self._f.read(xlen)  # BC may sit after other
+            header = fixed + extra      # subfields (spec-legal)
+            size = _bc_size(header)
+            if size is None or size < 12 + xlen + 8:
+                raise ValueError("not a BGZF member (corrupt stream?)")
+            rest = self._f.read(size - len(header))
+            if len(rest) != size - len(header):
                 self._eof = True  # truncated trailing member
                 break
             self._futures.append(self._ex.submit(_inflate, header + rest))

@@ -252,6 +252,16 @@ def rans_decode(data: bytes, out_sz_hint: int | None = None) -> bytes:
 # ------------------------------------------------------------- blocks
 
 def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
+    try:
+        return _decompress_inner(method, data, raw_size)
+    except CramError:
+        raise
+    except Exception as e:  # zlib/bz2/lzma/rans errors, truncation
+        raise CramError(
+            f"block decode failed (method {method}): {e}") from e
+
+
+def _decompress_inner(method: int, data: bytes, raw_size: int) -> bytes:
     if method == 0:
         return data
     if method == 1:
@@ -298,6 +308,7 @@ class Block:
             raise CramError(
                 f"block raw size mismatch {len(raw)} != {self._raw_size}")
         self.data = raw
+        self._comp = b""  # decompression is once-only: free the source
         return raw
 
 
@@ -840,6 +851,21 @@ class CramReader:
             raise CramError(f"data series {key} truncated")
         return vals[:nrec]
 
+    @staticmethod
+    def _series_cids(ch):
+        """Every (series key, external content id) reference in the
+        data-series map, including both halves of BYTE_ARRAY_LEN."""
+        out = []
+        for key, c in ch.ds.items():
+            if isinstance(c, (ExternalCodec, ByteArrayStopCodec)):
+                out.append((key, c.cid))
+            elif isinstance(c, ByteArrayLenCodec):
+                if isinstance(c.len_codec, ExternalCodec):
+                    out.append((key, c.len_codec.cid))
+                if isinstance(c.val_codec, ExternalCodec):
+                    out.append((key, c.val_codec.cid))
+        return out
+
     def _bulk_unmapped(self, ch, sh, ext):
         """Vectorized decode of an all-unmapped slice: bulk-parse the
         flag/length series, slice BA once, split names once.  Returns
@@ -852,6 +878,17 @@ class CramReader:
         nrec = sh.nrec
         if nrec == 0:
             return None
+        # bulk parsing assumes a series owns its block from offset 0;
+        # a content id shared between two series (spec-legal — the
+        # per-record path handles it via the shared cursor) interleaves
+        # values and would decode silently wrong here
+        refs = self._series_cids(ch)
+        bulk_keys = {"BF", "CF", "RL", "TL", "RN", "BA"}
+        from collections import Counter
+        by_cid = Counter(cid for _, cid in refs)
+        for key, cid in refs:
+            if key in bulk_keys and by_cid[cid] > 1:
+                return None
         bf = self._itf8_series(ch, "BF", ext, nrec)
         cf = self._itf8_series(ch, "CF", ext, nrec)
         rl = self._itf8_series(ch, "RL", ext, nrec)

@@ -43,6 +43,8 @@ class _Cur:
         self.p = 0
 
     def byte(self) -> int:
+        if self.p >= len(self.d):
+            raise RansError("truncated rANS-Nx16 stream")
         b = self.d[self.p]
         self.p += 1
         return b
@@ -83,6 +85,8 @@ def _read_alphabet(cur: _Cur):
     sym = cur.byte()
     last = sym
     while True:
+        if len(syms) >= 256:
+            raise RansError("corrupt alphabet (unterminated)")
         syms.append(sym)
         if rle:
             rle -= 1

@@ -41,9 +41,10 @@ def grid_memory_bytes(env=os.environ) -> int | None:
 
 
 def grid_threads(env=os.environ) -> int | None:
-    """CPUs granted by the batch scheduler, if any."""
-    for key in ("SLURM_CPUS_ON_NODE", "PBS_NCPUS", "NSLOTS",
-                "OMP_NUM_THREADS"):
+    """CPUs granted by the batch scheduler, if any.  (OMP_NUM_THREADS
+    is deliberately NOT consulted: it is an OpenMP tuning knob that
+    users routinely pin to 1 for BLAS, not a grid allocation.)"""
+    for key in ("SLURM_CPUS_ON_NODE", "PBS_NCPUS", "NSLOTS"):
         v = env.get(key)
         if v and v.isdigit() and int(v) > 0:
             return int(v)

@@ -93,3 +93,57 @@ def test_truncated_member_stops_cleanly(tmp_path):
     with bgzf.open_bam_stream(p) as f:
         assert f.read(len(data)) == data
         assert f.read(10) == b""
+
+
+def test_extra_subfield_before_bc(tmp_path):
+    """BGZF only requires the BC subfield to be PRESENT; members with
+    other extra subfields first must still stream (regression: the
+    reader required BC at offset 12 and rejected the member)."""
+    payload = b"N" * 70000  # two members via block split
+    members = bytearray()
+    for i in range(0, len(payload), 40000):
+        chunk = payload[i:i + 40000]
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cdata = co.compress(chunk) + co.flush()
+        dummy = b"XY" + struct.pack("<H", 3) + b"abc"   # 7 bytes
+        bc = b"BC" + struct.pack("<H", 2)
+        xlen = len(dummy) + len(bc) + 2
+        bsize = 12 + xlen + len(cdata) + 8
+        hdr = (b"\x1f\x8b\x08\x04" + b"\x00" * 4 + b"\x00\xff"
+               + struct.pack("<H", xlen) + dummy + bc
+               + struct.pack("<H", bsize - 1))
+        members += hdr + cdata + struct.pack("<I", zlib.crc32(chunk)) \
+            + struct.pack("<I", len(chunk))
+    p = str(tmp_path / "x.bgzf")
+    with open(p, "wb") as f:
+        f.write(bytes(members))
+        f.write(BGZF_EOF)
+    assert bgzf.is_bgzf(p)
+    with bgzf.open_bam_stream(p) as f:
+        assert f.read(len(payload) + 10) == payload
+
+
+def test_negative_block_size_raises(tmp_path):
+    """A corrupt BAM block_size must raise, not loop forever
+    (regression: the python walkers spun on pos == end)."""
+    import gzip as _gzip
+
+    from meryl_tpu import native
+    from meryl_tpu.io import bam
+
+    p = str(tmp_path / "bad.bam")
+    raw = b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 0) \
+        + struct.pack("<i", -4) + b"\x00" * 64
+    with _gzip.open(p, "wb") as f:
+        f.write(raw)
+    with pytest.raises(ValueError, match="malformed"):
+        list(bam.iter_codes(p))
+    orig = native.get_lib
+    native.get_lib = lambda: None
+    try:
+        with pytest.raises(ValueError, match="malformed"):
+            list(bam.iter_codes(p))
+        with pytest.raises(ValueError, match="malformed"):
+            list(bam.iter_bam(p))
+    finally:
+        native.get_lib = orig

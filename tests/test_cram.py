@@ -226,3 +226,45 @@ def test_cram_counting_via_chunker(tmp_path):
     b = count_to_arrays([str(fa)], k)
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
+
+
+def test_shared_content_id_uses_per_record_path(tmp_path):
+    """Two series sharing one external block (spec-legal: values
+    interleave per record) must NOT go through the bulk fast path —
+    regression: RL parsed AP values and silently mis-sliced BA."""
+    reads = READS
+    ids = dict(cw.IDS)
+    ids["AP"] = ids["RL"]          # AP rides in RL's block
+    streams = {k: bytearray() for k in
+               ("BF", "CF", "RL", "RG", "RN", "TL", "BA")}
+    for name, seq in reads:
+        streams["BF"] += cw.itf8(4)
+        streams["CF"] += cw.itf8(0)
+        streams["RL"] += cw.itf8(len(seq)) + cw.itf8(0)  # RL,AP pairs
+        streams["RG"] += cw.itf8(-1)
+        streams["RN"] += name.encode() + b"\n"
+        streams["TL"] += cw.itf8(0)
+        streams["BA"] += seq.encode()
+    series = ("BF", "CF", "RL", "AP", "RG", "RN", "TL", "BA")
+    old = cw.IDS
+    cw.IDS = ids
+    try:
+        ch = cw.compression_header(read_names=True, series=series)
+    finally:
+        cw.IDS = old
+    ch_blk = cw.block(0, 1, 0, ch)
+    used = ["BF", "CF", "RL", "RG", "RN", "TL", "BA"]
+    sh = cw.slice_header(-1, 0, 0, len(reads), [old[k] for k in used])
+    blocks = [cw.block(0, 2, 0, sh), cw.block(0, 5, 0, b"")]
+    for k in used:
+        blocks.append(cw.block(0, 4, old[k], bytes(streams[k])))
+    cont = cw.container([ch_blk] + blocks, ref_id=-1, nrec=len(reads),
+                        landmarks=(len(ch_blk),))
+    p = str(tmp_path / "shared.cram")
+    with open(p, "wb") as f:
+        f.write(cw.file_definition())
+        f.write(cw.sam_header_container([("ref", 1000)]))
+        f.write(cont)
+        f.write(cw.EOF_CONTAINER)
+    got = [(n, s.decode()) for n, s, _ in cram.iter_cram(p)]
+    assert got == reads
