@@ -49,6 +49,9 @@ CF_MATE_DOWNSTREAM = 0x4
 CF_NO_SEQ = 0x8
 CF_EXPLICIT_TLEN = 0x10  # 3.1
 
+# CRAM stores raw Phred; FASTQ wants +33 ASCII (clamped like htslib)
+_PHRED33 = bytes(min(q + 33, 255) for q in range(256))
+
 
 class CramError(ValueError):
     pass
@@ -744,6 +747,8 @@ class CramReader:
         self.ref_names = []
         self._name_counter = 0
         self._rn_ok = True
+        self._qs_ok = True
+        self.want_quals = False
 
     # --- container-level parsing ---
 
@@ -769,8 +774,10 @@ class CramReader:
         h["body_len"] = length
         return h, pos
 
-    def records(self) -> Iterator[Tuple[str, bytes]]:
-        """Yield (name, bases) for every record."""
+    def records(self) -> Iterator[Tuple[str, bytes, bytes | None]]:
+        """Yield (name, bases, quals|None) for every record (quals
+        only materialize when self.want_quals and the QS codec is
+        decodable)."""
         buf = self.buf
         pos = self.pos
         first = True
@@ -927,11 +934,32 @@ class CramReader:
             start = self._name_counter
             self._name_counter += nrec
             names = [f"{base}.{start + i + 1}" for i in range(nrec)]
+        # qualities: QS sliced where CF_QUAL, when wanted + decodable
+        quals = [None] * nrec
+        if self.want_quals and self._qs_ok:
+            qs_lens = np.where(cf & CF_QUAL, rl, 0)
+            qtotal = int(qs_lens.sum())
+            if qtotal:
+                c = ch.ds.get("QS")
+                if not isinstance(c, ExternalCodec):
+                    return None
+                try:
+                    qblob = ext[c.cid].data
+                except CramError:
+                    self._qs_ok = False  # e.g. fqzcomp
+                else:
+                    if len(qblob) < qtotal:
+                        raise CramError("QS block truncated")
+                    qe = np.cumsum(qs_lens)
+                    qs = qe - qs_lens
+                    quals = [qblob[qs[i]:qe[i]].translate(_PHRED33)
+                             if qs_lens[i] else None
+                             for i in range(nrec)]
         # sequences: BA sliced at run-length boundaries
         ba_lens = np.where(cf & CF_NO_SEQ, 0, rl)
         total = int(ba_lens.sum())
         if total == 0:
-            return list(zip(names, [b""] * nrec))
+            return list(zip(names, [b""] * nrec, quals))
         c = ch.ds.get("BA")
         if not isinstance(c, ExternalCodec):
             return None
@@ -940,7 +968,7 @@ class CramReader:
             raise CramError("BA block truncated")
         ends = np.cumsum(ba_lens)
         starts = ends - ba_lens
-        return [(names[i], blob[starts[i]:ends[i]])
+        return [(names[i], blob[starts[i]:ends[i]], quals[i])
                 for i in range(nrec)]
 
     def _slice_records(self, ch: CompressionHeader, sh: SliceHeader,
@@ -1002,18 +1030,16 @@ class CramReader:
             if not (bf & BAM_FUNMAP):
                 seq = self._mapped_seq(ch, sh, core, ext, rl, ap, ref_id,
                                        embedded_ref)
-                if cf & CF_QUAL:
-                    self._skip_quals(ch, core, ext, rl)
+            elif not (cf & CF_NO_SEQ):
+                seq = self._read_bases(ch, core, ext, rl)
             else:
-                if not (cf & CF_NO_SEQ):
-                    seq = self._read_bases(ch, core, ext, rl)
-                else:
-                    seq = b""
-                if cf & CF_QUAL:
-                    self._skip_quals(ch, core, ext, rl)
+                seq = b""
+            qual = None
+            if cf & CF_QUAL:
+                qual = self._take_quals(ch, core, ext, rl)
             if bf & 0x10:  # reverse strand: bases stored as aligned
                 pass  # CRAM stores the sequence as in SAM (already fwd)
-            yield name, seq
+            yield name, seq, qual
 
     def _read_bases(self, ch, core, ext, n):
         c = ch.ds.get("BA")
@@ -1023,15 +1049,24 @@ class CramReader:
             return ext[c.cid].take(n)
         return bytes(c.read_byte(core, ext) for _ in range(n))
 
-    def _skip_quals(self, ch, core, ext, n):
+    def _take_quals(self, ch, core, ext, n):
+        """Quality string (Phred+33 ASCII) when wanted and decodable,
+        else None; the cursor advances either way.  skip() never
+        forces QS decompression, so fqzcomp-compressed 3.1 quality
+        blocks cost nothing unless quals are requested."""
         c = ch.ds.get("QS")
         if c is None:
-            return
+            return None
         if isinstance(c, ExternalCodec):
-            ext[c.cid].skip(n)  # never forces QS decompression
-        else:
-            for _ in range(n):
-                c.read_byte(core, ext)
+            if self.want_quals and self._qs_ok:
+                try:
+                    return bytes(ext[c.cid].take(n)).translate(_PHRED33)
+                except CramError:
+                    self._qs_ok = False  # e.g. fqzcomp: carry on bare
+            ext[c.cid].skip(n)
+            return None
+        raw = bytes(c.read_byte(core, ext) for _ in range(n))
+        return raw.translate(_PHRED33) if self.want_quals else None
 
     def _ref_bases(self, sh, ref_id, start, ln, embedded_ref):
         if ln <= 0:
@@ -1130,7 +1165,7 @@ def iter_cram_codes(path: str, ref_path: str | None = None,
     r = CramReader(path, ref_path)
     pend = []
     npend = 0
-    for _name, seq in r.records():
+    for _name, seq, _qual in r.records():
         pend.append(seq)
         npend += len(seq) + 1
         if npend >= batch:
@@ -1153,9 +1188,12 @@ def _encode_read_batch(seqs, hpc, lut):
     return codes
 
 
-def iter_cram(path: str, ref_path: str | None = None):
-    """Yield (name, bases, None) per record — the iter_sequences
-    contract."""
+def iter_cram(path: str, ref_path: str | None = None,
+              want_quals: bool = True):
+    """Yield (name, bases, quals|None) per record — the
+    iter_sequences contract.  Qualities come back Phred+33 when the
+    record stored them with a decodable codec (fqzcomp 3.1 blocks
+    yield None; they are never even decompressed)."""
     r = CramReader(path, ref_path)
-    for name, seq in r.records():
-        yield name, seq, None
+    r.want_quals = want_quals
+    yield from r.records()

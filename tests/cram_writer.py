@@ -397,13 +397,16 @@ def sam_header_container(ref_names_lens) -> bytes:
 
 
 def write_unmapped_cram(path, reads, method=0, with_names=True,
-                        series_methods=None):
+                        series_methods=None, quals=None):
     """reads: list of (name, seq str).  series_methods overrides the
-    block compression method per data series, e.g. {"RN": 97}."""
+    block compression method per data series, e.g. {"RN": 97}.
+    quals: optional list of Phred+33 strings (or None per read);
+    stored raw (minus 33) with the CF quality flag set."""
     streams = {k: bytearray() for k in IDS}
-    for name, seq in reads:
+    for idx, (name, seq) in enumerate(reads):
+        q = quals[idx] if quals else None
         streams["BF"] += itf8(0x4)       # unmapped
-        streams["CF"] += itf8(0)         # no quals stored, not detached
+        streams["CF"] += itf8(1 if q else 0)
         streams["RL"] += itf8(len(seq))
         streams["AP"] += itf8(0)
         streams["RG"] += itf8(-1)
@@ -411,7 +414,11 @@ def write_unmapped_cram(path, reads, method=0, with_names=True,
             streams["RN"] += name.encode() + b"\n"
         streams["TL"] += itf8(0)
         streams["BA"] += seq.encode()
+        if q:
+            streams["QS"] += bytes(ord(c) - 33 for c in q)
     series = ["BF", "CF", "RL", "AP", "RG", "TL", "BA"]
+    if quals and any(quals):
+        series.append("QS")
     if with_names:
         series.insert(5, "RN")
     ch = compression_header(read_names=with_names, series=tuple(series))

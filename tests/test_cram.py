@@ -268,3 +268,31 @@ def test_shared_content_id_uses_per_record_path(tmp_path):
         f.write(cw.EOF_CONTAINER)
     got = [(n, s.decode()) for n, s, _ in cram.iter_cram(p)]
     assert got == reads
+
+
+def test_quality_passthrough(tmp_path):
+    """Stored qualities come back Phred+33 through both the bulk and
+    per-record paths; fqzcomp-compressed quality blocks degrade to
+    None without blocking sequences."""
+    quals = ["IIIIIIIIIIIIIIII", None, "!#5~AAAAAAAAAAAA"]
+    p = str(tmp_path / "q.cram")
+    cw.write_unmapped_cram(p, READS, method=5, quals=quals)
+    got = list(cram.iter_cram(p))
+    assert [(n, s.decode()) for n, s, _ in got] == READS
+    assert [q.decode() if q else None for _, _, q in got] == quals
+    # per-record path (bulk disabled)
+    r = cram.CramReader(p)
+    r.want_quals = True
+    r._bulk_unmapped = lambda *a: None
+    got2 = list(r.records())
+    assert got2 == got
+    # counting never touches QS
+    codes = np.concatenate(list(cram.iter_cram_codes(p)))
+    assert len(codes) == sum(len(s) for _, s in READS) + len(READS)
+    # fqzcomp QS block: sequences fine, quals None
+    p2 = str(tmp_path / "fqz.cram")
+    cw.write_unmapped_cram(p2, READS, method=5, quals=quals,
+                           series_methods={"QS": 97})
+    got3 = list(cram.iter_cram(p2))
+    assert [(n, s.decode()) for n, s, _ in got3] == READS
+    assert all(q is None for _, _, q in got3)
