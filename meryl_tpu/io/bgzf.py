@@ -12,6 +12,7 @@ the stdlib reader transparently.
 from __future__ import annotations
 
 import gzip
+import io
 import struct
 import zlib
 from concurrent.futures import ThreadPoolExecutor
@@ -55,11 +56,13 @@ def _inflate(block: bytes) -> bytes:
     return zlib.decompress(block, 31)
 
 
-class _BgzfStream:
-    """Minimal file-like (.read/.close/context manager) over a BGZF
-    file with pipelined multi-threaded block inflate."""
+class _BgzfStream(io.RawIOBase):
+    """Raw stream over a BGZF file with pipelined multi-threaded
+    block inflate; wrap in io.BufferedReader for readline/iteration
+    (open_bam_stream does)."""
 
     def __init__(self, path: str, threads: int = 3, lookahead: int = 32):
+        super().__init__()
         self._f = open(path, "rb")
         self._ex = ThreadPoolExecutor(max_workers=max(1, threads))
         self._lookahead = max(2, lookahead)
@@ -88,7 +91,11 @@ class _BgzfStream:
                 break
             self._futures.append(self._ex.submit(_inflate, header + rest))
 
-    def read(self, n: int) -> bytes:
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        n = len(b)
         while len(self._buf) - self._pos < n:
             self._submit_more()
             if not self._futures:
@@ -97,25 +104,23 @@ class _BgzfStream:
                 del self._buf[:self._pos]
                 self._pos = 0
             self._buf += self._futures.pop(0).result()
-        out = bytes(self._buf[self._pos:self._pos + n])
-        self._pos += len(out)
-        return out
+        take = min(n, len(self._buf) - self._pos)
+        b[:take] = self._buf[self._pos:self._pos + take]
+        self._pos += take
+        return take
 
     def close(self) -> None:
-        self._ex.shutdown(wait=False, cancel_futures=True)
-        self._f.close()
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
-        return False
+        if not self.closed:
+            self._ex.shutdown(wait=False, cancel_futures=True)
+            self._f.close()
+        super().close()
 
 
 def open_bam_stream(path: str, threads: int = 3):
-    """BGZF-aware opener: parallel inflate for real BGZF files, stdlib
-    gzip for plain-gzip BAMs (e.g. test fixtures)."""
+    """BGZF-aware opener: parallel inflate for real BGZF files
+    (readline/iteration capable), stdlib gzip for plain-gzip files
+    (e.g. test fixtures)."""
     if is_bgzf(path):
-        return _BgzfStream(path, threads=threads)
+        return io.BufferedReader(_BgzfStream(path, threads=threads),
+                                 buffer_size=1 << 20)
     return gzip.open(path, "rb")

@@ -41,6 +41,9 @@ def open_maybe_compressed(path: str, mode: str = "rb"):
     with open(path, "rb") as f:
         magic = f.read(6)
     if magic[:2] == b"\x1f\x8b":
+        from .bgzf import is_bgzf, open_bam_stream
+        if is_bgzf(path):  # bgzipped FASTA/FASTQ: parallel inflate
+            return open_bam_stream(path)
         return gzip.open(path, "rb")
     if magic[:3] == b"BZh":
         return bz2.open(path, "rb")

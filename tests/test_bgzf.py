@@ -147,3 +147,34 @@ def test_negative_block_size_raises(tmp_path):
             list(bam.iter_bam(p))
     finally:
         native.get_lib = orig
+
+
+def test_bgzipped_fastq_counting_path(tmp_path):
+    """bgzipped FASTA/FASTQ (bgzip output is valid gzip AND BGZF)
+    streams through the parallel reader with identical parses and
+    identical counts."""
+    import random
+
+    from meryl_tpu.counter import count_to_arrays
+    from meryl_tpu.io.sequence import iter_sequences, \
+        open_maybe_compressed
+
+    random.seed(21)
+    reads = [(f"r{i}", "".join(random.choices("ACGT", k=133)))
+             for i in range(300)]
+    fq = "".join(f"@{n}\nfoo {s}\n"[0:0] + f"@{n}\n{s}\n+\nIIII\n"
+                 [0:0] + f"@{n}\n{s}\n+\n{'I' * len(s)}\n"
+                 for n, s in reads)
+    plain = tmp_path / "r.fq"
+    plain.write_text(fq)
+    bg = str(tmp_path / "r.fq.gz")
+    _write_bgzf(bg, fq.encode(), block=2048)
+    with open_maybe_compressed(bg) as f:
+        assert f.readline() == f"@{reads[0][0]}\n".encode()
+        assert f.read().endswith(b"I\n")
+    got = [(n, s.decode()) for n, s, _ in iter_sequences(bg)]
+    assert got == reads
+    a = count_to_arrays([bg], 21)
+    b = count_to_arrays([str(plain)], 21)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
