@@ -52,6 +52,20 @@ def open_maybe_compressed(path: str, mode: str = "rb"):
     return open(path, "rb")
 
 
+def open_output(path: str):
+    """Text-mode writer that compresses by extension — the
+    reference's compressedFileWriter contract (files.H via call sites
+    like merylOp-nextMer.C print targets): .gz/.bz2/.xz outputs are
+    produced transparently."""
+    if path.endswith(".gz"):
+        return gzip.open(path, "wt")
+    if path.endswith(".bz2"):
+        return bz2.open(path, "wt")
+    if path.endswith(".xz"):
+        return lzma.open(path, "wt")
+    return open(path, "w")
+
+
 def detect_format(first_byte: bytes) -> str:
     if first_byte == b">":
         return "fasta"

@@ -370,10 +370,11 @@ def main(argv=None) -> int:
     def open_out(p):
         if p is None or p == "-":
             return sys.stdout
-        return open(p, "w")
+        from .io.sequence import open_output
+        return open_output(p)
 
     o1 = open_out(g.out1)
-    o2 = open(g.out2, "w") if g.out2 else None
+    o2 = open_out(g.out2) if g.out2 else None
     try:
         if g.mode in ("bed", "bed-runs", "wig-count", "wig-depth"):
             cmd_dump(g, o1)

@@ -286,7 +286,9 @@ def execute_root(node: OpNode, k: int, *, out=None, verbose: int = 0):
                                multiset=node_output_multiset(node))
     pf = None
     if node.print_path is not None:
-        pf = sys.stdout if node.print_path == "-" else open(node.print_path, "w")
+        from .io.sequence import open_output
+        pf = sys.stdout if node.print_path == "-" else \
+            open_output(node.print_path)
     try:
         from .reports import print_kmers
         for group in bucket_groups(node):

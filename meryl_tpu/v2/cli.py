@@ -600,7 +600,8 @@ def execute(b: Builder) -> int:
             listf = None
             list_sharded = root.out_list and "##" in root.out_list
             if root.out_list and not list_sharded:
-                listf = open(root.out_list, "w")
+                from ..io.sequence import open_output
+                listf = open_output(root.out_list)
             hist_acc = {}
             from ..optree import bucket_groups as _groups
             from ..optree import OpNode as _OpNode

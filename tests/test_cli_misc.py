@@ -99,3 +99,32 @@ def test_subprocess_real_shell(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     lines = [l for l in r.stdout.strip().split("\n") if "\t" in l]
     assert len(lines) > 0
+
+
+def test_print_to_gz_output(tmp_path):
+    """print targets ending .gz/.bz2/.xz are written compressed (the
+    reference's compressedFileWriter contract)."""
+    import gzip as _gzip
+
+    from meryl_tpu import cli
+    from meryl_tpu.io.sequence import open_output
+
+    fa = tmp_path / "r.fa"
+    fa.write_text(">s\n" + "ACGTACGTAGGTTACCA" * 8 + "\n")
+    db = str(tmp_path / "x.meryl")
+    assert cli.main(["k=11", "count", str(fa), "output", db]) == 0
+    out_gz = str(tmp_path / "dump.txt.gz")
+    out_txt = str(tmp_path / "dump.txt")
+    assert cli.main(["print", out_gz, db]) == 0
+    assert cli.main(["print", out_txt, db]) == 0
+    with open(out_gz, "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"
+    assert _gzip.open(out_gz, "rt").read() == open(out_txt).read()
+    # bz2/xz too, via the helper directly
+    for ext, mod in (("bz2", "bz2"), ("xz", "lzma")):
+        p = str(tmp_path / f"o.{ext}")
+        with open_output(p) as f:
+            f.write("hello\n")
+        import importlib
+        assert importlib.import_module(mod).open(p, "rt").read() == \
+            "hello\n"
