@@ -287,3 +287,26 @@ def test_bed_with_labels(setup, tmp_path):
                 if found[dd][p]:
                     want.append(f"q{i}\t{p}\t{p + K}\t{lab}")
     assert lines == want
+
+
+def test_include_cram_keeps_fastq_quals(setup, tmp_path):
+    """-include on a CRAM input writes FASTQ with the stored
+    qualities (htslib-parity via CRAM quality pass-through)."""
+    from tests import cram_writer as cw
+
+    reads = [("q2", setup["qseqs"][2]), ("q0", setup["qseqs"][0])]
+    quals = ["I" * len(reads[0][1]), "#" * len(reads[1][1])]
+    p = str(tmp_path / "q.cram")
+    cw.write_unmapped_cram(p, reads, method=5, quals=quals)
+    g = lookup_cli.parse_args(["-include", "-sequence", p,
+                               "-mers", setup["db"]])
+    lookup_cli.load_tables(g)
+    out = io.StringIO()
+    lookup_cli.cmd_filter(g, out, None, err=io.StringIO())
+    text = out.getvalue()
+    # q2 embeds reference sequence -> included, as FASTQ with quals
+    assert text.startswith("@q2 ")
+    lines = text.strip().split("\n")
+    assert lines[1] == reads[0][1]
+    assert lines[2] == "+"
+    assert lines[3] == quals[0]
