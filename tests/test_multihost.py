@@ -31,7 +31,8 @@ def _write_reads(path, rng, n_reads=10, length=400):
 
 
 @pytest.mark.slow
-def test_multihost_cli_count_matches_single(tmp_path):
+@pytest.mark.parametrize("nprocs,dpp", [(2, 4), (4, 2)])
+def test_multihost_cli_count_matches_single(tmp_path, nprocs, dpp):
     rng = np.random.default_rng(42)
     fa = str(tmp_path / "reads.fa")
     _write_reads(fa, rng)
@@ -51,7 +52,8 @@ def test_multihost_cli_count_matches_single(tmp_path):
     # 2-process distributed job through the launcher + product CLI
     r = subprocess.run(
         [sys.executable, "-m", "meryl_tpu.parallel.launch",
-         "--nprocs", "2", "--devices-per-proc", "4", "--",
+         "--nprocs", str(nprocs), "--devices-per-proc", str(dpp),
+         "--",
          "count", "k=21", fa, "output", db_mh],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
