@@ -49,12 +49,20 @@ CF_MATE_DOWNSTREAM = 0x4
 CF_NO_SEQ = 0x8
 CF_EXPLICIT_TLEN = 0x10  # 3.1
 
-# CRAM stores raw Phred; FASTQ wants +33 ASCII (clamped like htslib)
-_PHRED33 = bytes(min(q + 33, 255) for q in range(256))
+# CRAM stores raw Phred; FASTQ wants +33 ASCII (shared with the BAM
+# reader so a clamping fix cannot drift between the two formats)
+from .bam import _PHRED33
 
 
 class CramError(ValueError):
     pass
+
+
+class CramUnsupportedCodec(CramError):
+    """A block uses a compression method we do not decode (fqzcomp /
+    tok3 — quality/name-only 3.1 codecs).  Distinct from CramError so
+    callers can degrade gracefully (drop quals / generate names)
+    without also masking genuine corruption."""
 
 
 # ---------------------------------------------------------------- itf8
@@ -281,7 +289,7 @@ def _decompress_inner(method: int, data: bytes, raw_size: int) -> bytes:
     if method == 6:
         from . import arith
         return arith.decode(data, raw_size)
-    raise CramError(
+    raise CramUnsupportedCodec(
         f"CRAM block compression method {method} not supported "
         f"(remaining 3.1 codecs: fqzcomp/tok3 — quality/name-only, "
         f"never needed for sequence extraction; blocks are lazy)")
@@ -402,7 +410,9 @@ class Codec:
         raise CramError(f"{type(self).__name__} cannot read ints")
 
     def read_byte(self, core, ext):
-        raise CramError(f"{type(self).__name__} cannot read bytes")
+        # byte series (BA/QS) may use any integer codec (spec §13):
+        # a byte is just an int in 0..255
+        return self.read_int(core, ext)
 
     def read_array(self, core, ext):
         raise CramError(f"{type(self).__name__} cannot read arrays")
@@ -875,12 +885,13 @@ class CramReader:
 
     def _bulk_unmapped(self, ch, sh, ext):
         """Vectorized decode of an all-unmapped slice: bulk-parse the
-        flag/length series, slice BA once, split names once.  Returns
-        [(name, bases)] or None when any precondition fails (the
-        per-record path below remains the reference decoder).  Series
-        whose values the unmapped path discards (AP/RG/MF/NS/NP/TS/NF/
-        RI/QS...) need no decoding at all: nothing reads the core or
-        external cursors after a slice is fully consumed."""
+        flag/length series, slice BA (and QS when quals are wanted)
+        once, split names once.  Returns [(name, bases, quals)] or None
+        when any precondition fails (the per-record path below remains
+        the reference decoder).  Series whose values the unmapped path
+        discards (AP/RG/MF/NS/NP/TS/NF/RI...) need no decoding at all:
+        nothing reads the core or external cursors after a slice is
+        fully consumed."""
         import numpy as np
         nrec = sh.nrec
         if nrec == 0:
@@ -891,6 +902,8 @@ class CramReader:
         # values and would decode silently wrong here
         refs = self._series_cids(ch)
         bulk_keys = {"BF", "CF", "RL", "TL", "RN", "BA"}
+        if self.want_quals and self._qs_ok:
+            bulk_keys.add("QS")          # sliced below when CF_QUAL set
         from collections import Counter
         by_cid = Counter(cid for _, cid in refs)
         for key, cid in refs:
@@ -913,6 +926,35 @@ class CramReader:
                     return None
         elif any(ch.tag_dict[:1]):            # implicit TL=0
             return None
+        # every `return None` bail must happen BEFORE the name counter
+        # advances, or generated names would skip nrec indices relative
+        # to the per-record fallback — so check BA bulk-decodability
+        # and compute quals first, and generate names last
+        ba_lens = np.where(cf & CF_NO_SEQ, 0, rl)
+        total = int(ba_lens.sum())
+        if total and not isinstance(ch.ds.get("BA"), ExternalCodec):
+            return None
+        # qualities: QS sliced where CF_QUAL, when wanted + decodable
+        quals = [None] * nrec
+        if self.want_quals and self._qs_ok:
+            qs_lens = np.where(cf & CF_QUAL, rl, 0)
+            qtotal = int(qs_lens.sum())
+            if qtotal:
+                c = ch.ds.get("QS")
+                if not isinstance(c, ExternalCodec):
+                    return None       # core-codec QS: per-record path
+                try:
+                    qblob = ext[c.cid].data
+                except CramUnsupportedCodec:
+                    self._qs_ok = False  # e.g. fqzcomp: carry on bare
+                else:
+                    if len(qblob) < qtotal:
+                        raise CramError("QS block truncated")
+                    qe = np.cumsum(qs_lens)
+                    qs = qe - qs_lens
+                    quals = [qblob[qs[i]:qe[i]].translate(_PHRED33)
+                             if qs_lens[i] else None
+                             for i in range(nrec)]
         # names
         names = None
         if ch.read_names and "RN" in ch.ds and self._rn_ok:
@@ -921,7 +963,7 @@ class CramReader:
                 return None
             try:
                 blob = ext[c.cid].data
-            except CramError:
+            except CramUnsupportedCodec:
                 self._rn_ok = False           # e.g. 3.1 name tokenizer
             else:
                 parts = blob.split(bytes([c.stop]))
@@ -934,36 +976,10 @@ class CramReader:
             start = self._name_counter
             self._name_counter += nrec
             names = [f"{base}.{start + i + 1}" for i in range(nrec)]
-        # qualities: QS sliced where CF_QUAL, when wanted + decodable
-        quals = [None] * nrec
-        if self.want_quals and self._qs_ok:
-            qs_lens = np.where(cf & CF_QUAL, rl, 0)
-            qtotal = int(qs_lens.sum())
-            if qtotal:
-                c = ch.ds.get("QS")
-                if not isinstance(c, ExternalCodec):
-                    return None
-                try:
-                    qblob = ext[c.cid].data
-                except CramError:
-                    self._qs_ok = False  # e.g. fqzcomp
-                else:
-                    if len(qblob) < qtotal:
-                        raise CramError("QS block truncated")
-                    qe = np.cumsum(qs_lens)
-                    qs = qe - qs_lens
-                    quals = [qblob[qs[i]:qe[i]].translate(_PHRED33)
-                             if qs_lens[i] else None
-                             for i in range(nrec)]
         # sequences: BA sliced at run-length boundaries
-        ba_lens = np.where(cf & CF_NO_SEQ, 0, rl)
-        total = int(ba_lens.sum())
         if total == 0:
             return list(zip(names, [b""] * nrec, quals))
-        c = ch.ds.get("BA")
-        if not isinstance(c, ExternalCodec):
-            return None
-        blob = ext[c.cid].data
+        blob = ext[ch.ds["BA"].cid].data
         if len(blob) < total:
             raise CramError("BA block truncated")
         ends = np.cumsum(ba_lens)
@@ -998,7 +1014,7 @@ class CramReader:
                 try:
                     name = ch.ds["RN"].read_array(core, ext).decode(
                         "ascii", "replace")
-                except CramError:
+                except CramUnsupportedCodec:
                     # name block uses an undecodable codec (e.g. the
                     # 3.1 name tokenizer): names are not needed for
                     # counting — fall back to synthetic names (no
@@ -1012,7 +1028,7 @@ class CramReader:
                 if not ch.read_names and "RN" in ch.ds and self._rn_ok:
                     try:
                         ch.ds["RN"].read_array(core, ext)
-                    except CramError:
+                    except CramUnsupportedCodec:
                         self._rn_ok = False
                 self._int(ch, "NS", core, ext)
                 self._int(ch, "NP", core, ext)
@@ -1061,7 +1077,7 @@ class CramReader:
             if self.want_quals and self._qs_ok:
                 try:
                     return bytes(ext[c.cid].take(n)).translate(_PHRED33)
-                except CramError:
+                except CramUnsupportedCodec:
                     self._qs_ok = False  # e.g. fqzcomp: carry on bare
             ext[c.cid].skip(n)
             return None

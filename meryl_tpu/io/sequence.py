@@ -74,8 +74,13 @@ def detect_format(first_byte: bytes) -> str:
     return "raw"
 
 
-def iter_sequences(path: str) -> Iterator[Tuple[str, bytes, bytes | None]]:
-    """Yield (name, bases, quals|None) per sequence."""
+def iter_sequences(path: str, want_quals: bool = False,
+                   ) -> Iterator[Tuple[str, bytes, bytes | None]]:
+    """Yield (name, bases, quals|None) per sequence.  want_quals=False
+    lets the CRAM reader skip quality-block decompression entirely
+    (QS is typically the largest series; only the read-filter FASTQ
+    output actually consumes qualities) — FASTQ/BAM still yield quals
+    either way since theirs are decoded as a side effect."""
     from . import bam
     if bam.is_bam(path):
         yield from bam.iter_bam(path)
@@ -85,7 +90,7 @@ def iter_sequences(path: str) -> Iterator[Tuple[str, bytes, bytes | None]]:
         # dependency-free CRAM 3.0 reader (reference vendors htslib for
         # this, src/main.mk:92-140); reference FASTA via
         # MERYL_TPU_CRAM_REF when slices aren't embedded/reference-less
-        yield from cram.iter_cram(path)
+        yield from cram.iter_cram(path, want_quals=want_quals)
         return
     with open_maybe_compressed(path) as f:
         buf = _io.BufferedReader(f) if not isinstance(f, _io.BufferedReader) else f

@@ -319,8 +319,8 @@ def cmd_filter(g: LookupGlobal, out1, out2, err=None):
     err = err or sys.stderr
     k = g.lookups[0].k
     L = g.lookups[0]
-    it1 = iter_sequences(g.seq1)
-    it2 = iter_sequences(g.seq2) if g.seq2 else None
+    it1 = iter_sequences(g.seq1, want_quals=True)
+    it2 = iter_sequences(g.seq2, want_quals=True) if g.seq2 else None
     n_total = 0
     n_found = 0
     while True:

@@ -597,10 +597,10 @@ def execute(b: Builder) -> int:
             writer = MerylDBWriter(root.out_db, kk,
                                    label_bits=b.label_bits) \
                 if root.out_db else None
+            from ..io.sequence import open_output
             listf = None
             list_sharded = root.out_list and "##" in root.out_list
             if root.out_list and not list_sharded:
-                from ..io.sequence import open_output
                 listf = open_output(root.out_list)
             hist_acc = {}
             from ..optree import bucket_groups as _groups
@@ -650,8 +650,8 @@ def execute(b: Builder) -> int:
                     if list_sharded:
                         # '##' -> one file per 6-bit prefix bucket
                         # (reference.rst:528-534: 64 parallel lists)
-                        with open(root.out_list.replace(
-                                "##", f"{ff:02d}"), "w") as bf:
+                        with open_output(root.out_list.replace(
+                                "##", f"{ff:02d}")) as bf:
                             print_v2(bh, bl, bv, bb, kk, bf, True,
                                      acgt=root.out_list_acgt)
                 if listf:
@@ -669,7 +669,7 @@ def execute(b: Builder) -> int:
                 listf.close()
             if root.out_hist:
                 f = sys.stdout if root.out_hist == "-" else \
-                    open(root.out_hist, "w")
+                    open_output(root.out_hist)
                 for v in sorted(hist_acc):
                     f.write(f"{v}\t{hist_acc[v]}\n")
                 if f is not sys.stdout:
@@ -681,7 +681,7 @@ def execute(b: Builder) -> int:
                     np.array([hist_acc[v] for v in sorted(hist_acc)],
                              np.uint64))
                 f = sys.stdout if root.out_stats == "-" else \
-                    open(root.out_stats, "w")
+                    open_output(root.out_stats)
                 report_statistics(h, kk, out=f)
                 if f is not sys.stdout:
                     f.close()

@@ -43,32 +43,35 @@ def main():
     log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 26
     total = 1 << log2
     fa = make_fasta(total)
-    print(f"# sweep over {total} bases, file {fa}", flush=True)
-    print("rowlen_log2\tdevice_bases_s\te2e_bases_s")
-    for rl in (9, 10, 11, 12):
-        env = dict(os.environ, MERYL_TPU_ROWLEN=str(1 << rl))
-        # device-only: the bench instrument in a fresh process (one
-        # TPU client at a time; sequential)
-        r = subprocess.run([sys.executable, "bench.py"], env=env,
-                           cwd=REPO, capture_output=True, text=True,
-                           timeout=3600)
-        dev = "ERR"
-        if r.returncode == 0:
-            import json
-            dev = json.loads(r.stdout.strip().splitlines()[-1])["value"]
-        # end-to-end: CLI count into a DB (host merge included)
-        with tempfile.TemporaryDirectory() as d:
-            db = os.path.join(d, "out.meryldb")
-            t0 = time.perf_counter()
-            r2 = subprocess.run(
-                [sys.executable, "-m", "meryl_tpu", "count", "k=21",
-                 fa, "output", db],
-                env=env, cwd=REPO, capture_output=True, text=True,
-                timeout=3600)
-            dt = time.perf_counter() - t0
-        e2e = total / dt if r2.returncode == 0 else "ERR"
-        print(f"{rl}\t{dev}\t{e2e}", flush=True)
-    os.unlink(fa)
+    try:
+        print(f"# sweep over {total} bases, file {fa}", flush=True)
+        print("rowlen_log2\tdevice_bases_s\te2e_bases_s")
+        for rl in (9, 10, 11, 12):
+            env = dict(os.environ, MERYL_TPU_ROWLEN=str(1 << rl))
+            # device-only: the bench instrument in a fresh process (one
+            # TPU client at a time; sequential)
+            r = subprocess.run([sys.executable, "bench.py"], env=env,
+                               cwd=REPO, capture_output=True, text=True,
+                               timeout=3600)
+            dev = "ERR"
+            lines = r.stdout.strip().splitlines()
+            if r.returncode == 0 and lines:
+                import json
+                dev = json.loads(lines[-1])["value"]
+            # end-to-end: CLI count into a DB (host merge included)
+            with tempfile.TemporaryDirectory() as d:
+                db = os.path.join(d, "out.meryldb")
+                t0 = time.perf_counter()
+                r2 = subprocess.run(
+                    [sys.executable, "-m", "meryl_tpu", "count", "k=21",
+                     fa, "output", db],
+                    env=env, cwd=REPO, capture_output=True, text=True,
+                    timeout=3600)
+                dt = time.perf_counter() - t0
+            e2e = total / dt if r2.returncode == 0 else "ERR"
+            print(f"{rl}\t{dev}\t{e2e}", flush=True)
+    finally:
+        os.unlink(fa)
 
 
 if __name__ == "__main__":

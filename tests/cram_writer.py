@@ -297,6 +297,9 @@ def block(method: int, ctype: int, content_id: int, raw: bytes) -> bytes:
     elif method == 97:  # test alias: fqzcomp id with opaque payload
         method = 7
         comp = b"\xde\xad" + raw[:2]
+    elif method == 98:  # test alias: claims gzip, holds garbage
+        method = 1
+        comp = b"\x13\x37corrupt" + raw[:3]
     else:
         raise ValueError(method)
     out = bytes([method, ctype]) + itf8(content_id) + \
@@ -327,7 +330,8 @@ STOP = {"RN": ord("\n"), "IN": 0, "SC": 0, "BB": 0}
 
 
 def compression_header(read_names=True, ap_delta=False, ref_required=True,
-                       series=("BF", "CF", "RL", "AP", "RG", "RN", "TL")):
+                       series=("BF", "CF", "RL", "AP", "RG", "RN", "TL"),
+                       codec_overrides=None):
     pres = bytearray()
     nkeys = 0
     for key, val in ((b"RN", read_names), (b"AP", ap_delta),
@@ -344,7 +348,9 @@ def compression_header(read_names=True, ap_delta=False, ref_required=True,
     nds = 0
     for key in series:
         ds += key.encode()
-        if key in STOP:
+        if codec_overrides and key in codec_overrides:
+            ds += codec_overrides[key]
+        elif key in STOP:
             ds += encoding_byte_array_stop(STOP[key], IDS[key])
         else:
             ds += encoding_external(IDS[key])
@@ -397,11 +403,15 @@ def sam_header_container(ref_names_lens) -> bytes:
 
 
 def write_unmapped_cram(path, reads, method=0, with_names=True,
-                        series_methods=None, quals=None):
+                        series_methods=None, quals=None,
+                        codec_overrides=None):
     """reads: list of (name, seq str).  series_methods overrides the
     block compression method per data series, e.g. {"RN": 97}.
     quals: optional list of Phred+33 strings (or None per read);
-    stored raw (minus 33) with the CF quality flag set."""
+    stored raw (minus 33) with the CF quality flag set.
+    codec_overrides maps a series key to raw encoding bytes (e.g.
+    encoding_huffman_single) — that series then gets no external
+    block."""
     streams = {k: bytearray() for k in IDS}
     for idx, (name, seq) in enumerate(reads):
         q = quals[idx] if quals else None
@@ -421,9 +431,11 @@ def write_unmapped_cram(path, reads, method=0, with_names=True,
         series.append("QS")
     if with_names:
         series.insert(5, "RN")
-    ch = compression_header(read_names=with_names, series=tuple(series))
+    ch = compression_header(read_names=with_names, series=tuple(series),
+                            codec_overrides=codec_overrides)
     ch_blk = block(method if method != 4 else 1, 1, 0, ch)
-    used = [k for k in series if streams[k]]
+    used = [k for k in series if streams[k]
+            and not (codec_overrides and k in codec_overrides)]
     content_ids = [IDS[k] for k in used]
     sh = slice_header(-1, 0, 0, len(reads), content_ids)
     blocks = [block(0, 2, 0, sh), block(0, 5, 0, b"")]  # header + core

@@ -162,9 +162,7 @@ def test_bgzipped_fastq_counting_path(tmp_path):
     random.seed(21)
     reads = [(f"r{i}", "".join(random.choices("ACGT", k=133)))
              for i in range(300)]
-    fq = "".join(f"@{n}\nfoo {s}\n"[0:0] + f"@{n}\n{s}\n+\nIIII\n"
-                 [0:0] + f"@{n}\n{s}\n+\n{'I' * len(s)}\n"
-                 for n, s in reads)
+    fq = "".join(f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads)
     plain = tmp_path / "r.fq"
     plain.write_text(fq)
     bg = str(tmp_path / "r.fq.gz")

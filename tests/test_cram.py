@@ -296,3 +296,88 @@ def test_quality_passthrough(tmp_path):
     got3 = list(cram.iter_cram(p2))
     assert [(n, s.decode()) for n, s, _ in got3] == READS
     assert all(q is None for _, _, q in got3)
+
+def test_qs_shared_content_id_quals_correct(tmp_path):
+    """QS sharing an external block with AP (spec-legal) must bail out
+    of the bulk fast path when quals are wanted — regression: the
+    shared-cid guard omitted QS, so the bulk path sliced interleaved
+    AP+QS bytes from offset 0 and returned garbage qualities."""
+    reads = READS
+    quals = ["IIIIIIIIIIIIIIII", "!#5~AAAAAAAA", "KKKKKKKKKKKKKKKK"]
+    ids = dict(cw.IDS)
+    ids["QS"] = ids["AP"]          # QS rides in AP's block
+    streams = {k: bytearray() for k in
+               ("BF", "CF", "RL", "AP", "RG", "RN", "TL", "BA")}
+    for (name, seq), q in zip(reads, quals):
+        streams["BF"] += cw.itf8(4)
+        streams["CF"] += cw.itf8(1)
+        streams["RL"] += cw.itf8(len(seq))
+        # per-record decode order is ... AP ... then QS: interleave
+        streams["AP"] += cw.itf8(0) + bytes(ord(c) - 33 for c in q)
+        streams["RG"] += cw.itf8(-1)
+        streams["RN"] += name.encode() + b"\n"
+        streams["TL"] += cw.itf8(0)
+        streams["BA"] += seq.encode()
+    series = ("BF", "CF", "RL", "AP", "RG", "RN", "TL", "BA", "QS")
+    old = cw.IDS
+    cw.IDS = ids
+    try:
+        ch = cw.compression_header(read_names=True, series=series)
+    finally:
+        cw.IDS = old
+    ch_blk = cw.block(0, 1, 0, ch)
+    used = ["BF", "CF", "RL", "AP", "RG", "RN", "TL", "BA"]
+    sh = cw.slice_header(-1, 0, 0, len(reads), [old[k] for k in used])
+    blocks = [cw.block(0, 2, 0, sh), cw.block(0, 5, 0, b"")]
+    for k in used:
+        blocks.append(cw.block(0, 4, old[k], bytes(streams[k])))
+    cont = cw.container([ch_blk] + blocks, ref_id=-1, nrec=len(reads),
+                        landmarks=(len(ch_blk),))
+    p = str(tmp_path / "qshare.cram")
+    with open(p, "wb") as f:
+        f.write(cw.file_definition())
+        f.write(cw.sam_header_container([("ref", 1000)]))
+        f.write(cont)
+        f.write(cw.EOF_CONTAINER)
+    got = list(cram.iter_cram(p, want_quals=True))
+    assert [(n, s.decode()) for n, s, _ in got] == reads
+    assert [q.decode() for _, _, q in got] == quals
+    # quals unwanted: QS untouched, bulk path fine
+    got2 = [(n, s.decode()) for n, s, _ in
+            cram.iter_cram(p, want_quals=False)]
+    assert got2 == reads
+
+
+def test_core_codec_qs_keeps_name_continuity(tmp_path):
+    """A core-codec QS (huffman constant — spec-legal) bails the bulk
+    path to the per-record decoder.  Regression: the bail happened
+    after the generated-name counter had advanced, so names skipped
+    nrec indices; and HuffmanCodec lacked read_byte entirely."""
+    quals = ["I" * len(s) for _, s in READS]
+    p = str(tmp_path / "coreqs.cram")
+    cw.write_unmapped_cram(
+        p, READS, quals=quals, with_names=False,
+        codec_overrides={"QS": cw.encoding_huffman_single(ord("I") - 33)})
+    got = list(cram.iter_cram(p, want_quals=True))
+    assert [s.decode() for _, s, _ in got] == [s for _, s in READS]
+    assert [q.decode() for _, _, q in got] == quals
+    # generated names must start at .1 exactly as the pure
+    # per-record decoder produces them
+    assert [n for n, _, _ in got] == \
+        [f"coreqs.cram.{i + 1}" for i in range(len(READS))]
+
+
+def test_corrupt_qs_block_fails_loudly(tmp_path):
+    """A genuinely corrupt QS block (bad gzip stream) must raise, not
+    silently degrade quals to None — only the unsupported-codec case
+    (fqzcomp/tok3) degrades."""
+    quals = ["I" * len(s) for _, s in READS]
+    p = str(tmp_path / "badqs.cram")
+    cw.write_unmapped_cram(p, READS, quals=quals,
+                           series_methods={"QS": 98})
+    with pytest.raises(cram.CramError):
+        list(cram.iter_cram(p, want_quals=True))
+    # quals unwanted: lazy blocks never decompress the bad QS
+    got = [(n, s.decode()) for n, s, _ in
+           cram.iter_cram(p, want_quals=False)]
+    assert got == READS

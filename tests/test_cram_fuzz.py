@@ -90,7 +90,7 @@ def _expected_mapped(ref, pos1, rl, feats):
 
 
 @pytest.mark.parametrize("trial", range(6))
-def test_mapped_fuzz(tmp_path, trial):
+def test_mapped_fuzz(tmp_path, trial, monkeypatch):
     rng = random.Random(200 + trial)
     ref = "".join(rng.choices("ACGT", k=400))
     reads = []
@@ -133,15 +133,10 @@ def test_mapped_fuzz(tmp_path, trial):
     p = str(tmp_path / f"m{trial}.cram")
     cw.write_mapped_cram(p, "chr1", ref, reads,
                          method=rng.choice([0, 1, 4, 5]))
-    import os
-    os.environ["MERYL_TPU_CRAM_REF"] = ""  # ensure env not used
     ref_fa = tmp_path / "ref.fa"
     ref_fa.write_text(f">chr1\n{ref}\n")
-    os.environ["MERYL_TPU_CRAM_REF"] = str(ref_fa)
-    try:
-        got = {n: s.decode() for n, s, _ in cram.iter_cram(p)}
-    finally:
-        del os.environ["MERYL_TPU_CRAM_REF"]
+    monkeypatch.setenv("MERYL_TPU_CRAM_REF", str(ref_fa))
+    got = {n: s.decode() for n, s, _ in cram.iter_cram(p)}
     for name, pos1, rl, feats in reads:
         want = _expected_mapped(ref, pos1, rl, feats)
         assert got[name] == want, (trial, name, feats)

@@ -78,3 +78,36 @@ def test_output_histogram_and_statistics(db, tmp_path):
         got[int(a)] = int(b)
     assert got == dict(zip(vals.tolist(), occ.tolist()))
     assert str(len(want)) in open(st).read()
+
+
+def test_output_list_sharded_gz(db, tmp_path):
+    """Sharded ## lists honor compression-by-extension like the
+    non-sharded path (compressedFileWriter parity, files.H contract)."""
+    import gzip
+    p, want, _ = db
+    out = str(tmp_path / "out.##.txt.gz")
+    assert v2cli.main(["union-sum", f"o:l={out}", p]) == 0
+    files = sorted(glob.glob(str(tmp_path / "out.*.txt.gz")))
+    assert len(files) == 64
+    got = {}
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            for line in fh:
+                s, v, l = line.split("\t")
+                got[s] = int(v)
+    assert got == want
+
+
+def test_output_histogram_gz(db, tmp_path):
+    import gzip
+    p, want, _ = db
+    out = str(tmp_path / "h.txt.gz")
+    assert v2cli.main(["union-sum", f"output:histogram={out}", p]) == 0
+    from collections import Counter
+    wh = Counter(want.values())
+    got = {}
+    with gzip.open(out, "rt") as fh:
+        for line in fh:
+            v, o = line.split("\t")
+            got[int(v)] = int(o)
+    assert got == dict(wh)
