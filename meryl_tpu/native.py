@@ -564,7 +564,15 @@ def bam_scan(win: bytes, hpc: bool):
 
 def scan_codes(path: str, hpc: bool = False, block: int = 1 << 22):
     """Yield uint8 code arrays (with 0xFF separators) for a sequence
-    file, using the native scanner.  Transparently decompresses."""
+    file, using the native scanner.  Transparently decompresses.
+
+    Large plain FASTA files take the record-parallel scan (the serial
+    scanner's ~1.25 GB/s is below the device pipeline's rate, so it
+    would cap end-to-end counting); everything else streams through
+    one stateful scanner."""
+    if _parallel_scan_eligible(path):
+        yield from scan_codes_parallel(path, hpc)
+        return
     from .io.sequence import open_maybe_compressed
     sc = NativeScanner(hpc)
     with open_maybe_compressed(path) as f:
@@ -578,3 +586,169 @@ def scan_codes(path: str, hpc: bool = False, block: int = 1 << 22):
     tail = sc.finish()
     if len(tail):
         yield tail
+
+
+def _parallel_scan_eligible(path: str,
+                            min_bytes: int = 1 << 26) -> bool:
+    """Plain (uncompressed) FASTA files above a size floor.  FASTA
+    splits are unambiguous ('>' can never begin a sequence or quality
+    line); FASTQ stays serial — '@' is a legal quality character, so
+    record-aligned splitting of multi-line FASTQ cannot be validated
+    locally without risking silent misparses."""
+    if os.environ.get("MERYL_TPU_PAR_SCAN", "1") == "0":
+        return False
+    try:
+        if os.path.getsize(path) < min_bytes:
+            return False
+        with open(path, "rb") as f:
+            return f.read(1) == b">"
+    except OSError:
+        return False
+
+
+_MALLOPT_DONE = False
+
+
+def _keep_large_allocs_on_heap(threshold: int = 1 << 26) -> None:
+    """Pin glibc's mmap threshold so multi-MB numpy buffers (per-span
+    result copies, chunk arrays) are served from the reusable heap
+    instead of a fresh mmap/munmap per allocation.  Until glibc's
+    dynamic threshold adapts on its own, every such alloc/free is a
+    first-touch fault storm plus TLB-shootdown IPIs that stall the
+    concurrent scanner threads (~5x measured on the first pass over a
+    file).  One-time, best-effort."""
+    global _MALLOPT_DONE
+    if _MALLOPT_DONE:
+        return
+    _MALLOPT_DONE = True
+    try:
+        libc = ctypes.CDLL(None)
+        libc.mallopt(ctypes.c_int(-3),            # M_MMAP_THRESHOLD
+                     ctypes.c_int(threshold))
+    except (OSError, AttributeError):
+        pass
+
+
+def _fasta_span_bounds(path: str, span_bytes: int):
+    """Record-aligned [start, end) spans for a plain FASTA file: each
+    interior boundary is the tentative split advanced to the next
+    b'\\n>' (a header start, which never occurs inside sequence
+    data)."""
+    size = os.path.getsize(path)
+    nspans = max(1, size // span_bytes)
+    bounds = [0]
+    with open(path, "rb") as f:
+        for i in range(1, nspans):
+            pos = size * i // nspans
+            if pos <= bounds[-1]:
+                continue
+            found = size
+            while pos < size:
+                f.seek(pos)
+                buf = f.read(1 << 20)
+                if not buf:
+                    break
+                j = buf.find(b"\n>")
+                if j >= 0:
+                    found = pos + j + 1
+                    break
+                pos += len(buf) - 1   # re-read 1 byte: '\n>' straddle
+            if bounds[-1] < found < size:
+                bounds.append(found)
+    bounds.append(size)
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
+def scan_codes_parallel(path: str, hpc: bool = False,
+                        span_bytes: int = 1 << 25,
+                        threads: int | None = None):
+    """Record-parallel FASTA -> codes: scan record-aligned spans on a
+    thread pool (one scanner state per span; mt_scan releases the GIL)
+    and yield code blocks in file order.
+
+    Workers only ever touch PRE-FAULTED, RECYCLED buffer pairs: on
+    this VM concurrent large alloc/free storms collapse throughput
+    ~5-10x (mmap_lock + TLB-shootdown serialization on first-touch
+    page faults — see the prealloc scaling measurements), so the one
+    fresh allocation per span (the yielded result copy) happens
+    single-threaded in the consumer, overlapped with worker scans.
+    Spans start at record boundaries, so separator/HPC state never
+    crosses a span."""
+    import queue as _queue
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    lib = get_lib()
+    _keep_large_allocs_on_heap()
+    if threads is None:
+        from .resources import max_threads
+        threads = max(1, min(8, max_threads() - 1))
+    spans = _fasta_span_bounds(path, span_bytes)
+    if threads <= 1 or len(spans) <= 1:
+        # one serial pass (plain file; no decompression needed)
+        sc = NativeScanner(hpc)
+        with open(path, "rb") as f:
+            while True:
+                data = f.read(1 << 22)
+                if not data:
+                    break
+                codes = sc.scan(data)
+                if len(codes):
+                    yield codes
+        tail = sc.finish()
+        if len(tail):
+            yield tail
+        return
+
+    max_span = max(b - a for a, b in spans)
+    free: "_queue.SimpleQueue" = _queue.SimpleQueue()
+    for _ in range(min(threads + 1, len(spans))):
+        # pre-fault with full sequential writes, single-threaded:
+        # dense first-touch maps huge pages (~free), while sparse
+        # stride-4096 probing faults one 4K page at a time (~22us
+        # each on this VM) and concurrent faulting collapses 5-10x
+        # on mmap_lock / TLB shootdowns
+        buf_in = np.empty(max_span, np.uint8)
+        buf_out = np.empty(max_span + 2, np.uint8)
+        buf_in.fill(0)
+        buf_out.fill(0)
+        free.put((buf_in, buf_out, _MtScanner()))
+
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+
+    def scan_span(a: int, b: int):
+        bufs = free.get()
+        buf_in, buf_out, st = bufs
+        n = b - a
+        with open(path, "rb") as f:
+            f.seek(a)
+            got = f.readinto(memoryview(buf_in[:n]))
+        if got != n:
+            raise IOError(f"{path}: short read at {a}")
+        lib.mt_scanner_init(ctypes.byref(st), 1 if hpc else 0)
+        wrote = lib.mt_scan(ctypes.byref(st),
+                            buf_in.ctypes.data_as(ctypes.c_char_p), n,
+                            buf_out.ctypes.data_as(u8))
+        wrote += lib.mt_scanner_finish(
+            ctypes.byref(st),
+            ctypes.cast(buf_out.ctypes.data + wrote, u8))
+        return bufs, wrote
+
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        it = iter(spans)
+        pending = deque()
+        for _ in range(threads + 1):
+            pair = next(it, None)
+            if pair is None:
+                break
+            pending.append(ex.submit(scan_span, *pair))
+        while pending:
+            fut = pending.popleft()
+            bufs, wrote = fut.result()
+            codes = bufs[1][:wrote].copy()   # sole fresh alloc, here
+            free.put(bufs)
+            pair = next(it, None)
+            if pair is not None:
+                pending.append(ex.submit(scan_span, *pair))
+            if wrote:
+                yield codes

@@ -245,3 +245,70 @@ def test_merge_kway_all_ones_kmer_not_dropped():
              np.array([3], np.uint64)) for _ in range(4)]
     hi, lo, c = native.merge_kway(runs)
     assert list(hi) == [M] and list(lo) == [M] and list(c) == [12]
+
+
+def _messy_fasta(path, n_rec=400, seed=5):
+    """Multi-line records, lowercase, N runs, CRLF lines, empty
+    comment-ish lines between records."""
+    import random
+    rng = random.Random(seed)
+    with open(path, "w", newline="") as f:
+        for i in range(n_rec):
+            f.write(f">rec{i} extra descr\n")
+            total = rng.randrange(50, 900)
+            seq = "".join(rng.choice("ACGTacgtN") for _ in range(total))
+            w = rng.choice([37, 60, 80])
+            eol = "\r\n" if i % 7 == 0 else "\n"
+            for j in range(0, total, w):
+                f.write(seq[j:j + w] + eol)
+
+
+@pytest.mark.parametrize("hpc", [False, True])
+def test_parallel_fasta_scan_matches_serial(tmp_path, hpc):
+    """Record-parallel FASTA scan == stateful serial scan, across span
+    boundaries that land mid-record (tiny span_bytes forces many
+    spans; '>' alignment must make them invisible)."""
+    p = str(tmp_path / "m.fa")
+    _messy_fasta(p)
+    serial = _native_codes(p, hpc=hpc)
+    par = list(native.scan_codes_parallel(p, hpc=hpc, span_bytes=4096,
+                                          threads=4))
+    assert len(par) > 4  # actually exercised multiple spans
+    got = np.concatenate(par)
+    assert np.array_equal(got, serial)
+    # single-thread fallback path
+    one = np.concatenate(list(native.scan_codes_parallel(
+        p, hpc=hpc, span_bytes=1 << 30, threads=4)))
+    assert np.array_equal(one, serial)
+
+
+def test_parallel_scan_eligibility(tmp_path, monkeypatch):
+    fa = tmp_path / "a.fa"
+    fa.write_text(">r\nACGT\n")
+    assert not native._parallel_scan_eligible(str(fa))  # below floor
+    assert native._parallel_scan_eligible(str(fa), min_bytes=1)
+    fq = tmp_path / "a.fq"
+    fq.write_text("@r\nACGT\n+\nIIII\n")
+    assert not native._parallel_scan_eligible(str(fq), min_bytes=1)
+    monkeypatch.setenv("MERYL_TPU_PAR_SCAN", "0")
+    assert not native._parallel_scan_eligible(str(fa), min_bytes=1)
+
+
+def test_parallel_fasta_counting_equality(tmp_path, monkeypatch):
+    """count_to_arrays through a forced-parallel scan equals the
+    serial-scan result (the SequenceChunker consumes the same code
+    stream either way)."""
+    import functools
+
+    from meryl_tpu.counter import count_to_arrays
+    p = str(tmp_path / "c.fa")
+    _messy_fasta(p, n_rec=60, seed=9)
+    a = count_to_arrays([p], 17)          # serial (file below floor)
+    monkeypatch.setattr(native, "_parallel_scan_eligible",
+                        lambda path, min_bytes=0: True)
+    monkeypatch.setattr(native, "scan_codes_parallel",
+                        functools.partial(native.scan_codes_parallel,
+                                          span_bytes=2048, threads=3))
+    b = count_to_arrays([p], 17)          # forced-parallel, many spans
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
