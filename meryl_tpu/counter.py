@@ -475,8 +475,10 @@ def count_to_db_batched(paths, out_path: str, k: int, *,
         with open(manifest_path, "w") as f:
             json.dump(manifest, f)
 
+    # deterministic: batch i is identified by chunk index in the
+    # resume manifest, so the chunk stream must be bit-reproducible
     chunker = SequenceChunker(paths, k, chunk_len, hpc=hpc,
-                              segment=segment)
+                              segment=segment, deterministic=True)
     chunks_per_batch = max(1, int(np.ceil(batch_bases / chunk_len)))
 
     batch_idx = 0

@@ -169,7 +169,8 @@ class SequenceChunker:
     """
 
     def __init__(self, paths, k: int, chunk_len: int, hpc: bool = False,
-                 segment: tuple[int, int] | None = None):
+                 segment: tuple[int, int] | None = None,
+                 deterministic: bool = False):
         if isinstance(paths, str):
             paths = [paths]
         self.paths = list(paths)
@@ -180,43 +181,153 @@ class SequenceChunker:
         # first-class version of the reference's external seqStore
         # sharding (merylCommandBuilder.C:313-315)
         self.segment = segment
+        # deterministic: the chunk stream must be bit-reproducible run
+        # to run (the batched counter's resume manifest identifies a
+        # batch by chunk index) — disables the multi-file parallel
+        # ingest, whose interleaving is timing-dependent
+        self.deterministic = deterministic
         if self.chunk_len <= k:
             raise ValueError("chunk_len must exceed k")
 
-    def _code_stream(self) -> Iterator[np.ndarray]:
+    def _file_codes(self, path: str) -> Iterator[np.ndarray]:
+        """Code-block stream for ONE file.  Self-terminating: every
+        sequence, including the file's last, is followed by a SEP, so
+        per-file streams may be concatenated in any order."""
         from .. import native
         from . import bam
+        if bam.is_bam(path):
+            # bulk BAM -> codes decoder (skips names/quals)
+            yield from bam.iter_codes(path, hpc=self.hpc)
+            return
+        if path.endswith(".cram"):
+            from . import cram
+            yield from cram.iter_cram_codes(path, hpc=self.hpc)
+            return
+        if native.available():
+            # native C++ scanner: FASTA/FASTQ bytes -> codes + seps
+            yield from native.scan_codes(path, hpc=self.hpc)
+            return
+        sep = np.full(1, SEP, dtype=np.uint8)
+        for _, seq, _ in iter_sequences(path):
+            if self.hpc:
+                seq = homopoly_compress_bytes(seq)
+            if seq:
+                yield CODE_LUT[np.frombuffer(seq, dtype=np.uint8)]
+            yield sep
+
+    def _code_stream(self) -> Iterator[np.ndarray]:
+        if self.segment is not None:
+            # sequence-index filtering needs the global record order
+            yield from self._code_stream_segment()
+            return
+        if (len(self.paths) > 1 and not self.deterministic
+                and os.environ.get("MERYL_TPU_PAR_FILES", "1") != "0"):
+            yield from self._code_stream_parallel()
+            return
+        for path in self.paths:
+            yield from self._file_codes(path)
+
+    def _code_stream_segment(self) -> Iterator[np.ndarray]:
         sep = np.full(1, SEP, dtype=np.uint8)
         seq_idx = 0
+        a, b = self.segment
         for path in self.paths:
-            is_bam = bam.is_bam(path)
-            is_cram = path.endswith(".cram")
-            if self.segment is None and is_bam:
-                # bulk BAM -> codes decoder (skips names/quals)
-                yield from bam.iter_codes(path, hpc=self.hpc)
-                continue
-            if self.segment is None and is_cram:
-                from . import cram
-                yield from cram.iter_cram_codes(path, hpc=self.hpc)
-                continue
-            if self.segment is None and native.available() \
-                    and not is_bam and not is_cram:
-                # native C++ scanner: FASTA/FASTQ bytes -> codes + seps
-                yield from native.scan_codes(path, hpc=self.hpc)
-                continue
             for _, seq, _ in iter_sequences(path):
                 idx = seq_idx
                 seq_idx += 1
-                if self.segment is not None:
-                    a, b = self.segment
-                    if idx % b != a - 1:
-                        continue
+                if idx % b != a - 1:
+                    continue
                 if self.hpc:
                     seq = homopoly_compress_bytes(seq)
                 if seq:
-                    codes = CODE_LUT[np.frombuffer(seq, dtype=np.uint8)]
-                    yield codes
+                    yield CODE_LUT[np.frombuffer(seq, dtype=np.uint8)]
                 yield sep
+
+    def _code_stream_parallel(self) -> Iterator[np.ndarray]:
+        """Decode multiple input files concurrently (the reference's
+        only multi-file story is sequential, merylInput.C; here each
+        file gets a worker since single-stream gzip inflate cannot be
+        parallelized but a lane's worth of FASTQ.gz files can).  Every
+        emitted block is cut at its last sequence boundary (SEP) so
+        blocks from different files may interleave without fabricating
+        cross-file windows; counting output is interleaving-invariant
+        (sorted union-sum)."""
+        import queue as _queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..resources import max_threads
+
+        threads = min(len(self.paths), max(1, min(8, max_threads() - 1)))
+        if threads <= 1:
+            for path in self.paths:
+                yield from self._file_codes(path)
+            return
+        try:
+            from .. import native
+            native._keep_large_allocs_on_heap()
+        except Exception:
+            pass
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=threads * 4)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        def run_file(path: str) -> None:
+            try:
+                carry = None
+                for block in self._file_codes(path):
+                    if carry is not None:
+                        block = np.concatenate([carry, block])
+                        carry = None
+                    seps = np.flatnonzero(block == SEP)
+                    if len(seps) == 0:
+                        carry = block      # sequence longer than block
+                        continue
+                    cut = int(seps[-1]) + 1
+                    if cut < len(block):
+                        carry = block[cut:]
+                        block = block[:cut]
+                    if not put(("b", block)):
+                        return
+                if carry is not None and len(carry):
+                    # stream ended mid-sequence (raw input): close it
+                    put(("b", np.concatenate(
+                        [carry, np.full(1, SEP, np.uint8)])))
+            finally:
+                put(("d", None))   # no-op if the consumer is closing
+
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            futs = [ex.submit(run_file, p) for p in self.paths]
+            try:
+                done = 0
+                while done < len(futs):
+                    kind, payload = q.get()
+                    if kind == "b":
+                        if len(payload):
+                            yield payload
+                    else:
+                        done += 1
+                for f in futs:
+                    f.result()   # surface worker exceptions
+            finally:
+                stop.set()
+                # unblock any producer stuck on a full queue so the
+                # executor can shut down
+                while not all(f.done() for f in futs):
+                    try:
+                        q.get_nowait()
+                    except _queue.Empty:
+                        import time as _t
+                        _t.sleep(0.01)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         L, k = self.chunk_len, self.k

@@ -618,7 +618,7 @@ def _keep_large_allocs_on_heap(threshold: int = 1 << 26) -> None:
     concurrent scanner threads (~5x measured on the first pass over a
     file).  One-time, best-effort."""
     global _MALLOPT_DONE
-    if _MALLOPT_DONE:
+    if _MALLOPT_DONE or os.environ.get("MERYL_TPU_MALLOPT", "1") == "0":
         return
     _MALLOPT_DONE = True
     try:
