@@ -13,11 +13,13 @@ substitution/indel features.
 Reference bases come from (in order): the slice's embedded reference
 block; a FASTA given explicitly (ref_path= / env MERYL_TPU_CRAM_REF);
 records whose containers were written reference-less (RR=false) need no
-reference at all.  CRAM 3.1 codecs (rANS-Nx16, adaptive arithmetic,
-fqzcomp, name tokeniser) are not implemented and raise clearly.
+reference at all.  All CRAM 3.1 block codecs are implemented
+(rANS-Nx16, adaptive arithmetic, fqzcomp qualities, tok3 names — see
+io/rans_nx16.py, io/arith.py, io/fqzcomp.py, io/tok3.py); undefined
+method ids raise CramUnsupportedCodec lazily.
 
 Qualities are parsed only as far as needed to keep stream positions
-correct; they are never materialized.
+correct; they are never materialized unless the consumer asks.
 """
 
 from __future__ import annotations
@@ -59,8 +61,8 @@ class CramError(ValueError):
 
 
 class CramUnsupportedCodec(CramError):
-    """A block uses a compression method we do not decode (fqzcomp /
-    tok3 — quality/name-only 3.1 codecs).  Distinct from CramError so
+    """A block uses a compression method id not defined by CRAM 3.1
+    (every defined codec is implemented).  Distinct from CramError so
     callers can degrade gracefully (drop quals / generate names)
     without also masking genuine corruption."""
 
@@ -289,10 +291,16 @@ def _decompress_inner(method: int, data: bytes, raw_size: int) -> bytes:
     if method == 6:
         from . import arith
         return arith.decode(data, raw_size)
+    if method == 7:
+        from . import fqzcomp
+        return fqzcomp.decode(data, raw_size)
+    if method == 8:
+        from . import tok3
+        return tok3.decode(data, raw_size)
     raise CramUnsupportedCodec(
         f"CRAM block compression method {method} not supported "
-        f"(remaining 3.1 codecs: fqzcomp/tok3 — quality/name-only, "
-        f"never needed for sequence extraction; blocks are lazy)")
+        f"(not defined by CRAM 3.1; blocks are lazy, so sequence "
+        f"extraction survives unless a sequence series uses it)")
 
 
 class Block:

@@ -294,8 +294,14 @@ def block(method: int, ctype: int, content_id: int, raw: bytes) -> bytes:
         from meryl_tpu.io import arith, rans_nx16
         method = 6
         comp = arith.encode(raw, arith.ORDER1 | rans_nx16.RLE)
-    elif method == 97:  # test alias: fqzcomp id with opaque payload
-        method = 7
+    elif method == 7:   # fqzcomp (whole payload as one record)
+        from meryl_tpu.io import fqzcomp
+        comp = fqzcomp.encode([raw]) if raw else b""
+    elif method == 8:   # tok3 name tokenizer (separator-terminated)
+        from meryl_tpu.io import tok3
+        comp = tok3.encode(raw)
+    elif method == 97:  # test alias: unsupported method id, opaque payload
+        method = 9
         comp = b"\xde\xad" + raw[:2]
     elif method == 98:  # test alias: claims gzip, holds garbage
         method = 1

@@ -81,7 +81,7 @@ def test_unsupported_method_still_raises_when_read(tmp_path):
     p = str(tmp_path / "bad.cram")
     cw.write_unmapped_cram(p, READS, method=5,
                            series_methods={"BA": 97})
-    with pytest.raises(cram.CramError, match="method 7"):
+    with pytest.raises(cram.CramError, match="method 9"):
         list(cram.iter_cram(p))
 
 
@@ -289,7 +289,7 @@ def test_quality_passthrough(tmp_path):
     # counting never touches QS
     codes = np.concatenate(list(cram.iter_cram_codes(p)))
     assert len(codes) == sum(len(s) for _, s in READS) + len(READS)
-    # fqzcomp QS block: sequences fine, quals None
+    # unsupported-codec QS block: sequences fine, quals None
     p2 = str(tmp_path / "fqz.cram")
     cw.write_unmapped_cram(p2, READS, method=5, quals=quals,
                            series_methods={"QS": 97})
