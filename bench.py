@@ -239,6 +239,35 @@ def bench_bam_ingest():
     return (nc - n_reads) / dt / 1e6
 
 
+def bench_cram_ingest():
+    """Host-side CRAM -> 2-bit-code ingest rate (BASELINE.md workload:
+    'BAM/CRAM counting'), Mbases/s through the container-parallel
+    decoder.  Pure host work — independent of the device link."""
+    import random
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests import cram_writer as cw
+
+    from meryl_tpu.io import cram
+
+    random.seed(5)
+    n_reads, rlen = 200000, 150
+    reads = [(f"r{i}", "".join(random.choices("ACGT", k=rlen)))
+             for i in range(n_reads)]
+    with tempfile.NamedTemporaryFile(suffix=".cram", delete=False) as f:
+        path = f.name
+    cw.write_unmapped_cram(path, reads, method=1,
+                           reads_per_container=10000)
+    sum(len(c) for c in cram.iter_cram_codes(path))  # warm page cache
+    t0 = time.perf_counter()
+    nc = sum(len(c) for c in cram.iter_cram_codes(path))
+    dt = time.perf_counter() - t0
+    os.unlink(path)
+    return (nc - n_reads) / dt / 1e6
+
+
 def _wait_for_backend():
     """The axon tunnel occasionally drops and self-recovers within
     ~10-30 min (backend init then either raises UNAVAILABLE or hangs).
@@ -283,6 +312,10 @@ def main():
         bam_mbps = bench_bam_ingest()
     except Exception:
         bam_mbps = None
+    try:
+        cram_mbps = bench_cram_ingest()
+    except Exception:
+        cram_mbps = None
 
     n_chips = jax.device_count()
     per_chip_target = 2.5e9 / 8  # bases/s per chip at 5 GB/s-FASTQ target
@@ -301,6 +334,8 @@ def main():
         out["setop_union_sum_meps"] = round(setop_meps, 3)
     if bam_mbps is not None:
         out["bam_ingest_mbases_s"] = round(bam_mbps, 1)
+    if cram_mbps is not None:
+        out["cram_ingest_mbases_s"] = round(cram_mbps, 1)
     print(json.dumps(out))
 
 

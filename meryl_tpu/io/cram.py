@@ -792,13 +792,15 @@ class CramReader:
         h["body_len"] = length
         return h, pos
 
-    def records(self) -> Iterator[Tuple[str, bytes, bytes | None]]:
-        """Yield (name, bases, quals|None) for every record (quals
-        only materialize when self.want_quals and the QS codec is
-        decodable)."""
+    def container_extents(self):
+        """Parse the SAM header container and return the extent list
+        [(header dict, body offset, end offset)] of every data
+        container (EOF excluded).  Container bodies are independent,
+        so callers may decode extents concurrently."""
         buf = self.buf
         pos = self.pos
         first = True
+        out = []
         while pos < len(buf):
             h, body = self._read_container_header(pos)
             end = h["body_start"] + h["body_len"]
@@ -815,8 +817,16 @@ class CramReader:
                 continue
             if h["nrec"] == 0 and h["nblocks"] <= 1 and h["ref_id"] == -1:
                 break  # EOF container
-            yield from self._container_records(h, buf, body, end)
+            out.append((h, body, end))
             pos = end
+        return out
+
+    def records(self) -> Iterator[Tuple[str, bytes, bytes | None]]:
+        """Yield (name, bases, quals|None) for every record (quals
+        only materialize when self.want_quals and the QS codec is
+        decodable)."""
+        for h, body, end in self.container_extents():
+            yield from self._container_records(h, self.buf, body, end)
 
     def _container_records(self, h, buf, body, end):
         blk, p = read_block(buf, body, self.major)
@@ -891,15 +901,13 @@ class CramReader:
                     out.append((key, c.val_codec.cid))
         return out
 
-    def _bulk_unmapped(self, ch, sh, ext):
-        """Vectorized decode of an all-unmapped slice: bulk-parse the
-        flag/length series, slice BA (and QS when quals are wanted)
-        once, split names once.  Returns [(name, bases, quals)] or None
-        when any precondition fails (the per-record path below remains
-        the reference decoder).  Series whose values the unmapped path
-        discards (AP/RG/MF/NS/NP/TS/NF/RI...) need no decoding at all:
-        nothing reads the core or external cursors after a slice is
-        fully consumed."""
+    def _bulk_ba(self, ch, sh, ext, extra_bulk_keys=()):
+        """Shared precondition checks + BA decode for the vectorized
+        all-unmapped slice paths.  Returns (blob, ba_lens, cf, rl) —
+        blob is the concatenated bases (b"" when the slice stores
+        none) and ba_lens the per-record base counts — or None when
+        any precondition fails.  NEVER mutates reader state, so
+        callers may bail to the per-record path afterwards."""
         import numpy as np
         nrec = sh.nrec
         if nrec == 0:
@@ -909,9 +917,8 @@ class CramReader:
         # per-record path handles it via the shared cursor) interleaves
         # values and would decode silently wrong here
         refs = self._series_cids(ch)
-        bulk_keys = {"BF", "CF", "RL", "TL", "RN", "BA"}
-        if self.want_quals and self._qs_ok:
-            bulk_keys.add("QS")          # sliced below when CF_QUAL set
+        bulk_keys = {"BF", "CF", "RL", "TL", "BA"}
+        bulk_keys.update(extra_bulk_keys)
         from collections import Counter
         by_cid = Counter(cid for _, cid in refs)
         for key, cid in refs:
@@ -934,14 +941,40 @@ class CramReader:
                     return None
         elif any(ch.tag_dict[:1]):            # implicit TL=0
             return None
-        # every `return None` bail must happen BEFORE the name counter
-        # advances, or generated names would skip nrec indices relative
-        # to the per-record fallback — so check BA bulk-decodability
-        # and compute quals first, and generate names last
         ba_lens = np.where(cf & CF_NO_SEQ, 0, rl)
         total = int(ba_lens.sum())
         if total and not isinstance(ch.ds.get("BA"), ExternalCodec):
             return None
+        if total == 0:
+            return b"", ba_lens, cf, rl
+        blob = ext[ch.ds["BA"].cid].data
+        if len(blob) < total:
+            raise CramError("BA block truncated")
+        return blob, ba_lens, cf, rl
+
+    def _bulk_unmapped(self, ch, sh, ext):
+        """Vectorized decode of an all-unmapped slice: bulk-parse the
+        flag/length series, slice BA (and QS when quals are wanted)
+        once, split names once.  Returns [(name, bases, quals)] or None
+        when any precondition fails (the per-record path below remains
+        the reference decoder).  Series whose values the unmapped path
+        discards (AP/RG/MF/NS/NP/TS/NF/RI...) need no decoding at all:
+        nothing reads the core or external cursors after a slice is
+        fully consumed."""
+        import numpy as np
+        nrec = sh.nrec
+        extra = {"RN"}
+        if self.want_quals and self._qs_ok:
+            extra.add("QS")              # sliced below when CF_QUAL set
+        got = self._bulk_ba(ch, sh, ext, extra_bulk_keys=extra)
+        if got is None:
+            return None
+        blob, ba_lens, cf, rl = got
+        total = int(ba_lens.sum())
+        # every `return None` bail must happen BEFORE the name counter
+        # advances, or generated names would skip nrec indices relative
+        # to the per-record fallback — so check BA bulk-decodability
+        # and compute quals first, and generate names last
         # qualities: QS sliced where CF_QUAL, when wanted + decodable
         quals = [None] * nrec
         if self.want_quals and self._qs_ok:
@@ -970,11 +1003,11 @@ class CramReader:
             if not isinstance(c, ByteArrayStopCodec):
                 return None
             try:
-                blob = ext[c.cid].data
+                nblob = ext[c.cid].data
             except CramUnsupportedCodec:
                 self._rn_ok = False           # e.g. 3.1 name tokenizer
             else:
-                parts = blob.split(bytes([c.stop]))
+                parts = nblob.split(bytes([c.stop]))
                 if len(parts) <= nrec:
                     raise CramError("name block truncated")
                 names = [p.decode("ascii", "replace") for p in
@@ -987,9 +1020,6 @@ class CramReader:
         # sequences: BA sliced at run-length boundaries
         if total == 0:
             return list(zip(names, [b""] * nrec, quals))
-        blob = ext[ch.ds["BA"].cid].data
-        if len(blob) < total:
-            raise CramError("BA block truncated")
         ends = np.cumsum(ba_lens)
         starts = ends - ba_lens
         return [(names[i], blob[starts[i]:ends[i]], quals[i])
@@ -1179,25 +1209,108 @@ def is_cram(path: str) -> bool:
         return False
 
 
-def iter_cram_codes(path: str, ref_path: str | None = None,
-                    hpc: bool = False, batch: int = 1 << 22):
-    """Bulk CRAM -> 2-bit code arrays with 0xFF breakers, for the
-    counting path (names/quals never materialize beyond what record
-    parsing itself needs): reads are joined and LUT-encoded one big
-    batch at a time instead of per-record."""
+def _container_codes(r: CramReader, extent, hpc: bool):
+    """All of one container's reads as a single 2-bit code array with
+    0xFF breakers.  The fast path never touches names/quals or any
+    per-record Python: BA decodes to one blob, breakers are inserted
+    with one vectorized scatter.  Thread-safe: `r` is only read (the
+    per-record fallback runs on a private shallow clone so name
+    counters never race)."""
+    import numpy as np
+
     from ..kmer import CODE_LUT
+    h, body, end = extent
+    buf = r.buf
+    blk, p = read_block(buf, body, r.major)
+    if blk.ctype != CT_COMPRESSION_HEADER:
+        raise CramError("expected compression header block")
+    ch = CompressionHeader(blk.data)
+    out = []
+    while p < end:
+        sh_blk, p = read_block(buf, p, r.major)
+        if sh_blk.ctype != CT_SLICE_HEADER:
+            raise CramError("expected slice header block")
+        sh = SliceHeader(sh_blk.data)
+        core = None
+        ext = {}
+        for _ in range(sh.nblocks):
+            b, p = read_block(buf, p, r.major)
+            if b.ctype == CT_CORE:
+                core = BitReader(b.data)
+            elif b.ctype == CT_EXTERNAL:
+                ext[b.content_id] = ExtStream(b)
+        got = r._bulk_ba(ch, sh, ext)
+        if got is not None:
+            blob, ba_lens, _cf, _rl = got
+            nrec = len(ba_lens)
+            total = int(ba_lens.sum())
+            codes = np.full(total + nrec, 0xFF, np.uint8)
+            if total:
+                # breaker i lands after record i's bases: ends[i] + i
+                keep = np.ones(total + nrec, bool)
+                keep[np.cumsum(ba_lens) + np.arange(nrec)] = False
+                codes[keep] = CODE_LUT[np.frombuffer(blob[:total],
+                                                     np.uint8)]
+            if hpc:
+                k2 = np.empty(len(codes), bool)
+                k2[0] = True
+                np.not_equal(codes[1:], codes[:-1], out=k2[1:])
+                codes = codes[k2]
+            out.append(codes)
+            continue
+        # per-record fallback (mapped slices, shared cids, exotic
+        # codecs) on a private clone: reader state never races
+        rc = object.__new__(CramReader)
+        rc.__dict__ = dict(r.__dict__)
+        rc._name_counter = 0
+        seqs = [seq for _, seq, _ in
+                rc._slice_records(ch, sh, core, ext)]
+        if seqs:
+            out.append(_encode_read_batch(seqs, hpc, CODE_LUT))
+    if not out:
+        return np.empty(0, np.uint8)
+    return out[0] if len(out) == 1 else np.concatenate(out)
+
+
+def iter_cram_codes(path: str, ref_path: str | None = None,
+                    hpc: bool = False, batch: int = 1 << 22,
+                    threads: int | None = None):
+    """Bulk CRAM -> 2-bit code arrays with 0xFF breakers, for the
+    counting path (names/quals never decompress or materialize).
+    Containers are self-contained, so they decode concurrently on a
+    thread pool (block inflate + the native entropy cores + numpy all
+    release the GIL); arrays come back in file order, one per
+    container (`batch` is accepted for compatibility; the container
+    layout now sets the granularity)."""
+    import numpy as np
     r = CramReader(path, ref_path)
-    pend = []
-    npend = 0
-    for _name, seq, _qual in r.records():
-        pend.append(seq)
-        npend += len(seq) + 1
-        if npend >= batch:
-            yield _encode_read_batch(pend, hpc, CODE_LUT)
-            pend = []
-            npend = 0
-    if pend:
-        yield _encode_read_batch(pend, hpc, CODE_LUT)
+    extents = r.container_extents()
+    if threads is None:
+        from ..resources import max_threads
+        threads = max(1, min(8, max_threads() - 1))
+        if os.environ.get("MERYL_TPU_PAR_CRAM", "1") == "0":
+            threads = 1
+    if threads <= 1 or len(extents) <= 1:
+        for e in extents:
+            codes = _container_codes(r, e, hpc)
+            if len(codes):
+                yield codes
+        return
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        window = threads + 2
+        pending = deque(pool.submit(_container_codes, r, e, hpc)
+                        for e in extents[:window])
+        nxt = window
+        while pending:
+            codes = pending.popleft().result()
+            if nxt < len(extents):
+                pending.append(pool.submit(_container_codes, r,
+                                           extents[nxt], hpc))
+                nxt += 1
+            if len(codes):
+                yield codes
 
 
 def _encode_read_batch(seqs, hpc, lut):

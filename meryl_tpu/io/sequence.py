@@ -189,10 +189,13 @@ class SequenceChunker:
         if self.chunk_len <= k:
             raise ValueError("chunk_len must exceed k")
 
-    def _file_codes(self, path: str) -> Iterator[np.ndarray]:
+    def _file_codes(self, path: str,
+                    inner_threads: int | None = None) -> Iterator[np.ndarray]:
         """Code-block stream for ONE file.  Self-terminating: every
         sequence, including the file's last, is followed by a SEP, so
-        per-file streams may be concatenated in any order."""
+        per-file streams may be concatenated in any order.
+        inner_threads caps per-file decode parallelism (the multi-file
+        path passes 1 so nested pools don't oversubscribe)."""
         from .. import native
         from . import bam
         if bam.is_bam(path):
@@ -201,7 +204,8 @@ class SequenceChunker:
             return
         if path.endswith(".cram"):
             from . import cram
-            yield from cram.iter_cram_codes(path, hpc=self.hpc)
+            yield from cram.iter_cram_codes(path, hpc=self.hpc,
+                                            threads=inner_threads)
             return
         if native.available():
             # native C++ scanner: FASTA/FASTQ bytes -> codes + seps
@@ -284,7 +288,7 @@ class SequenceChunker:
         def run_file(path: str) -> None:
             try:
                 carry = None
-                for block in self._file_codes(path):
+                for block in self._file_codes(path, inner_threads=1):
                     if carry is not None:
                         block = np.concatenate([carry, block])
                         carry = None

@@ -410,14 +410,41 @@ def sam_header_container(ref_names_lens) -> bytes:
 
 def write_unmapped_cram(path, reads, method=0, with_names=True,
                         series_methods=None, quals=None,
-                        codec_overrides=None):
+                        codec_overrides=None, reads_per_container=None):
     """reads: list of (name, seq str).  series_methods overrides the
     block compression method per data series, e.g. {"RN": 97}.
     quals: optional list of Phred+33 strings (or None per read);
     stored raw (minus 33) with the CF quality flag set.
     codec_overrides maps a series key to raw encoding bytes (e.g.
     encoding_huffman_single) — that series then gets no external
-    block."""
+    block.  reads_per_container splits the reads over multiple
+    containers (htslib's default layout: ~10k records per container)."""
+    if reads_per_container is not None:
+        conts = []
+        for a in range(0, len(reads), reads_per_container):
+            conts.append(_unmapped_container(
+                reads[a:a + reads_per_container], method, with_names,
+                series_methods,
+                quals[a:a + reads_per_container] if quals else None,
+                codec_overrides))
+        with open(path, "wb") as f:
+            f.write(file_definition())
+            f.write(sam_header_container([("ref", 1000)]))
+            for c in conts:
+                f.write(c)
+            f.write(EOF_CONTAINER)
+        return
+    with open(path, "wb") as f:
+        f.write(file_definition())
+        f.write(sam_header_container([("ref", 1000)]))
+        f.write(_unmapped_container(reads, method, with_names,
+                                    series_methods, quals,
+                                    codec_overrides))
+        f.write(EOF_CONTAINER)
+
+
+def _unmapped_container(reads, method, with_names, series_methods,
+                        quals, codec_overrides) -> bytes:
     streams = {k: bytearray() for k in IDS}
     for idx, (name, seq) in enumerate(reads):
         q = quals[idx] if quals else None
@@ -448,13 +475,8 @@ def write_unmapped_cram(path, reads, method=0, with_names=True,
     for k in used:
         m = (series_methods or {}).get(k, method)
         blocks.append(block(m, 4, IDS[k], bytes(streams[k])))
-    cont = container([ch_blk] + blocks, ref_id=-1, nrec=len(reads),
+    return container([ch_blk] + blocks, ref_id=-1, nrec=len(reads),
                      landmarks=(len(ch_blk),))
-    with open(path, "wb") as f:
-        f.write(file_definition())
-        f.write(sam_header_container([("ref", 1000)]))
-        f.write(cont)
-        f.write(EOF_CONTAINER)
 
 
 def write_mapped_cram(path, ref_name, ref_seq, reads, method=0,

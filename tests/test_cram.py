@@ -381,3 +381,77 @@ def test_corrupt_qs_block_fails_loudly(tmp_path):
     got = [(n, s.decode()) for n, s, _ in
            cram.iter_cram(p, want_quals=False)]
     assert got == READS
+
+
+def test_multi_container_roundtrip(tmp_path):
+    """Reads split over several containers come back whole and in
+    order through both the records and the codes paths."""
+    import random
+    random.seed(41)
+    reads = [(f"m{i}", "".join(random.choices("ACGTN", k=random.choice(
+        [0, 7, 80, 200])))) for i in range(500)]
+    p = str(tmp_path / "mc.cram")
+    cw.write_unmapped_cram(p, reads, method=5, reads_per_container=64)
+    got = [(n, s.decode()) for n, s, _ in cram.iter_cram(p)]
+    assert got == reads
+
+
+def test_parallel_container_codes_equal_serial(tmp_path, monkeypatch):
+    """The concurrent container decoder must emit exactly the serial
+    stream (containers come back in file order), with and without hpc,
+    including fallback containers (a shared content id forces the
+    per-record path) interleaved between bulk ones."""
+    import random
+    random.seed(43)
+    reads = [(f"p{i}", "".join(random.choices("ACGTN", k=random.choice(
+        [0, 3, 150, 151])))) for i in range(600)]
+    p = str(tmp_path / "pc.cram")
+    cw.write_unmapped_cram(p, reads, method=5, reads_per_container=50)
+    for hpc in (False, True):
+        monkeypatch.setenv("MERYL_TPU_PAR_CRAM", "0")
+        a = np.concatenate(list(cram.iter_cram_codes(p, hpc=hpc)))
+        monkeypatch.setenv("MERYL_TPU_PAR_CRAM", "1")
+        b = np.concatenate(list(cram.iter_cram_codes(p, hpc=hpc)))
+        assert np.array_equal(a, b)
+    # explicit thread count exercises the pool path regardless of env
+    c = np.concatenate(list(cram.iter_cram_codes(p, threads=4)))
+    monkeypatch.setenv("MERYL_TPU_PAR_CRAM", "0")
+    assert np.array_equal(c, np.concatenate(
+        list(cram.iter_cram_codes(p))))
+
+
+def test_parallel_codes_with_fallback_containers(tmp_path, monkeypatch):
+    """Containers needing the per-record path decode correctly inside
+    the thread pool via the private reader clone (forced here by
+    disabling the bulk decoder entirely)."""
+    import random
+    random.seed(47)
+    reads = [(f"f{i}", "".join(random.choices("ACGT", k=60)))
+             for i in range(120)]
+    p = str(tmp_path / "fb.cram")
+    cw.write_unmapped_cram(p, reads, method=5, reads_per_container=40)
+    want = np.concatenate(list(cram.iter_cram_codes(p, threads=1)))
+    monkeypatch.setattr(cram.CramReader, "_bulk_ba",
+                        lambda self, ch, sh, ext, extra_bulk_keys=():
+                        None)
+    got = np.concatenate(list(cram.iter_cram_codes(p, threads=4)))
+    assert np.array_equal(got, want)
+
+
+def test_mapped_cram_codes_path(tmp_path, monkeypatch):
+    """Mapped records (reference-reconstructed) flow through the codes
+    path via the per-record fallback."""
+    ref_fa = tmp_path / "ref.fa"
+    ref_fa.write_text(f">chr1\n{REF}\n")
+    monkeypatch.setenv("MERYL_TPU_CRAM_REF", str(ref_fa))
+    p = str(tmp_path / "mc2.cram")
+    reads = [("A", 1, 10, []), ("B", 6, 5, [("X", 3, 2)])]
+    cw.write_mapped_cram(p, "chr1", REF, reads)
+    from meryl_tpu.kmer import CODE_LUT
+    seqs = [s for _, s, _ in cram.iter_cram(p)]
+    want = []
+    for s in seqs:
+        want.extend(int(CODE_LUT[b]) for b in s)
+        want.append(0xFF)
+    got = np.concatenate(list(cram.iter_cram_codes(p)))
+    assert np.array_equal(got, np.array(want, np.uint8))
