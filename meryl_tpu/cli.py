@@ -299,8 +299,8 @@ def main(argv=None) -> int:
         ff = int(os.path.basename(path).split(".")[0], 16)
         hi, lo, c = db.load_bucket(ff)
         print(f"bucket 0x{ff:02x}: {len(c)} kmers")
-        for s, v in zip(_km.hilo_to_strings(hi, lo, db.k), c.tolist()):
-            print(f"{s}\t{v}")
+        from .reports import _write_text, format_kmer_lines
+        _write_text(sys.stdout, format_kmer_lines(hi, lo, c, db.k))
         return 0
 
     try:

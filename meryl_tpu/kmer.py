@@ -170,21 +170,56 @@ def kmer_strings_to_hilo(strings) -> tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
+_BYTE_CHARS = None        # (256, 4) uint8: byte -> chars of its 4 codes
+
+
+def _byte_chars():
+    global _BYTE_CHARS
+    if _BYTE_CHARS is None:
+        b = np.arange(256, dtype=np.uint16)
+        codes = np.stack([(b >> (2 * t)) & 3 for t in range(4)], axis=1)
+        lut = np.frombuffer(ALPHABET.encode(), dtype=np.uint8)
+        _BYTE_CHARS = lut[codes]
+    return _BYTE_CHARS
+
+
+def hilo_to_char_matrix(hi: np.ndarray, lo: np.ndarray, k: int):
+    """Vectorized decode of (hi, lo) kmer arrays into an (n, k) uint8
+    matrix of ASCII bases: one 256->4-chars table gather per byte
+    instead of 2k shift passes (a 2-bit code never spans a byte, and
+    the hi/lo boundary is at bit 64)."""
+    n = len(lo)
+    lo = np.ascontiguousarray(lo, dtype="<u8")
+    # little-endian byte j of lo holds the codes at shifts 8j..8j+6,
+    # so flat column c (= 4j + t) holds the char of shift 2c
+    flat = _byte_chars()[lo.view(np.uint8).reshape(n, 8)].reshape(n, 32)
+    if k > 32:
+        hi = np.ascontiguousarray(hi, dtype="<u8")
+        fhi = _byte_chars()[hi.view(np.uint8).reshape(n, 8)].reshape(n, 32)
+        flat = np.concatenate([flat, fhi], axis=1)
+    # char position i has shift 2*(k-1-i): reverse the first k columns
+    return np.ascontiguousarray(flat[:, k - 1::-1])
+
+
+def recanonicalize_chars(chars: np.ndarray) -> np.ndarray:
+    """Re-canonicalize an (n, k) ASCII base matrix so each row is the
+    lexicographically smaller of itself and its reverse complement in
+    STANDARD ACGT order (printACGT semantics) — vectorized."""
+    comp = np.zeros(256, np.uint8)
+    for a, b in zip(b"ACGT", b"TGCA"):
+        comp[a] = b
+    rc = comp[chars][:, ::-1]
+    neq = chars != rc
+    has = neq.any(axis=1)
+    first = np.argmax(neq, axis=1)
+    rows = np.arange(len(chars))
+    take = has & (rc[rows, first] < chars[rows, first])
+    out = chars.copy()
+    out[take] = rc[take]
+    return out
+
+
 def hilo_to_strings(hi: np.ndarray, lo: np.ndarray, k: int):
     """Vectorized decode of (hi, lo) kmer arrays into ACTG strings."""
-    n = len(lo)
-    hi = np.asarray(hi, dtype=np.uint64)
-    lo = np.asarray(lo, dtype=np.uint64)
-    codes = np.empty((n, k), dtype=np.uint8)
-    # shifts are even and the hi/lo boundary is at bit 64 (even), so a 2-bit
-    # code never spans the boundary.
-    for i in range(k):
-        shift = 2 * (k - 1 - i)
-        if shift >= 64:
-            c = (hi >> np.uint64(shift - 64)) & np.uint64(3)
-        else:
-            c = (lo >> np.uint64(shift)) & np.uint64(3)
-        codes[:, i] = c.astype(np.uint8)
-    lut = np.frombuffer(ALPHABET.encode(), dtype=np.uint8)
-    chars = lut[codes]
+    chars = hilo_to_char_matrix(hi, lo, k)
     return chars.view(f"S{k}").ravel().astype(str)

@@ -26,6 +26,8 @@ from . import kmer as km
 from .io.sequence import iter_sequences
 from .lookup import ExactLookup
 from .ops import extract as ext
+from .reports import _write_text as _wt
+from .reports import format_int_table
 
 CHUNK = 1 << 16  # positions per device query batch
 
@@ -245,28 +247,51 @@ def cmd_dump(g: LookupGlobal, out):
                 w = np.flatnonzero(exist[d])
                 if len(w):
                     maxp = max(maxp, int(w[-1]) + 1)
+            single = nd == 1 or not use_labels
             if g.mode == "bed":
-                for p in range(maxp):
-                    for d in range(nd):
-                        if exist[d][p]:
-                            lab = f"\t{g.labels[d]}" if d < len(g.labels) else ""
-                            out.write(f"{name}\t{p}\t{p + k}{lab}\n")
+                if single:
+                    # vectorized (genome-scale line counts)
+                    ps = np.flatnonzero(exist[0])
+                    lab = f"\t{g.labels[0]}" if use_labels else ""
+                    _wt(out, format_int_table(
+                        [ps, ps + k], prefix=f"{name}\t".encode(),
+                        suffix=lab.encode()))
+                else:
+                    # multiple labeled DBs interleave by position then
+                    # db, matching the reference's emit order
+                    for p in range(maxp):
+                        for d in range(nd):
+                            if exist[d][p]:
+                                lab = f"\t{g.labels[d]}" if d < len(g.labels) else ""
+                                out.write(f"{name}\t{p}\t{p + k}{lab}\n")
             else:
-                bgn = [None] * nd
-                for p in range(maxp + 1):
-                    for d in range(nd):
-                        bit = exist[d][p] if p < maxp else False
-                        if bit:
+                if single:
+                    e = exist[0]
+                    pad = np.zeros(len(e) + 2, np.int8)
+                    pad[1:-1] = e
+                    d2 = np.diff(pad)
+                    starts = np.flatnonzero(d2 == 1)
+                    ends = np.flatnonzero(d2 == -1)
+                    lab = f"\t{g.labels[0]}" if use_labels else ""
+                    # end written as first-unset-position + k,
+                    # matching the reference exactly (dump.C:346-355)
+                    _wt(out, format_int_table(
+                        [starts, ends + k], prefix=f"{name}\t".encode(),
+                        suffix=lab.encode()))
+                else:
+                    bgn = [None] * nd
+                    for p in range(maxp + 1):
+                        for d in range(nd):
+                            bit = exist[d][p] if p < maxp else False
+                            if bit:
+                                if bgn[d] is None:
+                                    bgn[d] = p
+                                continue
                             if bgn[d] is None:
-                                bgn[d] = p
-                            continue
-                        if bgn[d] is None:
-                            continue
-                        lab = f"\t{g.labels[d]}" if d < len(g.labels) else ""
-                        # end written as first-unset-position + k,
-                        # matching the reference exactly (dump.C:346-355)
-                        out.write(f"{name}\t{bgn[d]}\t{p + k}{lab}\n")
-                        bgn[d] = None
+                                continue
+                            lab = f"\t{g.labels[d]}" if d < len(g.labels) else ""
+                            out.write(f"{name}\t{bgn[d]}\t{p + k}{lab}\n")
+                            bgn[d] = None
 
         elif g.mode == "wig-count":
             pal = _is_palindrome(codes, k)
@@ -276,22 +301,20 @@ def cmd_dump(g: LookupGlobal, out):
                 rv = nr[d].astype(np.uint64)
                 count += np.where(pal, fv, fv + rv) * vmask
             out.write(f"variableStep chrom={name}\n")
-            for p in np.flatnonzero(count):
-                out.write(f"{p + 1}\t{count[p]}\n")
+            ps = np.flatnonzero(count)
+            _wt(out, format_int_table([ps + 1, count[ps]]))
 
         elif g.mode == "wig-depth":
             found = ((nf[0] > 0) | (nr[0] > 0)) & vmask
             w = np.flatnonzero(found)
             maxp = int(w[-1]) + k if len(w) else 0
             diff = np.zeros(maxp + k + 1, np.int64)
-            for p in w:
-                diff[p] += 1
-                diff[p + k] -= 1
+            np.add.at(diff, w, 1)
+            np.add.at(diff, w + k, -1)
             depth = np.cumsum(diff)
             out.write(f"variableStep chrom={name}\n")
-            for p in range(maxp):
-                if depth[p] > 0:
-                    out.write(f"{p + 1}\t{depth[p]}\n")
+            ps = np.flatnonzero(depth[:maxp] > 0)
+            _wt(out, format_int_table([ps + 1, depth[ps]]))
 
 
 def cmd_existence(g: LookupGlobal, out):

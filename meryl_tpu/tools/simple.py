@@ -64,9 +64,9 @@ def main(argv=None) -> int:
     if m_out:
         MerylDB.write(m_out, k, hi, lo, counts)
     if d_out:
-        with open(d_out, "w") as f:
-            for s, c in zip(km.hilo_to_strings(hi, lo, k), counts.tolist()):
-                f.write(f"{s}\t{c}\n")
+        from ..reports import format_kmer_lines
+        with open(d_out, "wb") as f:
+            f.write(format_kmer_lines(hi, lo, counts, k))
     if h_out:
         vals, occ = oracle.histogram(counts)
         with open(h_out, "w") as f:

@@ -500,17 +500,12 @@ def resolve_special_args(act: Action):
 
 def print_v2(hi, lo, vals, labs, k, out, with_labels: bool,
              acgt: bool = False):
-    strs = km.hilo_to_strings(hi, lo, k)
-    if acgt:
-        # re-canonicalize to standard ACGT lexicographic order; output
-        # is then NOT sorted (reference.rst:545-570)
-        strs = [min(s, km.revcomp_string(s)) for s in strs]
-    if with_labels:
-        out.write("".join(f"{s}\t{v}\t{l}\n" for s, v, l in
-                          zip(strs, vals.tolist(), labs.tolist())))
-    else:
-        out.write("".join(f"{s}\t{v}\n" for s, v in
-                          zip(strs, vals.tolist())))
+    # acgt: re-canonicalize to standard ACGT lexicographic order;
+    # output is then NOT sorted (reference.rst:545-570)
+    from ..reports import _write_text, format_kmer_lines
+    _write_text(out, format_kmer_lines(
+        hi, lo, vals, k, acgt_order=acgt,
+        labels=labs if with_labels else None))
 
 
 def execute(b: Builder) -> int:
