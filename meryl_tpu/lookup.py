@@ -36,8 +36,8 @@ def _prefix_bits_for(n_kmers: int, k: int) -> int:
 def _top_bits_np(hi: np.ndarray, lo: np.ndarray, k: int, b: int) -> np.ndarray:
     """Top b bits of each 2k-bit kmer (host)."""
     shift = 2 * k - b
-    hi = hi.astype(np.uint64)
-    lo = lo.astype(np.uint64)
+    hi = np.asarray(hi, np.uint64)     # no copy when already u64
+    lo = np.asarray(lo, np.uint64)
     if 2 * k <= 64:
         return (lo >> np.uint64(shift)).astype(np.uint64)
     if shift >= 64:

@@ -318,24 +318,83 @@ def cmd_dump(g: LookupGlobal, out):
 
 
 def cmd_existence(g: LookupGlobal, out):
+    """Batched like cmd_filter: one bulk lookup per ~2M bases instead
+    of two device dispatches per sequence."""
     k = g.lookups[0].k
-    for name, seq, _ in iter_sequences(g.seq1):
-        codes = km.CODE_LUT[np.frombuffer(seq, np.uint8)]
-        nf, nr, vmask = _per_position_values(g.lookups, codes, k)
-        ntotal = int(vmask.sum())
-        line = [name, str(ntotal)]
-        for d, L in enumerate(g.lookups):
-            nfound = int((((nf[d] > 0) | (nr[d] > 0)) & vmask).sum())
-            line += [str(L.n_kmers()), str(nfound)]
-        out.write("\t".join(line) + "\n")
+    it = iter_sequences(g.seq1)
+    done = False
+    while not done:
+        batch = []
+        nb = 0
+        while nb < FILTER_BATCH_BASES:
+            r = next(it, None)
+            if r is None:
+                done = True
+                break
+            batch.append(r)
+            nb += len(r[1])
+        if not batch:
+            break
+        codes = [km.CODE_LUT[np.frombuffer(r[1], np.uint8)]
+                 for r in batch]
+        n = len(batch)
+        lens = np.fromiter((len(c) for c in codes), np.int64, n)
+        buf = np.full(int(lens.sum()) + n, 255, np.uint8)
+        offs = np.empty(n, np.int64)
+        pos = 0
+        for i, c in enumerate(codes):
+            offs[i] = pos
+            buf[pos:pos + len(c)] = c
+            pos += len(c) + 1
+        nf, nr, vmask = _per_position_values(g.lookups, buf, k)
+        spans = np.maximum(0, lens - k + 1)
+        cv = np.concatenate([[0], np.cumsum(vmask)])
+        ntotal = cv[offs + spans] - cv[offs]
+        nfound = []
+        for d in range(len(g.lookups)):
+            f = ((nf[d] > 0) | (nr[d] > 0)) & vmask
+            cf = np.concatenate([[0], np.cumsum(f)])
+            nfound.append(cf[offs + spans] - cf[offs])
+        for i, (name, _seq, _q) in enumerate(batch):
+            line = [name, str(int(ntotal[i]))]
+            for d, L in enumerate(g.lookups):
+                line += [str(L.n_kmers()), str(int(nfound[d][i]))]
+            out.write("\t".join(line) + "\n")
 
 
 def _write_seq(f, name, seq: bytes, qual, nfound: int):
     ident = f"{name} nKmers={nfound}"
-    if qual:
+    # qual=None means FASTA input; an EMPTY qual (zero-length read from
+    # FASTQ) must still write a FASTQ record or the output mixes formats
+    if qual is not None:
         f.write(f"@{ident}\n{seq.decode()}\n+\n{qual.decode()}\n")
     else:
         f.write(f">{ident}\n{seq.decode()}\n")
+
+
+FILTER_BATCH_BASES = 1 << 21
+
+
+def _batch_found(L, codes_list, k: int):
+    """One bulk lookup over many reads: concatenate their codes with
+    0xFF breakers (which invalidate cross-read windows), query ALL
+    positions at once, and return (found mask, per-read position
+    starts, per-read position span lengths).  This replaces the
+    per-read path, whose two device dispatches per read measured
+    ~0.04 Mbases/s against the reference's streaming C filter."""
+    n = len(codes_list)
+    lens = np.fromiter((len(c) for c in codes_list), np.int64, n)
+    buf = np.full(int(lens.sum()) + n, 255, np.uint8)
+    offs = np.empty(n, np.int64)
+    pos = 0
+    for i, c in enumerate(codes_list):
+        offs[i] = pos
+        buf[pos:pos + len(c)] = c
+        pos += len(c) + 1
+    nf, nr, vmask = _per_position_values([L], buf, k)
+    found = ((nf[0] > 0) | (nr[0] > 0)) & vmask
+    spans = np.maximum(0, lens - k + 1)
+    return found, offs, spans
 
 
 def cmd_filter(g: LookupGlobal, out1, out2, err=None):
@@ -346,29 +405,53 @@ def cmd_filter(g: LookupGlobal, out1, out2, err=None):
     it2 = iter_sequences(g.seq2, want_quals=True) if g.seq2 else None
     n_total = 0
     n_found = 0
-    while True:
-        r1 = next(it1, None)
-        r2 = next(it2, None) if it2 else None
-        if r1 is None and r2 is None:
+    done = False
+    while not done:
+        # gather a batch of read (pairs)
+        b1, b2 = [], []
+        nb = 0
+        while nb < FILTER_BATCH_BASES:
+            r1 = next(it1, None)
+            r2 = next(it2, None) if it2 else None
+            if r1 is None and r2 is None:
+                done = True
+                break
+            b1.append(r1)
+            b2.append(r2)
+            nb += (len(r1[1]) if r1 else 0) + (len(r2[1]) if r2 else 0)
+        if not b1:
             break
-        nfound = 0
-        for idx, r in enumerate((r1, r2)):
-            if r is None:
-                continue
-            codes = km.CODE_LUT[np.frombuffer(r[1], np.uint8)]
-            nf, nr, vmask = _per_position_values([L], codes, k)
-            found = ((nf[0] > 0) | (nr[0] > 0)) & vmask
-            if g.is10x and idx == 0:
-                found[:23] = False  # skip 10x barcode kmers
-            nfound += int(found.sum())
-        n_total += 1
-        keep = (nfound > 0) if g.mode == "include" else (nfound == 0)
-        if keep:
-            n_found += 1
-            if r1 is not None and out1 is not None:
-                _write_seq(out1, r1[0], r1[1], r1[2], nfound)
-            if r2 is not None and out2 is not None:
-                _write_seq(out2, r2[0], r2[1], r2[2], nfound)
+        recs = []                     # (pair index, mate index)
+        codes = []
+        for i in range(len(b1)):
+            for idx, r in enumerate((b1[i], b2[i])):
+                if r is not None:
+                    recs.append((i, idx))
+                    codes.append(km.CODE_LUT[np.frombuffer(r[1],
+                                                           np.uint8)])
+        found, offs, spans = _batch_found(L, codes, k)
+        if g.is10x:
+            for j, (_, idx) in enumerate(recs):
+                if idx == 0:          # skip 10x barcode kmers
+                    found[offs[j]:offs[j] + min(23, int(spans[j]))] = \
+                        False
+        cs = np.concatenate([[0], np.cumsum(found)])
+        per_read = cs[offs + spans] - cs[offs]
+        pair_nf = np.zeros(len(b1), np.int64)
+        for j, (i, _) in enumerate(recs):
+            pair_nf[i] += per_read[j]
+        for i in range(len(b1)):
+            n_total += 1
+            nfound = int(pair_nf[i])
+            keep = (nfound > 0) if g.mode == "include" else (nfound == 0)
+            if keep:
+                n_found += 1
+                if b1[i] is not None and out1 is not None:
+                    _write_seq(out1, b1[i][0], b1[i][1], b1[i][2],
+                               nfound)
+                if b2[i] is not None and out2 is not None:
+                    _write_seq(out2, b2[i][0], b2[i][1], b2[i][2],
+                               nfound)
     err.write(f"\nIncluding {n_found} reads (or read pairs) "
               f"out of {n_total}.\n")
 

@@ -142,19 +142,55 @@ def main(argv=None) -> int:
     mer_paint = np.zeros(table.ref_len + 1, np.uint32) if mpb else None
     qry_paint = np.zeros(table.ref_len + 1, np.uint32) if qpb else None
 
+    # reads are queried in ~2M-base concatenated batches (0xFF breakers
+    # invalidate cross-read windows) — one device dispatch per batch
+    # instead of one per read; per-read counts come from bincount over
+    # the read each hit position falls in
     for path in inputs:
-        for qid, (name, seq, _) in enumerate(iter_sequences(path)):
-            codes = km.CODE_LUT[np.frombuffer(seq, np.uint8)]
-            _, ranks = _canonical_positions(table.lookup, codes)
-            tcov = len(ranks)
-            nper = int(table.n_occurrences(ranks).sum()) if tcov else 0
+        it = iter_sequences(path)
+        done = False
+        while not done:
+            batch = []
+            nb = 0
+            while nb < (1 << 21):
+                r = next(it, None)
+                if r is None:
+                    done = True
+                    break
+                batch.append(r)
+                nb += len(r[1])
+            if not batch:
+                break
+            codes_list = [km.CODE_LUT[np.frombuffer(r[1], np.uint8)]
+                          for r in batch]
+            n = len(batch)
+            lens = np.fromiter((len(c) for c in codes_list), np.int64, n)
+            buf = np.full(int(lens.sum()) + n, 255, np.uint8)
+            offs = np.empty(n, np.int64)
+            pos = 0
+            for i, c in enumerate(codes_list):
+                offs[i] = pos
+                buf[pos:pos + len(c)] = c
+                pos += len(c) + 1
+            positions, ranks = _canonical_positions(table.lookup, buf)
+            read_of = np.searchsorted(offs, positions, "right") - 1
+            tcov = np.bincount(read_of, minlength=n)
+            occ = table.n_occurrences(ranks) if len(ranks) else \
+                np.zeros(0, np.int64)
+            nper = np.bincount(read_of, weights=occ,
+                               minlength=n).astype(np.int64)
             if f_hpq:
-                f_hpq.write(f"{nper}\t{tcov}\t{len(seq)}\t{name}\n")
+                for i, (name, seq, _) in enumerate(batch):
+                    f_hpq.write(f"{int(nper[i])}\t{int(tcov[i])}"
+                                f"\t{len(seq)}\t{name}\n")
             if mer_paint is not None:
                 for r in ranks:
                     mer_paint[table.positions_of(int(r))] += 1
             if qry_paint is not None:
-                for r in np.unique(ranks):
+                pairs = np.unique(np.stack([read_of, ranks], axis=1),
+                                  axis=0) if len(ranks) else \
+                    np.zeros((0, 2), np.int64)
+                for r in pairs[:, 1]:
                     qry_paint[table.positions_of(int(r))] += 1
     if f_hpq:
         f_hpq.close()

@@ -310,3 +310,105 @@ def test_include_cram_keeps_fastq_quals(setup, tmp_path):
     assert lines[1] == reads[0][1]
     assert lines[2] == "+"
     assert lines[3] == quals[0]
+
+
+def test_filter_batched_matches_naive(tmp_path):
+    """The batched filter (one bulk lookup per ~2M bases) must agree
+    with a per-read brute-force model on messy input: short reads
+    (< k), empty reads, Ns, pairs, and the 10x barcode skip."""
+    import random
+
+    from meryl_tpu import cli, lookup_cli
+    from meryl_tpu.io.sequence import iter_sequences
+
+    random.seed(71)
+    k = 9
+    ref = "".join(random.choices("ACGT", k=4000))
+    fa = tmp_path / "ref.fa"
+    fa.write_text(f">r\n{ref}\n")
+    db = str(tmp_path / "r.meryl")
+    assert cli.main([f"k={k}", "count", str(fa), "output", db]) == 0
+
+    def mkread(i):
+        m = random.choice([0, 3, k - 1, k, 30, 80])
+        if random.random() < 0.5 and m >= k:
+            p = random.randrange(0, len(ref) - m)
+            s = ref[p:p + m]                  # hits the DB
+        else:
+            s = "".join(random.choices("ACGTN", k=m))
+        return f"q{i}", s
+
+    def write_fq(path, reads):
+        with open(path, "w") as f:
+            for n, s in reads:
+                f.write(f"@{n}\n{s}\n+\n{'I' * len(s)}\n")
+
+    r1 = [mkread(i) for i in range(300)]
+    r2 = [mkread(1000 + i) for i in range(300)]
+    fq1, fq2 = tmp_path / "a.fq", tmp_path / "b.fq"
+    write_fq(fq1, r1)
+    write_fq(fq2, r2)
+
+    # brute-force per-read hit counts against decoded DB text
+    import io as _io
+    import contextlib
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(["print", db])
+    dbk = {l.split("\t")[0] for l in buf.getvalue().splitlines()}
+
+    def canon(s):
+        rc = s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+        # ACTG integer order: A=00 C=01 T=10 G=11
+        order = {"A": 0, "C": 1, "T": 2, "G": 3}
+        fwd = [order[c] for c in s]
+        rev = [order[c] for c in rc]
+        return s if fwd <= rev else rc
+
+    def hits(s, skip10x=False):
+        n = 0
+        for p in range(len(s) - k + 1):
+            if skip10x and p < 23:
+                continue
+            w = s[p:p + k]
+            if any(c not in "ACGT" for c in w):
+                continue
+            if canon(w) in dbk:
+                n += 1
+        return n
+
+    for is10x in (False, True):
+        want_keep = []
+        for (n1, s1), (n2, s2) in zip(r1, r2):
+            nf = hits(s1, skip10x=is10x) + hits(s2)
+            want_keep.append(nf)
+        o1 = str(tmp_path / "o1.fq")
+        o2 = str(tmp_path / "o2.fq")
+        args = ["-include", "-sequence", str(fq1), str(fq2),
+                "-mers", db, "-output", o1, o2]
+        if is10x:
+            args.append("-10x")
+        assert lookup_cli.main(args) == 0
+        got1 = [(n.split()[0], s.decode()) for n, s, _ in
+                iter_sequences(o1)]
+        want1 = [(n, s) for (n, s), nf in zip(r1, want_keep) if nf > 0]
+        assert got1 == want1
+        # nKmers annotation carries the PAIR total (raw headers: the
+        # parser truncates names at whitespace)
+        got_nf = {}
+        for line in open(o1):
+            if line.startswith("@") and " nKmers=" in line:
+                name, _, nf_s = line[1:].rstrip().partition(" nKmers=")
+                got_nf[name] = int(nf_s)
+        for (n, _s), nf in zip(r1, want_keep):
+            if nf > 0:
+                assert got_nf[n] == nf, n
+
+    # -existence per-read counts on the same messy reads
+    oe = str(tmp_path / "e.txt")
+    assert lookup_cli.main(["-existence", "-sequence", str(fq1),
+                            "-mers", db, "-output", oe]) == 0
+    for line, (n, s) in zip(open(oe), r1):
+        f = line.rstrip("\n").split("\t")
+        assert f[0] == n
+        assert int(f[3]) == hits(s), (n, s)
