@@ -219,6 +219,22 @@ def recanonicalize_chars(chars: np.ndarray) -> np.ndarray:
     return out
 
 
+def codes_to_hilo(codes: np.ndarray):
+    """(n, k) 2-bit code matrix (leftmost base first) -> (hi, lo)
+    uint64 arrays, vectorized (k bitwise passes)."""
+    n, k = codes.shape
+    hi = np.zeros(n, np.uint64)
+    lo = np.zeros(n, np.uint64)
+    for j in range(k):
+        shift = 2 * (k - 1 - j)
+        c = codes[:, j].astype(np.uint64)
+        if shift >= 64:
+            hi |= c << np.uint64(shift - 64)
+        else:
+            lo |= c << np.uint64(shift)
+    return hi, lo
+
+
 def hilo_to_strings(hi: np.ndarray, lo: np.ndarray, k: int):
     """Vectorized decode of (hi, lo) kmer arrays into ACTG strings."""
     chars = hilo_to_char_matrix(hi, lo, k)

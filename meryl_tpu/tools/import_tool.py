@@ -48,45 +48,59 @@ def import_kmers(kmers_path: str, k: int, *, multiset: bool = False,
     """-> (hi, lo, counts[, labels]) sorted; duplicates summed unless
     multiset (labels of summed duplicates OR together, matching the
     v2 counting-with-labels convention)."""
-    ints = []
+    toks = []
     vals = []
     labs = []
     default_value = 1
     default_label = 0
     with open_maybe_compressed(kmers_path) as f:
         for raw in f:
-            line = raw.decode() if isinstance(raw, bytes) else raw
+            line = raw if isinstance(raw, bytes) else raw.encode()
             line = line.strip()
             if not line:
                 continue
-            if line.startswith("#"):
-                default_value = _decode_int(line[1:])
+            if line.startswith(b"#"):
+                default_value = _decode_int(line[1:].decode())
                 continue
-            if line.startswith("value="):
-                default_value = _decode_int(line[6:])
+            if line.startswith(b"value="):
+                default_value = _decode_int(line[6:].decode())
                 continue
-            if line.startswith("label="):
-                default_label = _decode_int(line[6:])
+            if line.startswith(b"label="):
+                default_label = _decode_int(line[6:].decode())
                 continue
             parts = line.split()
             s = parts[0][-k:]  # rolling window keeps the LAST k bases
             if len(s) < k:
-                raise ValueError(f"kmer '{parts[0]}' shorter than k={k}")
-            v = _decode_int(parts[1]) if len(parts) > 1 else default_value
-            lb = _decode_int(parts[2]) if len(parts) > 2 else default_label
-            x = km.string_to_kmer(s)
-            if orient == "canonical":
-                x = km.canonical_kmer(x, k)
-            elif orient == "reverse":
-                x = km.revcomp_kmer(x, k)
-            ints.append(x)
-            vals.append(v)
-            labs.append(lb)
-    order = sorted(range(len(ints)), key=lambda i: (ints[i], i))
-    hi = np.array([ints[i] >> 64 for i in order], np.uint64)
-    lo = np.array([ints[i] & ((1 << 64) - 1) for i in order], np.uint64)
-    vv = np.array([vals[i] for i in order], np.uint64)
-    ll = np.array([labs[i] for i in order], np.uint64)
+                raise ValueError(
+                    f"kmer '{parts[0].decode()}' shorter than k={k}")
+            toks.append(s)
+            vals.append(_decode_int(parts[1].decode())
+                        if len(parts) > 1 else default_value)
+            labs.append(_decode_int(parts[2].decode())
+                        if len(parts) > 2 else default_label)
+    n = len(toks)
+    # vectorized encode + canonicalization (the per-kmer python-int
+    # path measured 0.07 M lines/s; reference dumps reach billions)
+    chars = np.frombuffer(b"".join(toks), np.uint8).reshape(n, k) \
+        if n else np.zeros((0, k), np.uint8)
+    codes = km.CODE_LUT[chars]
+    if (codes > 3).any():
+        bad = int(np.flatnonzero((codes > 3).any(axis=1))[0])
+        raise ValueError(f"invalid base in kmer '{toks[bad].decode()}'")
+    if orient == "reverse":
+        codes = (codes ^ 2)[:, ::-1]   # complement is code^2 (A<->T, C<->G)
+    hi, lo = km.codes_to_hilo(codes)
+    if orient == "canonical":
+        rhi, rlo = km.codes_to_hilo((codes ^ 2)[:, ::-1])
+        take = (rhi < hi) | ((rhi == hi) & (rlo < lo))
+        hi = np.where(take, rhi, hi)
+        lo = np.where(take, rlo, lo)
+    # stable (hi, lo, input-order) sort, matching the python tuple sort
+    order = np.lexsort((np.arange(n), lo, hi))
+    hi = hi[order]
+    lo = lo[order]
+    vv = np.array(vals, np.uint64)[order] if n else np.zeros(0, np.uint64)
+    ll = np.array(labs, np.uint64)[order] if n else np.zeros(0, np.uint64)
     if multiset or len(vv) == 0:
         out = (hi, lo, np.minimum(vv, km.VALUE_MAX).astype(np.uint32))
         return out + (ll,) if with_labels else out
