@@ -18,6 +18,14 @@ def _enable_compile_cache():
     to compile per shape signature.  Opt out with MERYL_TPU_NO_CACHE=1."""
     if _os.environ.get("MERYL_TPU_NO_CACHE"):
         return
+    # jaxlib 0.9 XLA:CPU AOT loads compare the compile-time feature
+    # string (which contains XLA pseudo-features like
+    # +prefer-no-scatter) against host CPUID (which never has them), so
+    # EVERY cached-executable load on CPU logs a ~4KB spurious ERROR
+    # block.  The entries load and run fine; silence the native ERROR
+    # channel unless the user asked for it.  Real failures still
+    # surface as Python exceptions.
+    _os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     try:
         import jax
         cache = _os.environ.get(
