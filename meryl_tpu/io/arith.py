@@ -160,6 +160,21 @@ class _Model:
 
 # ------------------------------------------------------------- bodies
 
+def _native_body(cur: _Cur, out_sz: int, order1: bool, rle: bool):
+    """Native entropy core (~100x the Python decoder), or None —
+    callers fall back to the Python reference implementation, which
+    also raises precise errors on malformed input."""
+    try:
+        from .. import native
+        fast = native.arith_core(cur.d, cur.p, order1, rle, out_sz)
+    except Exception:
+        return None
+    if fast is None:
+        return None
+    buf, cur.p = fast
+    return buf
+
+
 def _max_sym_byte(data: bytes) -> tuple:
     m = (max(data) + 1) if data else 1
     return (m if m < 256 else 0), (m if m else 256)
@@ -307,12 +322,16 @@ def decode(data: bytes, out_hint: int | None = None) -> bytes:
         buf = cur.take(out_sz)
     elif out_sz == 0:
         buf = b""
-    elif flags & RLE:
-        buf = _decode_rle(cur, out_sz, bool(flags & ORDER1))
-    elif flags & ORDER1:
-        buf = _decode_o1(cur, out_sz)
     else:
-        buf = _decode_o0(cur, out_sz)
+        buf = _native_body(cur, out_sz, bool(flags & ORDER1),
+                           bool(flags & RLE))
+        if buf is None:
+            if flags & RLE:
+                buf = _decode_rle(cur, out_sz, bool(flags & ORDER1))
+            elif flags & ORDER1:
+                buf = _decode_o1(cur, out_sz)
+            else:
+                buf = _decode_o0(cur, out_sz)
     if flags & PACK:
         buf = _unpack(buf, pmap, pack_out)
     return buf

@@ -252,6 +252,15 @@ def decode(data: bytes, out_size: int) -> bytes:
         if pm.pflags & PFLAG_HAVE_QMAP and pm.max_sym == 0:
             raise FqzError("fqzcomp: QMAP with zero symbols")
 
+    try:                  # native core (~250x); Python loop = fallback
+        from .. import native
+        fast = native.fqz_core(cur.d, cur.p, gflags, max_sel, stab,
+                               params, out_size)
+    except Exception:
+        fast = None
+    if fast is not None:
+        return fast[0]
+
     nsym = max(pm.max_sym for pm in params)
     models = _Models(nsym, max_sel)
     rc = _RangeDecoder(cur)

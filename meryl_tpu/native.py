@@ -60,7 +60,7 @@ def get_lib():
         if os.path.exists(_LIB_PATH):
             try:  # rebuild when a source outran an old checkout's .so
                 so_t = os.path.getmtime(_LIB_PATH)
-                for src in ("mt_host.cpp", "mt_rans.cpp"):
+                for src in ("mt_host.cpp", "mt_rans.cpp", "mt_arith.cpp"):
                     sp = os.path.join(_NATIVE_DIR, src)
                     if os.path.exists(sp) and os.path.getmtime(sp) > so_t:
                         stale = True
@@ -105,6 +105,17 @@ def get_lib():
                     u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
                     u8p, ctypes.c_int64]
                 lib.mt_ransnx16_core.restype = ctypes.c_int64
+            if hasattr(lib, "mt_arith_decode"):
+                lib.mt_arith_decode.argtypes = [
+                    u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                    ctypes.c_int32, u8p, ctypes.c_int64]
+                lib.mt_arith_decode.restype = ctypes.c_int64
+            if hasattr(lib, "mt_fqz_decode"):
+                lib.mt_fqz_decode.argtypes = [
+                    u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32, u8p,
+                    ctypes.c_void_p, u8p, ctypes.c_int64]
+                lib.mt_fqz_decode.restype = ctypes.c_int64
             if hasattr(lib, "mt_itf8_parse"):
                 lib.mt_itf8_parse.argtypes = [
                     u8p, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
@@ -510,6 +521,82 @@ def ransnx16_core(data, pos: int, order1: bool, n_states: int,
     if consumed < 0:
         return None
     return out.tobytes(), pos + int(consumed)
+
+
+def arith_core(data, pos: int, order1: bool, rle: bool, out_sz: int):
+    """Native adaptive-arithmetic body decode (CRAM method 6) starting
+    at the max-sym byte.  -> (decoded bytes, new pos) or None on
+    unavailable/failure (callers fall back to the Python decoder)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mt_arith_decode"):
+        return None
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(out_sz, np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    end = lib.mt_arith_decode(
+        src.ctypes.data_as(u8), len(src), pos, 1 if order1 else 0,
+        1 if rle else 0, out.ctypes.data_as(u8), out_sz)
+    if end < 0:
+        return None
+    return out.tobytes(), int(end)
+
+
+class _FqzCParam(ctypes.Structure):
+    _fields_ = [
+        ("context", ctypes.c_int32), ("pflags", ctypes.c_int32),
+        ("max_sym", ctypes.c_int32), ("qbits", ctypes.c_int32),
+        ("qshift", ctypes.c_int32), ("qloc", ctypes.c_int32),
+        ("sloc", ctypes.c_int32), ("ploc", ctypes.c_int32),
+        ("dloc", ctypes.c_int32), ("has_qmap", ctypes.c_int32),
+        ("qmap", ctypes.c_uint8 * 256),
+        ("qtab", ctypes.c_uint32 * 256),
+        ("ptab", ctypes.c_uint32 * 1024),
+        ("dtab", ctypes.c_uint32 * 256),
+    ]
+
+
+def fqz_core(data, pos: int, gflags: int, max_sel: int, stab, params,
+             out_sz: int):
+    """Native fqzcomp body decode (CRAM method 7) starting at the
+    range-coded payload; `params` is a list of fqzcomp._Param.
+    -> (decoded bytes, new pos) or None on unavailable/failure."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mt_fqz_decode"):
+        return None
+    cparams = (_FqzCParam * len(params))()
+    for i, pm in enumerate(params):
+        cp = cparams[i]
+        cp.context = pm.context
+        cp.pflags = pm.pflags
+        cp.max_sym = pm.max_sym
+        cp.qbits = pm.qbits
+        cp.qshift = pm.qshift
+        cp.qloc = pm.qloc
+        cp.sloc = pm.sloc
+        cp.ploc = pm.ploc
+        cp.dloc = pm.dloc
+        cp.has_qmap = 1 if pm.qmap is not None else 0
+        if pm.qmap is not None:
+            for j, v in enumerate(pm.qmap[:256]):
+                cp.qmap[j] = v
+        for j in range(256):
+            cp.qtab[j] = pm.qtab[j]
+        for j in range(1024):
+            cp.ptab[j] = pm.ptab[j]
+        for j in range(256):
+            cp.dtab[j] = pm.dtab[j]
+    stab_arr = np.asarray(stab, np.uint8)
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(out_sz, np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    end = lib.mt_fqz_decode(
+        src.ctypes.data_as(u8), len(src), pos, gflags, len(params),
+        max_sel, stab_arr.ctypes.data_as(u8),
+        ctypes.cast(cparams, ctypes.c_void_p),
+        out.ctypes.data_as(u8), out_sz)
+    if end < 0:
+        return None
+    return out.tobytes(), int(end)
 
 
 def itf8_parse(data: bytes):

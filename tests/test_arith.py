@@ -71,3 +71,29 @@ def test_truncated_raises():
     enc = A.encode(_data("dna"), 0)
     with pytest.raises((A.ArithError, IndexError)):
         A.decode(enc[: len(enc) // 3])
+
+
+def test_native_arith_matches_python(monkeypatch):
+    """The C arith core must agree byte-for-byte with the Python
+    reference decoder (which remains the fallback)."""
+    import random
+
+    from meryl_tpu import native
+    from meryl_tpu.io import arith as A
+
+    if not (native.available()
+            and hasattr(native.get_lib(), "mt_arith_decode")):
+        pytest.skip("native arith core unavailable")
+    rng = random.Random(9)
+    for n in (1, 17, 3000, 40000):
+        d = bytes(rng.choices(range(33, 74), k=n))
+        r = bytes(rng.choices(b"AAAAABBC", k=n))     # runs for RLE
+        for flags, data in [(0, d), (A.ORDER1, d), (0x40, r),
+                            (A.ORDER1 | 0x40, r)]:
+            enc = A.encode(data, flags)
+            got_native = A.decode(enc, n)
+            monkeypatch.setattr(native, "arith_core",
+                                lambda *a, **k: None)
+            got_python = A.decode(enc, n)
+            monkeypatch.undo()
+            assert got_native == got_python == data, (flags, n)

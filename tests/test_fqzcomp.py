@@ -161,3 +161,54 @@ def test_cram_block_method7(tmp_path):
     got = list(cram.iter_cram(p))
     assert [(n, s.decode()) for n, s, _ in got] == reads
     assert [q.decode() for _, _, q in got] == quals
+
+
+def test_native_fqz_matches_python(monkeypatch):
+    """The C fqzcomp core must agree byte-for-byte with the Python
+    reference decoder across every parameter feature."""
+    from meryl_tpu import native
+
+    if not (native.available()
+            and hasattr(native.get_lib(), "mt_fqz_decode")):
+        pytest.skip("native fqz core unavailable")
+    cases = []
+    recs = _records(n=60, seed=3)
+    cases.append(fqzcomp.encode(recs))
+    qtab = [min(i // 4, 15) for i in range(256)]
+    ptab = [min(i // 128, 7) for i in range(1024)]
+    dtab = [min(i // 16, 7) for i in range(256)]
+    pm = _Param(pflags=PFLAG_DO_LEN | PFLAG_HAVE_QTAB | PFLAG_HAVE_PTAB
+                | PFLAG_HAVE_DTAB,
+                max_sym=40, qbits=4, qshift=4, qloc=4, ploc=8, dloc=11,
+                qtab=qtab, ptab=ptab, dtab=dtab)
+    cases.append(fqzcomp.encode(recs, params=[pm]))
+    pm0 = _Param(pflags=PFLAG_DO_LEN | PFLAG_DO_SEL, max_sym=40,
+                 qbits=6, sloc=14)
+    pm1 = _Param(pflags=PFLAG_DO_LEN | PFLAG_DO_DEDUP, max_sym=40,
+                 context=0x8000)
+    dup = [r for r in recs[:10] for _ in (0, 1)]
+    cases.append(fqzcomp.encode(dup, params=[pm0, pm1],
+                                stab=[0, 0, 1, 1]))
+    cases.append(fqzcomp.encode(recs, revs=[i % 2 == 0
+                                            for i in range(len(recs))]))
+    syms = [33, 37, 53, 70]
+    import random as _r
+    _r.seed(5)
+    qrecs = [bytes(_r.choice(syms) for _ in range(50)) for _ in range(20)]
+    pmq = _Param(pflags=PFLAG_DO_LEN | PFLAG_HAVE_QMAP,
+                 max_sym=len(syms), qmap=syms)
+    cases.append((fqzcomp.encode(qrecs, params=[pmq]),
+                  sum(map(len, qrecs))))
+    tot = sum(map(len, recs))
+    dtot = sum(map(len, dup))
+    sizes = [tot, tot, dtot, tot]
+    for i, blob in enumerate(cases):
+        if isinstance(blob, tuple):
+            blob, sz = blob
+        else:
+            sz = sizes[i]
+        got_native = fqzcomp.decode(blob, sz)
+        monkeypatch.setattr(native, "fqz_core", lambda *a, **k: None)
+        got_python = fqzcomp.decode(blob, sz)
+        monkeypatch.undo()
+        assert got_native == got_python, i
