@@ -24,8 +24,10 @@ def _enable_compile_cache():
     # EVERY cached-executable load on CPU logs a ~4KB spurious ERROR
     # block.  The entries load and run fine; silence the native ERROR
     # channel unless the user asked for it.  Real failures still
-    # surface as Python exceptions.
-    _os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    # surface as Python exceptions; export MERYL_TPU_NATIVE_LOGS=1 to
+    # keep backend/tunnel diagnostics visible (e.g. when debugging).
+    if not _os.environ.get("MERYL_TPU_NATIVE_LOGS"):
+        _os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     try:
         import jax
         cache = _os.environ.get(

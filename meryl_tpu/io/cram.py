@@ -293,10 +293,25 @@ def _decompress_inner(method: int, data: bytes, raw_size: int) -> bytes:
         return arith.decode(data, raw_size)
     if method == 7:
         from . import fqzcomp
-        return fqzcomp.decode(data, raw_size)
+        from .rans_nx16 import RansError
+        try:
+            return fqzcomp.decode(data, raw_size)
+        except RansError as e:
+            # the fqzcomp wire format here is reconstructed from the
+            # spec without htslib sample files to cross-check: a stream
+            # we cannot parse degrades like an unsupported codec
+            # (quality-only series — quals drop, sequences unaffected)
+            # instead of aborting the whole file
+            raise CramUnsupportedCodec(f"fqzcomp stream: {e}") from e
     if method == 8:
         from . import tok3
-        return tok3.decode(data, raw_size)
+        from .rans_nx16 import RansError
+        try:
+            return tok3.decode(data, raw_size)
+        except RansError as e:
+            # same stance for tok3 (name-only series — names fall back
+            # to generated ones)
+            raise CramUnsupportedCodec(f"tok3 stream: {e}") from e
     raise CramUnsupportedCodec(
         f"CRAM block compression method {method} not supported "
         f"(not defined by CRAM 3.1; blocks are lazy, so sequence "

@@ -252,6 +252,8 @@ def decode(data: bytes, out_size: int) -> bytes:
         if pm.pflags & PFLAG_HAVE_QMAP and pm.max_sym == 0:
             raise FqzError("fqzcomp: QMAP with zero symbols")
 
+    if out_size == 0:
+        return b""
     try:                  # native core (~250x); Python loop = fallback
         from .. import native
         fast = native.fqz_core(cur.d, cur.p, gflags, max_sel, stab,

@@ -286,26 +286,35 @@ class SequenceChunker:
             return False
 
         def run_file(path: str) -> None:
+            # a sequence longer than one block accumulates as a LIST of
+            # blocks (one concatenate at the cut, not one per block —
+            # repeated concatenation is quadratic on chromosome-length
+            # FASTA records); blocks may only be emitted cut at a SEP
+            # so pieces of one sequence never interleave with another
+            # file's blocks in the consumer stream
             try:
-                carry = None
+                carry = []
                 for block in self._file_codes(path, inner_threads=1):
-                    if carry is not None:
-                        block = np.concatenate([carry, block])
-                        carry = None
                     seps = np.flatnonzero(block == SEP)
                     if len(seps) == 0:
-                        carry = block      # sequence longer than block
+                        carry.append(block)
                         continue
                     cut = int(seps[-1]) + 1
-                    if cut < len(block):
-                        carry = block[cut:]
+                    tail = block[cut:] if cut < len(block) else None
+                    if carry:
+                        carry.append(block[:cut])
+                        block = np.concatenate(carry)
+                        carry = []
+                    else:
                         block = block[:cut]
+                    if tail is not None and len(tail):
+                        carry.append(tail)
                     if not put(("b", block)):
                         return
-                if carry is not None and len(carry):
+                if carry:
                     # stream ended mid-sequence (raw input): close it
-                    put(("b", np.concatenate(
-                        [carry, np.full(1, SEP, np.uint8)])))
+                    carry.append(np.full(1, SEP, np.uint8))
+                    put(("b", np.concatenate(carry)))
             finally:
                 put(("d", None))   # no-op if the consumer is closing
 

@@ -114,9 +114,9 @@ def encode(data: bytes, *, use_arith: bool = False,
     the BYTE_ARRAY_STOP separator byte)."""
     if not data:
         return struct.pack("<IIB", 0, 0, 1 if use_arith else 0)
+    # the blob's final byte IS the separator (BYTE_ARRAY_STOP contract:
+    # every name, including the last, ends with the stop byte)
     sep = data[-1]
-    if not data.endswith(bytes([sep])):
-        raise Tok3Error("name blob must end with its separator")
     names = data[:-1].split(bytes([sep])) if len(data) > 1 else [b""]
     nnames = len(names)
 

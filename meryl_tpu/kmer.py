@@ -219,6 +219,23 @@ def recanonicalize_chars(chars: np.ndarray) -> np.ndarray:
     return out
 
 
+def concat_codes_with_breakers(codes_list):
+    """Concatenate per-read 2-bit code arrays with one 0xFF breaker
+    after each (breakers invalidate cross-read kmer windows, so a
+    batch queries as one buffer).  -> (buf, offs, lens): the buffer,
+    each read's start offset, and each read's code length."""
+    n = len(codes_list)
+    lens = np.fromiter((len(c) for c in codes_list), np.int64, n)
+    buf = np.full(int(lens.sum()) + n, 255, np.uint8)
+    offs = np.empty(n, np.int64)
+    pos = 0
+    for i, c in enumerate(codes_list):
+        offs[i] = pos
+        buf[pos:pos + len(c)] = c
+        pos += len(c) + 1
+    return buf, offs, lens
+
+
 def codes_to_hilo(codes: np.ndarray):
     """(n, k) 2-bit code matrix (leftmost base first) -> (hi, lo)
     uint64 arrays, vectorized (k bitwise passes)."""

@@ -164,14 +164,7 @@ def main(argv=None) -> int:
             codes_list = [km.CODE_LUT[np.frombuffer(r[1], np.uint8)]
                           for r in batch]
             n = len(batch)
-            lens = np.fromiter((len(c) for c in codes_list), np.int64, n)
-            buf = np.full(int(lens.sum()) + n, 255, np.uint8)
-            offs = np.empty(n, np.int64)
-            pos = 0
-            for i, c in enumerate(codes_list):
-                offs[i] = pos
-                buf[pos:pos + len(c)] = c
-                pos += len(c) + 1
+            buf, offs, _lens = km.concat_codes_with_breakers(codes_list)
             positions, ranks = _canonical_positions(table.lookup, buf)
             read_of = np.searchsorted(offs, positions, "right") - 1
             tcov = np.bincount(read_of, minlength=n)

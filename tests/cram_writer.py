@@ -300,6 +300,9 @@ def block(method: int, ctype: int, content_id: int, raw: bytes) -> bytes:
     elif method == 8:   # tok3 name tokenizer (separator-terminated)
         from meryl_tpu.io import tok3
         comp = tok3.encode(raw)
+    elif method == 96:  # test alias: fqzcomp id, unparseable stream
+        method = 7
+        comp = b"\x05\x00" + b"\xff" * 8
     elif method == 97:  # test alias: unsupported method id, opaque payload
         method = 9
         comp = b"\xde\xad" + raw[:2]

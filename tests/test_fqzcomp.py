@@ -212,3 +212,29 @@ def test_native_fqz_matches_python(monkeypatch):
         got_python = fqzcomp.decode(blob, sz)
         monkeypatch.undo()
         assert got_native == got_python, i
+
+
+def test_zero_size_decode(monkeypatch):
+    """out_size=0 must return b'' identically on the native core and
+    the Python fallback (the fallback used to crash)."""
+    from meryl_tpu import native
+    blob = fqzcomp.encode([])
+    assert fqzcomp.decode(blob, 0) == b""
+    monkeypatch.setattr(native, "fqz_core", lambda *a, **k: None)
+    assert fqzcomp.decode(blob, 0) == b""
+
+
+def test_unparseable_fqz_qs_degrades(tmp_path):
+    """A method-7 QS block whose stream does not parse must degrade to
+    bare quals (our fqzcomp wire format is spec-reconstructed; a real
+    htslib stream that diverges must not abort sequence extraction)."""
+    from meryl_tpu.io import cram
+    from tests import cram_writer as cw
+    reads = [("r1", "ACGTACGTACGTACGT"), ("r2", "GGGGCCCCAAAATTTT")]
+    quals = ["IIIIIIIIIIIIIIII", "BBBBBBBBBBBBBBBB"]
+    p = str(tmp_path / "badfqz.cram")
+    cw.write_unmapped_cram(p, reads, method=5, quals=quals,
+                           series_methods={"QS": 96})
+    got = list(cram.iter_cram(p))
+    assert [(n, s.decode()) for n, s, _ in got] == reads
+    assert all(q is None for _, _, q in got)
