@@ -157,6 +157,7 @@ class Builder:
         self.pipes: dict[str, Action] = {}
         self.label_bits = 64
         self._terminating = 0
+        self._pending_output = False
 
     def top(self) -> Action:
         if not self.stack:
@@ -237,6 +238,11 @@ class Builder:
 
         t = self.top()
 
+        if self._pending_output:          # compat: 'output <path>'
+            self._pending_output = False
+            t.out_db = w
+            return
+
         if t.pending_number and w.isdigit():
             _finish_alias_number(t, int(w))
             return
@@ -307,6 +313,21 @@ class Builder:
                 t.count_label = a.constant
             else:
                 t.lassign = a
+            return
+        # quick-start compatibility forms (the reference's own docs use
+        # these: quick-start.rst lines 38, 61, 193; regex 0x26 is the
+        # 'output <path>' compat rule in merylCommandBuilder-processText.C)
+        if w.startswith("output="):
+            t.out_db = w[7:]
+            return
+        if w == "output":
+            self._pending_output = True
+            return
+        if w == "print":
+            t.out_show = True
+            return
+        if w.startswith("print="):
+            t.out_list = w[6:]
             return
         if w.startswith("value:"):
             neg = t.negate_next

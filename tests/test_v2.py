@@ -229,3 +229,35 @@ def test_select_distinct_fraction(dbs):
     maxv = max(v for v, _ in dicts[0].values())
     want = {kk for kk, (v, _) in dicts[0].items() if v >= maxv}
     assert set(got) == want
+
+
+def test_quickstart_compat_forms(tmp_path):
+    """The reference's quick-start.rst uses 'output=X', bare 'print',
+    'print=X' and 'output <path>' — all must parse (quick-start.rst:38,
+    61,193; the 'output <path>' compat rule is regex 0x26 in
+    merylCommandBuilder-processText.C:156)."""
+    import io
+    import contextlib
+
+    from meryl_tpu.v2 import cli as v2cli
+
+    fa = tmp_path / "r.fa"
+    fa.write_text(">r\n" + "ACGTACGTTTGGCCAACGTG" * 40 + "\n")
+    db = str(tmp_path / "a.meryl")
+    assert v2cli.main(["-k", "11", "count", str(fa),
+                       f"output={db}"]) == 0
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert v2cli.main(["print", db]) == 0
+    lines = out.getvalue().splitlines()
+    assert lines and all(len(l.split("\t")) == 3 for l in lines)
+    dump = str(tmp_path / "d.txt")
+    db2 = str(tmp_path / "b.meryl")
+    assert v2cli.main([f"print={dump}", "at-least", "2", db,
+                       f"output={db2}"]) == 0
+    assert sum(1 for _ in open(dump)) > 0     # repeated 20-mer block
+    db3 = str(tmp_path / "c.meryl")
+    assert v2cli.main(["-k", "11", "count", str(fa), "output",
+                       db3]) == 0
+    import os
+    assert os.path.isdir(db3)
