@@ -26,6 +26,9 @@ def _enable_compile_cache():
     # channel unless the user asked for it.  Real failures still
     # surface as Python exceptions; export MERYL_TPU_NATIVE_LOGS=1 to
     # keep backend/tunnel diagnostics visible (e.g. when debugging).
+    # Only effective when meryl_tpu is imported before jaxlib loads
+    # (always true for the CLI entry points); TSL latches the level at
+    # native-library load.
     if not _os.environ.get("MERYL_TPU_NATIVE_LOGS"):
         _os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     try:

@@ -329,6 +329,12 @@ class Builder:
         if w.startswith("print="):
             t.out_list = w[6:]
             return
+        if w == "histogram":              # quick-start.rst:146
+            t.out_hist = "-"
+            return
+        if w == "statistics":
+            t.out_stats = "-"
+            return
         if w.startswith("value:"):
             neg = t.negate_next
             t.negate_next = False
@@ -529,8 +535,34 @@ def print_v2(hi, lo, vals, labs, k, out, with_labels: bool,
         labels=labs if with_labels else None))
 
 
+def _infer_k(b: Builder) -> int:
+    """No -k given: take it from any database input in the trees (the
+    reference sizes nested counts from sibling DBs the same way —
+    quick-start.rst's union-sum example counts without -k)."""
+    def scan(act):
+        for inp in act.inputs:
+            if isinstance(inp, Action):
+                kk = scan(inp)
+                if kk:
+                    return kk
+            elif isinstance(inp, DBInput):
+                try:
+                    return inp.open().k
+                except Exception:
+                    continue
+        return 0
+    for root in b.roots:
+        kk = scan(root)
+        if kk:
+            return kk
+    return 0
+
+
 def execute(b: Builder) -> int:
     from ..counter import count_to_arrays
+
+    if not b.k:
+        b.k = _infer_k(b)
 
     # counting phase
     def materialize(act: Action, tmpdirs):
