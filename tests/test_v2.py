@@ -261,3 +261,38 @@ def test_quickstart_compat_forms(tmp_path):
                        db3]) == 0
     import os
     assert os.path.isdir(db3)
+
+
+def test_quickstart_histogram_and_k_inference(tmp_path):
+    """Bare 'histogram'/'statistics' aliases and counting without -k
+    when a sibling DB input pins the kmer size (quick-start.rst:86,146)."""
+    import io
+    import contextlib
+    import os
+
+    from meryl_tpu.v2 import cli as v2cli
+
+    fa = tmp_path / "a.fa"
+    fa.write_text(">a\n" + "ACGTACGTTTGGCCAACGTG" * 30 + "\n")
+    fb = tmp_path / "b.fa"
+    fb.write_text(">b\n" + "TTTTGGGGCCCCAAAATGCA" * 30 + "\n")
+    db = str(tmp_path / "a.meryl")
+    assert v2cli.main(["-k", "13", "count", str(fa),
+                       f"output={db}"]) == 0
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert v2cli.main(["histogram", db]) == 0
+    assert all(len(l.split("\t")) == 2
+               for l in out.getvalue().splitlines())
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        assert v2cli.main(["statistics", db]) == 0
+    assert "distinct" in out.getvalue()
+    # nested count with NO -k: inferred from the sibling DB input
+    u = str(tmp_path / "u.meryl")
+    b2 = str(tmp_path / "b.meryl")
+    assert v2cli.main(["union-sum", f"output={u}",
+                       "[count", str(fb), f"output={b2}]", db]) == 0
+    assert os.path.isdir(u) and os.path.isdir(b2)
+    from meryl_tpu.db import MerylDB
+    assert MerylDB.open(b2).k == 13
