@@ -300,11 +300,29 @@ def main():
 
     _wait_for_backend()
     err = None
+    # a wedged tunnel HANGS rather than raising: a watchdog emits the
+    # error JSON line and exits if the counting bench never returns
+    import threading
+
+    def _watchdog():
+        out = {"metric": "count_k21_canonical_throughput", "value": 0.0,
+               "unit": "bases/s", "vs_baseline": 0.0,
+               "trials_bases_per_s": [],
+               "error": "watchdog: counting bench hung (tunnel outage)"}
+        print(json.dumps(out), flush=True)
+        os._exit(3)
+
+    budget = float(os.environ.get("MERYL_TPU_BENCH_TIMEOUT", 2400))
+    dog = threading.Timer(budget, _watchdog)
+    dog.daemon = True
+    dog.start()
     try:
         best, trials = bench_counting()
     except Exception as e:  # emit a JSON line even through an outage
         best, trials = 0.0, []
         err = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        dog.cancel()
     try:     # device benches can HANG on a wedged tunnel: skip on error
         lookup_mqps = None if err is not None else bench_lookup()
     except Exception:

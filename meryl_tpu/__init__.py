@@ -29,7 +29,7 @@ def _enable_compile_cache():
     # Only effective when meryl_tpu is imported before jaxlib loads
     # (always true for the CLI entry points); TSL latches the level at
     # native-library load.
-    if not _os.environ.get("MERYL_TPU_NATIVE_LOGS"):
+    if _os.environ.get("MERYL_TPU_NATIVE_LOGS", "0") == "0":
         _os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     try:
         import jax

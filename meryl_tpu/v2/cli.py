@@ -384,6 +384,8 @@ class Builder:
         raise ParseError(f"can't interpret '{w}'")
 
     def finalize(self):
+        if self._pending_output:
+            raise ParseError("'output' needs a following path")
         self._terminate()
         self.stack.clear()
         for r in list(self.roots):
@@ -535,24 +537,31 @@ def print_v2(hi, lo, vals, labs, k, out, with_labels: bool,
         labels=labs if with_labels else None))
 
 
-def _infer_k(b: Builder) -> int:
-    """No -k given: take it from any database input in the trees (the
-    reference sizes nested counts from sibling DBs the same way —
+def _find_k(act, pipes) -> int:
+    """kmer size from any database input reachable from `act` —
+    directly, through nested actions, or through named pipes (the
+    reference sizes nested counts from sibling DBs the same way;
     quick-start.rst's union-sum example counts without -k)."""
-    def scan(act):
-        for inp in act.inputs:
-            if isinstance(inp, Action):
-                kk = scan(inp)
-                if kk:
-                    return kk
-            elif isinstance(inp, DBInput):
-                try:
-                    return inp.open().k
-                except Exception:
-                    continue
-        return 0
+    for inp in act.inputs:
+        if isinstance(inp, DBInput):
+            try:
+                return inp.open().k
+            except Exception:
+                continue
+        if isinstance(inp, Action):
+            kk = _find_k(inp, pipes)
+            if kk:
+                return kk
+        if isinstance(inp, PipeInput) and inp.name in pipes:
+            kk = _find_k(pipes[inp.name], pipes)
+            if kk:
+                return kk
+    return 0
+
+
+def _infer_k(b: Builder) -> int:
     for root in b.roots:
-        kk = scan(root)
+        kk = _find_k(root, b.pipes)
         if kk:
             return kk
     return 0
@@ -596,31 +605,21 @@ def execute(b: Builder) -> int:
 
         for root in b.roots:
             if root.is_counting():
-                if root.out_show:
-                    db = MerylDB.open(root.out_db)
-                    for ff in range(NUM_FILES):
-                        hi, lo, c, lab = db.load_bucket_labels(ff)
-                        print_v2(hi, lo, c,
-                                 lab if lab is not None else
-                                 np.zeros(len(c), np.uint64),
-                                 b.k, sys.stdout, lab is not None)
-                continue
+                if not (root.out_show or root.out_list or root.out_hist
+                        or root.out_stats):
+                    continue
+                # identity action over the counted DB: reuses the full
+                # output machinery (show / list / ## / hist / stats)
+                pt = Action()
+                pt.inputs.append(DBInput(root.out_db))
+                pt.out_show = root.out_show
+                pt.out_list = root.out_list
+                pt.out_list_acgt = root.out_list_acgt
+                pt.out_hist = root.out_hist
+                pt.out_stats = root.out_stats
+                root = pt
 
-            def find_k(a):
-                for i in a.inputs:
-                    if isinstance(i, DBInput):
-                        return i.open().k
-                    if isinstance(i, Action):
-                        kk = find_k(i)
-                        if kk:
-                            return kk
-                    if isinstance(i, PipeInput) and i.name in b.pipes:
-                        kk = find_k(b.pipes[i.name])
-                        if kk:
-                            return kk
-                return 0
-
-            kk = b.k or find_k(root)
+            kk = b.k or _find_k(root, b.pipes)
             if not kk:
                 raise ParseError("cannot determine k")
 

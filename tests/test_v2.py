@@ -296,3 +296,29 @@ def test_quickstart_histogram_and_k_inference(tmp_path):
     assert os.path.isdir(u) and os.path.isdir(b2)
     from meryl_tpu.db import MerylDB
     assert MerylDB.open(b2).k == 13
+
+
+def test_counting_root_extra_outputs(tmp_path):
+    """histogram/statistics/print= on a COUNTING action must produce
+    output (previously they parsed but were silently dropped), and a
+    dangling bare 'output' with no path must error instead of counting
+    into a deleted temp dir."""
+    import io
+    import contextlib
+
+    from meryl_tpu.v2 import cli as v2cli
+
+    fa = tmp_path / "r.fa"
+    fa.write_text(">r\n" + "ACGTACGTTTGGCCAACGTG" * 30 + "\n")
+    db = str(tmp_path / "x.meryl")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert v2cli.main(["-k", "11", "count", str(fa),
+                           f"output={db}", "histogram"]) == 0
+    assert len(buf.getvalue().splitlines()) >= 1
+    dump = str(tmp_path / "d.txt")
+    db2 = str(tmp_path / "y.meryl")
+    assert v2cli.main(["-k", "11", "count", str(fa), f"output={db2}",
+                       f"print={dump}"]) == 0
+    assert sum(1 for _ in open(dump)) > 0
+    assert v2cli.main(["-k", "11", "count", str(fa), "output"]) == 1
