@@ -86,10 +86,12 @@ def bench_counting():
 
 def bench_lookup():
     """Bulk exact-lookup throughput (BASELINE.md workload:
-    'meryl-lookup batched queries'): 2M queries against a ~4M-kmer
-    table, as one on-device scan over query slabs with a scalar
-    checksum out (fetch-grounded; measures the lookup kernel, not the
-    dev tunnel's device->host link)."""
+    'meryl-lookup batched queries'): 2M queries per slab against a
+    ~4M-kmer table, S slabs per scan dispatch with a scalar checksum
+    out (fetch-grounded; measures the lookup kernel, not the dev
+    tunnel's device->host link).  The measured program is the
+    production routed join (lookup._route_join_kernel_impl): gather-
+    free bucket routing + row-batched join sorts."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -98,8 +100,7 @@ def bench_lookup():
 
     K = 21
     N_DB = 1 << 22
-    N_Q = 1 << 21
-    SLAB = lk.ExactLookup.BULK_SLAB
+    S = 4
     TRIALS = 3
 
     rng = np.random.default_rng(1)
@@ -114,37 +115,44 @@ def bench_lookup():
             return hi, kmers, counts
 
     table = lk.ExactLookup(_FakeDB())
-    tplanes, tvalues, toffsets = table._planes, table._values, table._offsets
-    iters, B = table._iters, table.B
+    g = table._build_grouped()
+    cfg = g["cfg"]
+    R0, L0 = cfg[7], cfg[8]
+    N_Q = R0 * L0
+    gplanes, gvalues = g["gplanes"], g["gvalues"]
+    pad_key, pad_planes = g["pad_key"], g["pad_planes"]
 
-    from meryl_tpu.lookup import _query_kernel
-
-    def body(carry, q):
-        vals = _query_kernel(tplanes, tvalues, toffsets,
-                             [q[i] for i in range(table.P)],
-                             jnp.ones((SLAB,), bool), K, B, iters)
-        return carry + jnp.sum(vals), None
+    def body(carry, xs):
+        qp, qi = xs
+        val, qidx, n_ovf, tail = lk._route_join_kernel_impl(
+            gplanes, gvalues, [qp[i] for i in range(table.P)], qi,
+            pad_key, pad_planes, cfg)
+        return (carry + jnp.sum(val) + n_ovf.astype(jnp.uint32)
+                + qidx[0, 0] + tail[0, 0]), None
 
     @jax.jit
-    def pipeline(qstack):
-        out, _ = lax.scan(body, jnp.uint32(0), qstack)
+    def pipeline(xs):
+        out, _ = lax.scan(body, jnp.uint32(0), xs)
         return out
 
     def make_queries():
-        q = np.concatenate([
-            rng.choice(kmers, size=N_Q // 2),
-            rng.integers(0, 1 << 42, size=N_Q // 2, dtype=np.uint64)])
-        rng.shuffle(q)
-        qhi = np.zeros(len(q), np.uint64)
-        qp = km.planes_from_hilo(qhi, q, table.P)
-        # (S, P, SLAB) stack for the scan
-        return jax.device_put(jnp.asarray(
-            np.stack([p.reshape(-1, SLAB) for p in qp], axis=1)))
+        qps, qis = [], []
+        for _ in range(S):
+            q = np.concatenate([
+                rng.choice(kmers, size=N_Q // 2),
+                rng.integers(0, 1 << 42, size=N_Q // 2, dtype=np.uint64)])
+            rng.shuffle(q)
+            qhi = np.zeros(len(q), np.uint64)
+            qp = km.planes_from_hilo(qhi, q, table.P)
+            qps.append(np.stack([p.reshape(R0, L0) for p in qp]))
+            qis.append(np.arange(N_Q, dtype=np.uint32).reshape(R0, L0))
+        return jax.device_put((jnp.asarray(np.stack(qps)),
+                               jnp.asarray(np.stack(qis))))
 
     inputs = [make_queries() for _ in range(TRIALS + 1)]
     jax.block_until_ready(inputs)
     times = _timeit_fetch(pipeline, inputs, TRIALS)
-    return max(N_Q / dt / 1e6 for dt in times)
+    return max(S * N_Q / dt / 1e6 for dt in times)
 
 
 def bench_setop():
@@ -152,43 +160,51 @@ def bench_setop():
     'union-sum / intersect-min / subtract set ops'): union-sum over
     two 1M-entry sorted unique inputs per batch, 8 batches per scan
     dispatch, fetch-grounded scalar out.  Returns merged entries/s in
-    millions (the same _merge_sort_stage + _merge_compute_stage
-    programs meryl's op-tree evaluator dispatches per bucket group)."""
+    millions.  The measured program is what the op-tree evaluator
+    dispatches per bucket group: optree._pack_rows splits the
+    pre-sorted inputs at shared key boundaries into (R, L) rows
+    (packing itself is host work, overlapped in production and
+    untimed here, as with counting's host stages), then one
+    row-batched sort + windowed-reduction compute stage."""
     import jax
     import jax.numpy as jnp
     from jax import lax
+    from meryl_tpu.optree import BucketEvaluator
     from meryl_tpu.ops.setops import _merge_compute_stage, _merge_sort_stage
 
     N = 1 << 20
     S = 8
     TRIALS = 3
     rng = np.random.default_rng(2)
+    ev = BucketEvaluator(21)
 
     def make_input():
         batches = []
         for _ in range(S):
-            rows = []
+            ins = []
             for inp in range(2):
                 v = np.unique(rng.integers(0, 1 << 42, size=N,
                                            dtype=np.uint64))
                 v = np.pad(v, (0, N - len(v)),
                            constant_values=(1 << 42) - 1)[:N]
-                rows.append(v)
-            v = np.concatenate(rows)
-            lo = (v & 0xFFFFFFFF).astype(np.uint32)
-            hi = (v >> 32).astype(np.uint32)
-            vals = rng.integers(1, 100, size=2 * N).astype(np.uint32)
-            ids = np.repeat(np.arange(2, dtype=np.int32), N)
-            batches.append((lo, hi, vals, ids))
-        stacked = tuple(jnp.asarray(np.stack([b[i] for b in batches]))
-                        for i in range(4))
-        return jax.device_put(stacked)
+                hi = np.zeros(N, np.uint64)
+                vals = rng.integers(1, 100, size=N).astype(np.uint32)
+                ins.append((hi, v, vals))
+            batches.append(ev._pack_rows(ins, 2))
+        planes = [jnp.asarray(np.stack([b[0][p] for b in batches]))
+                  for p in range(ev.P)]
+        values = jnp.asarray(np.stack([b[1] for b in batches]))
+        ids = jnp.asarray(np.stack([b[2] for b in batches]))
+        return jax.device_put((tuple(planes), values, ids))
+
+    rowlen = None
 
     def body(carry, xs):
-        lo, hi, vals, ids = xs
-        splanes, val, ids2 = _merge_sort_stage([lo, hi], vals, ids)
+        planes, vals, ids = xs
+        splanes, val, ids2 = _merge_sort_stage(list(planes), vals, ids)
         sp, ov, keep = _merge_compute_stage(splanes, val, ids2,
-                                            "union-sum", 2, jnp.uint32(0))
+                                            "union-sum", 2, jnp.uint32(0),
+                                            rowlen)
         return (carry + jnp.sum(jnp.where(keep, ov, 0)) + sp[0][0]), None
 
     @jax.jit
@@ -197,6 +213,7 @@ def bench_setop():
         return out
 
     inputs = [make_input() for _ in range(TRIALS + 1)]
+    rowlen = int(inputs[0][1].shape[-1])
     jax.block_until_ready(inputs)
     times = _timeit_fetch(pipeline, inputs, TRIALS)
     return max(S * 2 * N / dt / 1e6 for dt in times)

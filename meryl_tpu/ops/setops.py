@@ -127,8 +127,20 @@ def _apply_value_rule(op: str, m: int, act_len, v_first, first_idx,
 @jax.jit
 def _merge_sort_stage(planes, values, input_ids):
     """Stable multiword sort with payloads; the program ends at the
-    sort to keep XLA:TPU's fast sort path (see ops/count.py)."""
+    sort to keep XLA:TPU's fast sort path (see ops/count.py).
+
+    Accepts flat (L,) arrays or row-batched (R, L) arrays.  Rows are
+    sorted INDEPENDENTLY (lax.sort along the last axis) and returned
+    flattened: a single long lax.sort costs up to 20x the row-batched
+    floor (docs/tpu-design.md), so callers whose inputs are already
+    sorted split them at shared key boundaries into rows (see
+    optree._pack_rows) — every instance of a key lands in exactly one
+    row, which makes the flattened result globally ordered."""
     splanes, (val, ids) = _sort_with_payload(planes, (values, input_ids))
+    if splanes[0].ndim == 2:
+        n = splanes[0].size
+        splanes = [p.reshape(n) for p in splanes]
+        val, ids = val.reshape(n), ids.reshape(n)
     return splanes, val, ids
 
 
@@ -136,7 +148,9 @@ def merge_op(planes, values, input_ids, op: str, m: int, threshold):
     """Evaluate one set operation over concatenated input buckets.
 
     planes:    P uint32 arrays, all inputs concatenated (padding entries
-               carry the all-ones sentinel key and value 0)
+               carry the all-ones sentinel key and value 0); either
+               flat (L,) or row-batched (R, L) with rows split at key
+               boundaries (no key spans two rows)
     values:    uint32 (0 marks padding)
     input_ids: int32 input index per entry (0-based)
     op, m:     operation name and number of inputs
@@ -146,8 +160,10 @@ def merge_op(planes, values, input_ids, op: str, m: int, threshold):
     keep_mask is True are the surviving kmers, ascending, value > 0.
 
     Host-orchestrated in two device programs (sort | compute)."""
+    rowlen = planes[0].shape[-1] if planes[0].ndim == 2 else None
     splanes, val, ids = _merge_sort_stage(planes, values, input_ids)
-    return _merge_compute_stage(splanes, val, ids, op, m, threshold)
+    return _merge_compute_stage(splanes, val, ids, op, m, threshold,
+                                rowlen)
 
 
 # ---- multiset (per-instance) evaluation ----
@@ -309,13 +325,81 @@ def _ms_match_stage(planes, values, input_ids, op: str, m: int,
     return s2, out.astype(U32), keep
 
 
-@functools.partial(jax.jit, static_argnames=("op", "m"))
-def _merge_compute_stage(splanes, val, ids, op: str, m: int, threshold):
-    from . import segscan
+# Above this input count the windowed reduction's m-1 shifted passes
+# lose to the log-depth segmented scans.
+_WINDOW_MAX = 16
 
+
+@functools.partial(jax.jit, static_argnames=("op", "m", "rowlen"))
+def _merge_compute_stage(splanes, val, ids, op: str, m: int, threshold,
+                         rowlen: int | None = None):
     start = _run_starts(splanes)
+    if rowlen is not None:
+        # rows were sorted independently: force a run start at every
+        # row boundary so no segmented reduction crosses rows (keys
+        # never span rows by construction; this only separates each
+        # row's sentinel-padding tail from the next row cleanly)
+        s2 = start.reshape(-1, rowlen)
+        start = jnp.concatenate(
+            [jnp.ones((s2.shape[0], 1), bool), s2[:, 1:]],
+            axis=1).reshape(start.shape[0])
 
     present = val > U32(0)
+    if m <= _WINDOW_MAX:
+        act_len, v_first, first_idx, v_min, v_max, v_sum = \
+            _windowed_reductions(start, present, val, ids, m)
+    else:
+        act_len, v_first, first_idx, v_min, v_max, v_sum = \
+            _scan_reductions(start, present, val, ids)
+
+    out = _apply_value_rule(op, m, act_len, v_first, first_idx,
+                            v_min, v_max, v_sum, threshold)
+    keep = start & (out > U32(0)) & (act_len > 0)
+    return splanes, out.astype(U32), keep
+
+
+def _windowed_reductions(start, present, val, ids, m: int):
+    """Per-run reductions evaluated AT RUN START positions by looking
+    ahead at most m-1 entries (garbage elsewhere; callers mask by
+    `start`).
+
+    Valid because each input holds UNIQUE keys, so a run has <= m
+    PRESENT entries, and the stable sort keeps them contiguous at the
+    run head (packed inputs place real entries before the sentinel
+    padding whose value-0 entries are the only non-present ones).
+    m-1 shifted elementwise passes cost far less than the log-depth
+    segmented scans they replace (measured 4.7 ns/element for the
+    fwd+bwd scan pair vs ~0.1 ns per shifted pass)."""
+    L = val.shape[0]
+
+    def shift(x, o, fill):
+        return jnp.concatenate([x[o:], jnp.full((o,), fill, x.dtype)])
+
+    # offset 0 = the run-start entry itself; stable sort puts the
+    # lowest-indexed input first, so first value/id come from offset 0
+    act = jnp.where(present, 1, 0).astype(jnp.int32)
+    v_sum = jnp.where(present, val, U32(0))
+    v_min = jnp.where(present, val, SENT)
+    v_max = v_sum
+    v_first = val
+    first_idx = ids
+    same = jnp.ones((L,), bool)
+    for o in range(1, m):
+        same = same & ~shift(start, o, True)
+        p_o = shift(present, o, False) & same
+        v_o = shift(val, o, U32(0))
+        act = act + jnp.where(p_o, 1, 0)
+        v_sum = v_sum + jnp.where(p_o, v_o, U32(0))
+        v_min = jnp.minimum(v_min, jnp.where(p_o, v_o, SENT))
+        v_max = jnp.maximum(v_max, jnp.where(p_o, v_o, U32(0)))
+    return act, v_first, first_idx, v_min, v_max, v_sum
+
+
+def _scan_reductions(start, present, val, ids):
+    """Segmented-scan per-run reductions (any run length; used above
+    _WINDOW_MAX inputs)."""
+    from . import segscan
+
     ones = jnp.where(present, 1, 0).astype(jnp.int32)
     # scatter-free per-run reductions (see ops/segscan.py): sums, mins
     # and maxes each share one fused forward+backward segmented scan
@@ -323,7 +407,7 @@ def _merge_compute_stage(splanes, val, ids, op: str, m: int, threshold):
         (ones, jnp.where(present, val, U32(0))), start)
     # rank within run among present entries (stable sort preserves the
     # input-then-position order, so rank 0 is the first instance of the
-    # lowest-indexed present input — exact even for multiset inputs)
+    # lowest-indexed present input)
     prefix = jnp.cumsum(ones) - ones
     v_min, first_idx, rank_base = segscan.seg_min_all(
         (jnp.where(present, val, SENT),
@@ -333,8 +417,4 @@ def _merge_compute_stage(splanes, val, ids, op: str, m: int, threshold):
     v_max, v_first = segscan.seg_max_all(
         (jnp.where(present, val, U32(0)),
          jnp.where(is_first, val, U32(0))), start)
-
-    out = _apply_value_rule(op, m, act_len, v_first, first_idx,
-                            v_min, v_max, v_sum, threshold)
-    keep = start & (out > U32(0)) & (act_len > 0)
-    return splanes, out.astype(U32), keep
+    return act_len, v_first, first_idx, v_min, v_max, v_sum

@@ -158,6 +158,99 @@ class BucketEvaluator:
             return 256
         return 1 << (int(n - 1).bit_length())
 
+    # row-batched merge packing: a single long lax.sort costs up to 20x
+    # the ~1.5 ns/element floor that row-batched sorts hit
+    # (docs/tpu-design.md), and the merge inputs are already sorted —
+    # so big bucket groups are split at shared key boundaries into
+    # independent rows of ~ROW_TARGET entries and sorted as one
+    # (R, L) batch.  ROW_SPLIT_MIN keeps small dispatches on the flat
+    # path (fewer jit signatures).
+    ROW_TARGET = 1 << 12
+    ROW_SPLIT_MIN = 1 << 15
+
+    @staticmethod
+    def _quantize_rowlen(n: int) -> int:
+        """Row length grid: quarter steps between powers of two (pure
+        pow2 padding wastes up to 2x sort slots; the chip bench showed
+        that waste directly in merged entries/s)."""
+        if n <= 256:
+            return 256
+        p = 1 << (int(n - 1).bit_length() - 2)  # quarter step
+        return ((n + p - 1) // p) * p
+
+    @staticmethod
+    def _row_cuts(ins, R: int):
+        """R-1 ascending (hi, lo) cut keys that approximately balance
+        total entries per row, from a rank-quantile sample."""
+        his, los = [], []
+        for hi, lo, c in ins:
+            n = len(c)
+            if n == 0:
+                continue
+            stride = max(1, n // (R * 32))
+            his.append(hi[::stride])
+            los.append(lo[::stride])
+        hi = np.concatenate(his)
+        lo = np.concatenate(los)
+        order = np.lexsort((lo, hi))
+        hi, lo = hi[order], lo[order]
+        idx = (np.arange(1, R) * len(hi)) // R
+        return hi[idx], lo[idx]
+
+    @staticmethod
+    def _searchsorted_hilo(hi, lo, cut_hi, cut_lo):
+        """Lexicographic lower-bound of each (cut_hi, cut_lo) key in the
+        sorted-unique (hi, lo) pair of arrays."""
+        out = np.empty(len(cut_hi), np.int64)
+        a_all = np.searchsorted(hi, cut_hi, "left")
+        b_all = np.searchsorted(hi, cut_hi, "right")
+        for j in range(len(cut_hi)):
+            a, b = a_all[j], b_all[j]
+            out[j] = a + np.searchsorted(lo[a:b], cut_lo[j], "left")
+        return out
+
+    def _pack_rows(self, ins, m: int):
+        """Pack m sorted-unique (hi, lo, counts) inputs into (R, L)
+        padded plane/value/id arrays split at shared key boundaries:
+        all instances of a key land in exactly one row, so rows sort
+        independently and the flattened result is globally ordered."""
+        total = sum(len(c) for _, _, c in ins)
+        R = max(2, min(1 << 11, total // self.ROW_TARGET))
+        R = 1 << (R - 1).bit_length()
+        cut_hi, cut_lo = self._row_cuts(ins, R)
+        bounds = []
+        for hi, lo, c in ins:
+            b = np.empty(R + 1, np.int64)
+            b[0] = 0
+            b[-1] = len(c)
+            b[1:-1] = self._searchsorted_hilo(hi, lo, cut_hi, cut_lo)
+            bounds.append(b)
+        occ = np.zeros(R, np.int64)
+        for b in bounds:
+            occ += b[1:] - b[:-1]
+        L = self._quantize_rowlen(int(occ.max()))
+        planes = [np.full((R, L), 0xFFFFFFFF, np.uint32)
+                  for _ in range(self.P)]
+        values = np.zeros((R, L), np.uint32)
+        ids = np.full((R, L), m, np.int32)
+        for i, (hi, lo, c) in enumerate(ins):
+            iplanes = self._to_planes(hi, lo)
+            b = bounds[i]
+            pos = np.zeros(R, np.int64)
+            for j in range(i):
+                bj = bounds[j]
+                pos += bj[1:] - bj[:-1]
+            for r in range(R):
+                s, e = b[r], b[r + 1]
+                if e <= s:
+                    continue
+                p0 = pos[r]
+                for p, arr in enumerate(iplanes):
+                    planes[p][r, p0:p0 + e - s] = arr[s:e]
+                values[r, p0:p0 + e - s] = c[s:e]
+                ids[r, p0:p0 + e - s] = i
+        return planes, values, ids
+
     def eval_bucket(self, node: OpNode, ff: int):
         """-> (hi, lo, counts) for 6-bit prefix bucket ff."""
         return self.eval_buckets(node, (ff,))
@@ -201,8 +294,21 @@ class BucketEvaluator:
         if total == 0:
             z = np.zeros(0, np.uint64)
             return z, z.copy(), np.zeros(0, np.uint32)
-        N = self._pad_to(total)
 
+        thr = np.uint32(node.threshold or 0)
+        ms_flags = tuple(input_multiset(i) for i in node.inputs)
+        if not any(ms_flags) and total >= self.ROW_SPLIT_MIN:
+            planes, values, ids = self._pack_rows(ins, m)
+            splanes, out_vals, keep = setops.merge_op(
+                [jnp.asarray(p) for p in planes], jnp.asarray(values),
+                jnp.asarray(ids), node.op, m, jnp.asarray(thr))
+            keep = np.asarray(keep)
+            idx = np.flatnonzero(keep)
+            hi, lo = km.hilo_from_planes(
+                [np.asarray(p)[idx] for p in splanes])
+            return hi, lo, np.asarray(out_vals)[idx]
+
+        N = self._pad_to(total)
         planes = [np.full(N, 0xFFFFFFFF, np.uint32) for _ in range(self.P)]
         values = np.zeros(N, np.uint32)
         ids = np.zeros(N, np.int32)
@@ -218,8 +324,6 @@ class BucketEvaluator:
             pos += n
         ids[pos:] = m  # padding id beyond any real input
 
-        thr = np.uint32(node.threshold or 0)
-        ms_flags = tuple(input_multiset(i) for i in node.inputs)
         if any(ms_flags):
             splanes, out_vals, keep = setops.merge_op_multiset(
                 [jnp.asarray(p) for p in planes], jnp.asarray(values),

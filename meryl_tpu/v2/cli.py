@@ -156,6 +156,7 @@ class Builder:
         self.roots: list[Action] = []
         self.pipes: dict[str, Action] = {}
         self.label_bits = 64
+        self.memory_gb = None
         self._terminating = 0
         self._pending_output = False
 
@@ -227,8 +228,15 @@ class Builder:
             _o.environ["MERYL_TPU_THREADS"] = str(int(w))
             self._expect_t = False
             return
-        if w == "-m":                 # memory: accepted, value consumed
-            self._swallow_arg = True  # (XLA manages device memory)
+        if w == "-m":                 # memory (GB): drives the same
+            self._expect_m = True     # counting plan as v1 memory=
+            return
+        if w.startswith("-m") and w[2:].replace(".", "", 1).isdigit():
+            self.memory_gb = float(w[2:])
+            return
+        if getattr(self, "_expect_m", False):
+            self.memory_gb = float(w)
+            self._expect_m = False
             return
         if w.startswith("-V") or w in ("-Q", "-P", "-C"):
             return
@@ -586,15 +594,26 @@ def execute(b: Builder) -> int:
             paths = [s.path for s in act.inputs if isinstance(s, SeqInput)]
             mode = {"count": "canonical", "count-forward": "forward",
                     "count-reverse": "reverse"}[act.name]
+            if act.out_db is None:
+                act.out_db = tempfile.mkdtemp(prefix="meryl2_count_")
+                tmpdirs.append(act.out_db)
+            if (act.count_value is None and act.count_label is None
+                    and b.label_bits == 64):
+                # plain counting routes through the same memory-planned
+                # driver as the v1 CLI: -m (b.memory_gb) is a real
+                # bound — counting goes out-of-core / batched when the
+                # plan says the merged set exceeds it (the reference's
+                # merylGlobals -m, merylGlobals.H:36-80)
+                from ..counter import count_to_db
+                count_to_db(paths, act.out_db, b.k, mode=mode,
+                            hpc=b.compress, memory_gb=b.memory_gb)
+                return
             hi, lo, c = count_to_arrays(paths, b.k, mode=mode, hpc=b.compress)
             if act.count_value is not None:
                 c = np.full(len(c), act.count_value & 0xFFFFFFFF, np.uint32)
             labels = None
             if act.count_label is not None:
                 labels = np.full(len(c), act.count_label, np.uint64)
-            if act.out_db is None:
-                act.out_db = tempfile.mkdtemp(prefix="meryl2_count_")
-                tmpdirs.append(act.out_db)
             MerylDB.write(act.out_db, b.k, hi, lo, c, labels=labels,
                           label_bits=b.label_bits)
 
