@@ -175,6 +175,199 @@ def merge_runs(runs):
     return hi[starts], lo[starts], counts
 
 
+class DeviceAccCounter:
+    """Single-chip device-accumulator counting driver (ops/accum.py):
+    the device keeps the running sorted-unique (kmer, count) set; the
+    host never merges and downloads only the final uniques.  This is
+    the end-to-end fast path for inputs whose unique set fits HBM —
+    the structure-forced host merge caps e2e counting otherwise (the
+    same bind the reference's CPU merge has,
+    merylOp-countThreads.C:384-474).
+
+    Correctness hatches (all exact):
+      * cell overflow (adversarial composition skew): the chunk is
+        recounted on the host path and union-merged at finalize
+      * accumulator row overflow: the merge is re-dispatched with a
+        grown row capacity (the old accumulator and staged cells stay
+        alive until the new one is verified)
+      * the all-ones kmer (real when 2k % 32 == 0) is counted by a
+        device scalar and appended at finalize, so the sentinel never
+        aliases a real key
+    """
+
+    def __init__(self, k: int, mode: str, chunk_len: int,
+                 expected_uniques: int):
+        from .ops import accum
+        self.k = int(k)
+        self.P = km.num_planes(self.k)
+        self.mode = mode
+        self.chunk_len = int(chunk_len)
+        plan = accum.plan_route(self.chunk_len, self.k,
+                                max(1, expected_uniques))
+        self.B = plan["B"]
+        self.M = plan["M"]
+        self.La = plan["La0"]
+        self.cfg = (self.k, self.P, mode, self.B, plan["R0"],
+                    plan["L0"], plan["c"], plan["bits"])
+        self._acc = None
+        self._staged = []          # routed cell tuples awaiting merge
+        self._pending = []         # (cells, n_ovf devscalar, codes np)
+        self._nallones = []        # device scalars, fetched at the end
+        self._fallback_runs = []   # host-counted overflow chunks
+        self._empty_cells = None
+
+    def _fresh_acc(self):
+        zp = tuple(jnp.full((self.B, self.La), 0xFFFFFFFF, jnp.uint32)
+                   for _ in range(self.P))
+        zc = jnp.zeros((self.B, self.La), jnp.uint32)
+        return (zp, zc)
+
+    def add_codes(self, codes: np.ndarray):
+        from .io.sequence import SEP
+        from .ops import accum
+        if len(codes) < self.chunk_len:
+            codes = np.concatenate(
+                [codes, np.full(self.chunk_len - len(codes), SEP,
+                                np.uint8)])
+        cells, n_ovf, n_allones = accum.route_chunk(
+            jnp.asarray(codes), self.cfg)
+        self._nallones.append(n_allones)
+        self._pending.append((cells, n_ovf, codes))
+        # resolve overflow with one-chunk lag so the scalar fetch
+        # overlaps the next chunk's device work
+        if len(self._pending) > 1:
+            self._resolve(self._pending.pop(0))
+        if len(self._staged) >= self.M:
+            self._merge()
+
+    def _resolve(self, item):
+        cells, n_ovf, codes = item
+        if int(n_ovf) > 0:
+            # adversarial composition: recount this chunk on the host
+            # path (exact), drop its cells
+            self._fallback_runs.extend(_finish_chunk(
+                *_count_chunk(jnp.asarray(codes), self.k, self.mode,
+                              None)))
+        else:
+            self._staged.append(cells)
+
+    def _merge(self):
+        from .ops import accum
+        if self._acc is None:
+            self._acc = self._fresh_acc()
+        staged = tuple(self._staged)
+        while True:
+            planes, counts, n_runs = accum.merge_cells(
+                self._acc[0], self._acc[1], staged, self.P, self.La,
+                int(km.VALUE_MAX))
+            hi = int(jnp.max(n_runs))
+            if hi <= self.La:
+                self._max_run = hi
+                break
+            # row overflow: regrow and re-merge (old acc still alive)
+            new_la = self.La
+            while new_la < hi:
+                new_la *= 2
+            self.La = new_la
+            self._acc = (
+                tuple(jnp.concatenate(
+                    [p, jnp.full((self.B, self.La - p.shape[1]),
+                                 0xFFFFFFFF, jnp.uint32)], axis=1)
+                    for p in self._acc[0]),
+                jnp.concatenate(
+                    [self._acc[1],
+                     jnp.zeros((self.B,
+                                self.La - self._acc[1].shape[1]),
+                               jnp.uint32)], axis=1))
+        self._acc = (planes, counts)
+        self._staged = []
+
+    def finalize(self):
+        """-> sorted unique (hi, lo, counts-u32)."""
+        for item in self._pending:
+            self._resolve(item)
+        self._pending = []
+        if self._staged:
+            self._merge()
+        n_allones = sum(int(x) for x in self._nallones)
+
+        if self._acc is None:
+            acc_run = None
+        else:
+            # download only the used row prefix: the accumulator is
+            # sized from the (file-size-based) over-estimate, and the
+            # device->host link is the e2e bottleneck on slow links
+            lmax = min(self.La, max(256, getattr(self, "_max_run",
+                                                 self.La)))
+            planes_np = [np.asarray(p[:, :lmax]).reshape(-1)
+                         for p in self._acc[0]]
+            counts_np = np.asarray(self._acc[1][:, :lmax]).reshape(-1)
+            keepm = counts_np > 0
+            planes_np = [p[keepm] for p in planes_np]
+            hi, lo = km.hilo_from_planes(planes_np)
+            acc_run = (hi, lo, counts_np[keepm].astype(np.uint64))
+
+        runs = ([acc_run] if acc_run is not None else []) \
+            + self._fallback_runs
+        hi, lo, counts = merge_runs(runs)
+        if n_allones:
+            twok = 2 * self.k
+            ao_lo = np.uint64((1 << min(64, twok)) - 1)
+            ao_hi = np.uint64((1 << max(0, twok - 64)) - 1)
+            n = min(n_allones, int(km.VALUE_MAX))
+            if len(lo) and hi[-1] == ao_hi and lo[-1] == ao_lo:
+                counts[-1] = min(int(counts[-1]) + n, int(km.VALUE_MAX))
+            else:
+                hi = np.append(hi, ao_hi)
+                lo = np.append(lo, ao_lo)
+                counts = np.append(counts, np.uint32(n))
+        return hi, lo, counts
+
+
+def _use_device_acc(count_suffix, paths, k, chunk_len) -> int:
+    """Expected-uniques estimate when the device-accumulator path
+    should run, else 0.  Env MERYL_TPU_DEVICE_ACC=1/0 forces; auto =
+    on for a single non-CPU device when the expected unique set fits
+    the accumulator budget."""
+    if count_suffix is not None:
+        return 0
+    env = _os.environ.get("MERYL_TPU_DEVICE_ACC", "auto")
+    if env == "0":
+        return 0
+    import jax
+    exp = 0
+    try:
+        plan = configure_counting(paths, k, chunk_len=chunk_len)
+        exp = min(plan["expected_kmers"],
+                  4 ** k if k < 32 else 1 << 63)
+    except OSError:
+        return 0
+    if env == "1":
+        return max(1, exp)
+    if jax.device_count() != 1 or jax.default_backend() == "cpu":
+        return 0
+    cap = int(float(_os.environ.get("MERYL_TPU_ACC_CAP_GB", 4.0)) * 1e9)
+    # (P planes + counts) x u32, x3 for the merge sort's working set
+    acc_bytes = (km.num_planes(k) + 1) * 4 * 3
+    if exp * acc_bytes > cap:
+        return 0
+    return max(1, exp)
+
+
+def count_to_arrays_device_acc(paths, k: int, mode: str, hpc: bool,
+                               chunk_len: int, expected_uniques: int,
+                               progress=None, segment=None):
+    acc = DeviceAccCounter(k, mode, chunk_len, expected_uniques)
+    nbases = 0
+    for chunk in SequenceChunker(paths, k, chunk_len, hpc=hpc,
+                                 segment=segment):
+        acc.add_codes(chunk)
+        nbases += len(chunk)
+        if progress:
+            progress(nbases)
+    return acc.finalize()
+
+
 def _use_sharded(count_suffix) -> bool:
     """Whether counting should run the multi-chip SPMD path.
 
@@ -255,6 +448,12 @@ def count_to_arrays(paths, k: int, mode: str = "canonical", hpc: bool = False,
         return count_to_arrays_sharded(paths, k, mode=mode, hpc=hpc,
                                        chunk_len=chunk_len,
                                        progress=progress, segment=segment)
+    exp_uniques = _use_device_acc(count_suffix, paths, k, chunk_len)
+    if exp_uniques:
+        return count_to_arrays_device_acc(
+            paths, k, mode=mode, hpc=hpc, chunk_len=chunk_len,
+            expected_uniques=exp_uniques, progress=progress,
+            segment=segment)
     suffix = None
     if count_suffix:
         if len(count_suffix) > k:

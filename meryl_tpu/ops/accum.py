@@ -1,0 +1,248 @@
+"""Single-chip device-accumulator counting: the whole dedup/merge
+stage stays on the TPU; the host sees only the final unique set.
+
+Why: the host finish merge processes ~1 entry per base (rows dedup
+almost nothing locally — duplicate kmers of a high-coverage input are
+spread across the whole stream), which caps end-to-end counting at the
+host's merge rate (tens of Mbases/s) no matter how fast the device
+pipeline is; and every chunk's sorted output must cross the
+device->host link.  The reference has the same structure-forced merge
+on the CPU (merylOp-countThreads.C:384-474).  Keeping a device-resident
+sorted-unique accumulator removes both: per chunk the device routes raw
+windows to key-range bucket rows, and every M chunks one row-batched
+merge sort folds them into the accumulator.  Downloads happen once, at
+finalize.
+
+All stages are row-batched sorts / cumulative ops at the measured
+cost floors (docs/tpu-design.md round-3 table):
+
+  route_chunk:  extract -> bucket row id (closed-form equal-mass map)
+                -> 1-key row sort -> cummax ranks -> searchsorted
+                histogram -> one compaction sort -> (B, W) cells
+  merge_cells:  [acc row ++ staged cell rows] stable row sort ->
+                run lengths by reversed cummin -> counts = run length
+                - 1 + first entry's count (the accumulator entry sorts
+                first in its run; raw windows count 1 each) -> flag
+                compaction back into the accumulator rows
+
+The all-ones kmer (a real key when 2k % 32 == 0) is EXCLUDED on device
+and counted by a scalar — the padding sentinel therefore never aliases
+a real key anywhere in the accumulator.  Invalid windows route past the
+last bucket and are dropped.  Cell overflow (adversarially skewed
+composition) is reported per chunk so the driver can recount that chunk
+on the host path — never silently dropped.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import extract as ext
+
+U32 = jnp.uint32
+SENT = U32(0xFFFFFFFF)
+
+
+def plan_route(chunk_len: int, k: int, expected_uniques: int) -> dict:
+    """Static routing/accumulator geometry for one chunk size.
+
+    B bucket rows sized so merge rows stay near the 2^14 sort-cost
+    sweet spot; c cell capacity = 2x the uniform expectation (equal-
+    mass rows keep skew statistical; real overflow falls back)."""
+    L0 = min(1 << 17, chunk_len)
+    R0 = max(1, chunk_len // L0)
+    # merge row target ~2^14: B from the larger of the staged volume
+    # and the expected accumulator size
+    M = 4
+    vol = max(int(expected_uniques), M * chunk_len)
+    B = max(8, min(1 << 11, vol >> 14))
+    B = 1 << (B - 1).bit_length()
+    c = max(16, (2 * L0) // B)
+    # prefix resolution: >= 64 prefixes per row where the equal-mass
+    # map is steepest (slope 2 at x=0), else quantization alone
+    # unbalances rows 2x and cells overflow chronically
+    bits = min(2 * k, 26, (B - 1).bit_length() + 6)
+    La0 = max(2048, _eighth_round(int(expected_uniques * 1.35 // B) + 1))
+    return {"B": B, "R0": R0, "L0": L0, "c": c, "bits": bits,
+            "M": M, "La0": La0}
+
+
+def _eighth_round(n: int) -> int:
+    q = max(64, 1 << max(0, int(n).bit_length() - 4))
+    return ((n + q - 1) // q) * q
+
+
+def _row_from_prefix(pref, bits: int, B: int, canonical: bool):
+    """Monotone prefix -> bucket row map with near-equal expected mass.
+
+    Canonical kmers are min(f, rc) of two ~uniform draws, so their
+    density over prefix space x is 2(1-x) with CDF F(x) = 2x - x^2;
+    row = floor(B * F(x)) gives near-equal expected mass per row
+    (closed form — no per-boundary compares, no gathers; same density
+    model as parallel/shard_count.owner_boundaries)."""
+    x = pref.astype(jnp.float32) * np.float32(1.0 / (1 << bits))
+    if canonical:
+        f = x * (np.float32(2.0) - x)
+    else:
+        f = x
+    return jnp.minimum((f * np.float32(B)).astype(jnp.int32), B - 1)
+
+
+def _top_bits(planes, k: int, b: int):
+    """Top b bits of each kmer (any shape); b <= 2k."""
+    top_bit = 2 * k - 1
+    top_plane = top_bit // 32
+    used = 2 * k - 32 * top_plane
+    if used >= b:
+        v = planes[top_plane] >> U32(used - b)
+        return (v & U32((1 << b) - 1)).astype(jnp.int32)
+    need = b - used
+    hi = planes[top_plane] & ((U32(1) << U32(used)) - U32(1))
+    lo = planes[top_plane - 1] >> U32(32 - need)
+    return ((hi.astype(jnp.int32) << need) | lo.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def route_chunk(codes, cfg):
+    """codes (chunk_len,) uint8 -> ((B, R0*c) cell planes, n_ovf,
+    n_allones).  Cells hold raw windows grouped by bucket row
+    (unsorted within; each window counts 1); sentinel entries pad."""
+    k, P, mode, B, R0, L0, c, bits = cfg
+    D = B * c
+    planes, valid = ext.extract_kmers(codes, k, mode)
+
+    allones = None
+    for p in planes:
+        e = p == SENT
+        allones = e if allones is None else (allones & e)
+    allones = allones & valid
+    n_allones = jnp.sum(allones.astype(jnp.int32))
+    valid = valid & ~allones
+
+    pref = _top_bits(planes, k, bits)
+    row = _row_from_prefix(pref, bits, B, mode == "canonical")
+    row = jnp.where(valid, row, jnp.int32(B))  # invalid past last row
+
+    row2 = row.reshape(R0, L0).astype(U32)
+    planes2 = [p.reshape(R0, L0) for p in planes]
+    srt = jax.lax.sort((row2,) + tuple(planes2), num_keys=1,
+                       dimension=-1)
+    row1, planes1 = srt[0], list(srt[1:])
+
+    # rank within bucket segment via cummax; kept = first c per bucket
+    seg_start = jnp.concatenate(
+        [jnp.ones((R0, 1), bool), row1[:, 1:] != row1[:, :-1]], axis=1)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (R0, L0), 1)
+    seg_base = jax.lax.cummax(jnp.where(seg_start, iot, -1), axis=1)
+    in_range = row1 < U32(B)
+    kept_q = ((iot - seg_base) < c) & in_range
+    n_ovf = jnp.sum((~kept_q & in_range).astype(jnp.int32))
+
+    # per-(row, bucket) counts: vectorized binary search over sorted
+    # row ids (tiny gathers; a one-hot MXU histogram materializes
+    # (R0, L0, B) through HBM — measured 16 ms at lookup scale)
+    tgt = jax.lax.broadcasted_iota(U32, (R0, B + 1), 1)
+    lo_b = jnp.zeros((R0, B + 1), jnp.int32)
+    hi_b = jnp.full((R0, B + 1), L0, jnp.int32)
+    for _ in range(int(L0).bit_length()):
+        mid = (lo_b + hi_b) >> 1
+        v = jnp.take_along_axis(row1, jnp.minimum(mid, L0 - 1).astype(
+            jnp.int32), axis=1)
+        less = v < tgt
+        lo_b = jnp.where(less, mid + 1, lo_b)
+        hi_b = jnp.where(less, hi_b, mid)
+    n_bucket = lo_b[:, 1:] - lo_b[:, :-1]
+    pad_rank = jax.lax.broadcasted_iota(jnp.int32, (B, c), 1).reshape(D)
+    n_slot = jnp.repeat(n_bucket, c, axis=1)
+    kept_p = pad_rank[None, :] >= jnp.minimum(n_slot, c)
+
+    pad_row = jnp.broadcast_to(
+        (jax.lax.broadcasted_iota(U32, (B, c), 0)).reshape(D)[None, :],
+        (R0, D))
+    key2 = jnp.concatenate(
+        [jnp.where(kept_q, row1, SENT),
+         jnp.where(kept_p, pad_row, SENT)], axis=1)
+    planes_cat = [jnp.concatenate(
+        [planes1[p], jnp.full((R0, D), SENT, U32)], axis=1)
+        for p in range(P)]
+    srt2 = jax.lax.sort((key2,) + tuple(planes_cat), num_keys=1,
+                        dimension=-1, is_stable=True)
+    cells = [s[:, :D].T.reshape(B, R0 * c) for s in srt2[1:]]
+    return tuple(cells), n_ovf, n_allones
+
+
+@functools.partial(jax.jit, static_argnames=("P", "La_out", "vmax"))
+def merge_cells(acc_planes, acc_counts, staged, P: int, La_out: int,
+                vmax: int):
+    """Fold staged cell groups into the accumulator.
+
+    acc_planes: P x (B, La) sorted unique rows (sentinel padded)
+    acc_counts: (B, La) uint32 (0 marks padding)
+    staged:     tuple of cell-plane tuples, each P x (B, W), raw
+                windows (count 1 each) grouped by bucket row
+    -> (new_planes P x (B, La_out), new_counts, n_runs (B,) int32)
+
+    The accumulator segment is concatenated FIRST, so after the stable
+    row sort the accumulator's entry (unique per key) leads its run:
+    count = run_length - 1 + leading entry's count (raw windows carry
+    an implicit 1).  Saturates at vmax (the reference's kmvalu cap)."""
+    B = acc_counts.shape[0]
+    planes = [jnp.concatenate([acc_planes[p]]
+                              + [s[p] for s in staged], axis=1)
+              for p in range(P)]
+    W = planes[0].shape[1]
+    counts = jnp.concatenate(
+        [acc_counts, jnp.ones((B, W - acc_counts.shape[1]), U32)],
+        axis=1)
+
+    keys = tuple(planes[p] for p in range(P - 1, -1, -1))
+    srt = jax.lax.sort(keys + (counts,), num_keys=P, dimension=-1,
+                       is_stable=True)
+    splanes = [srt[P - 1 - p] for p in range(P)]
+    scounts = srt[P]
+
+    neq = None
+    for p in splanes:
+        d = p[:, 1:] != p[:, :-1]
+        neq = d if neq is None else (neq | d)
+    start = jnp.concatenate([jnp.ones((B, 1), bool), neq], axis=1)
+
+    # run length at starts: next start position via reversed cummin
+    iot = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    sp = jnp.where(start, iot, jnp.int32(W))
+    suffix_min = jax.lax.cummin(sp[:, ::-1], axis=1)[:, ::-1]
+    nxt = jnp.concatenate(
+        [suffix_min[:, 1:], jnp.full((B, 1), W, jnp.int32)], axis=1)
+    run_len = (nxt - iot).astype(U32)
+
+    is_sent = None
+    for p in splanes:
+        e = p == SENT
+        is_sent = e if is_sent is None else (is_sent & e)
+    # padding entries carry count 0 (acc pads) or 1 (cell pads, which
+    # are sentinel-keyed); sentinel runs are dropped entirely — the
+    # all-ones kmer was excluded at extraction, so sentinel = padding
+    total = run_len - U32(1) + scounts
+    total = jnp.where(total < scounts, U32(vmax), total)  # overflow sat
+    total = jnp.minimum(total, U32(vmax))
+    keep = start & ~is_sent & (scounts > U32(0))
+
+    flag = jnp.where(keep, U32(0), U32(1))
+    srt2 = jax.lax.sort(
+        (flag,) + tuple(splanes)
+        + (jnp.where(keep, total, U32(0)),),
+        num_keys=1, dimension=-1, is_stable=True)
+    n_runs = jnp.sum(keep.astype(jnp.int32), axis=1)
+    # sanitize the tail: entries past a row's n_runs are compaction
+    # leftovers whose keys DUPLICATE kept entries — a stale key
+    # surviving into the next merge would inflate its run length
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, La_out), 1)
+    ok = pos < n_runs[:, None]
+    new_planes = tuple(jnp.where(ok, s[:, :La_out], SENT)
+                       for s in srt2[1:1 + P])
+    new_counts = jnp.where(ok, srt2[1 + P][:, :La_out], U32(0))
+    return new_planes, new_counts, n_runs

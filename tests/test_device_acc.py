@@ -1,0 +1,120 @@
+"""Differential tests for the device-accumulator counting path
+(ops/accum.py + counter.DeviceAccCounter) against an inline brute
+force, including the all-ones-kmer scalar, cell-overflow fallback,
+accumulator regrowth, and multi-chunk merges."""
+
+import numpy as np
+import pytest
+
+from meryl_tpu import counter
+from meryl_tpu import kmer as km
+
+COMP = {"A": "T", "C": "G", "T": "A", "G": "C"}
+
+
+def _brute(seqs, k, mode="canonical"):
+    out = {}
+    for s in seqs:
+        for i in range(len(s) - k + 1):
+            w = s[i:i + k]
+            if any(ch not in "ACGT" for ch in w):
+                continue
+            f = km.string_to_kmer(w)
+            if mode == "canonical":
+                rc = km.string_to_kmer(
+                    "".join(COMP[ch] for ch in reversed(w)))
+                f = min(f, rc)
+            elif mode == "reverse":
+                f = km.string_to_kmer(
+                    "".join(COMP[ch] for ch in reversed(w)))
+            out[f] = out.get(f, 0) + 1
+    return out
+
+
+def _write_fa(path, seqs):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">s{i}\n{s}\n")
+
+
+def _count_acc(tmp_path, seqs, k, mode="canonical", chunk_len=1 << 15,
+               monkeypatch=None, expected=None):
+    fa = str(tmp_path / "in.fa")
+    _write_fa(fa, seqs)
+    exp = expected
+    if exp is None:
+        exp = counter._use_device_acc(None, [fa], k, chunk_len)
+        assert exp > 0
+    hi, lo, c = counter.count_to_arrays_device_acc(
+        [fa], k, mode=mode, hpc=False, chunk_len=chunk_len,
+        expected_uniques=exp)
+    return {(int(h) << 64) | int(l): int(v)
+            for h, l, v in zip(hi, lo, c)}
+
+
+def _rand_seqs(rng, n, ln):
+    return ["".join("ACTG"[c] for c in rng.integers(0, 4, size=ln))
+            for _ in range(n)]
+
+
+@pytest.fixture(autouse=True)
+def force_acc(monkeypatch):
+    monkeypatch.setenv("MERYL_TPU_DEVICE_ACC", "1")
+
+
+@pytest.mark.parametrize("k,mode", [(21, "canonical"), (15, "forward"),
+                                    (33, "canonical"), (9, "reverse")])
+def test_acc_matches_brute(tmp_path, k, mode):
+    rng = np.random.default_rng(21)
+    # duplicated reads -> real accumulation across chunks
+    base = _rand_seqs(rng, 40, 300)
+    seqs = base * 3 + _rand_seqs(rng, 30, 200)
+    got = _count_acc(tmp_path, seqs, k, mode=mode)
+    assert got == _brute(seqs, k, mode)
+
+
+def test_acc_allones_kmer(tmp_path):
+    """k=16 poly-G forward counting: the all-ones kmer must come from
+    the device scalar, not the sentinel-aliased cells."""
+    rng = np.random.default_rng(5)
+    seqs = _rand_seqs(rng, 20, 200) + ["G" * 40, "G" * 16]
+    got = _count_acc(tmp_path, seqs, 16, mode="forward")
+    want = _brute(seqs, 16, "forward")
+    assert got == want
+    allones = (1 << 32) - 1
+    assert got[allones] == want[allones] == 26
+
+
+def test_acc_overflow_fallback(tmp_path):
+    """Poly-A input routes every window to one bucket cell: the chunk
+    must overflow and be recounted exactly on the host path."""
+    seqs = ["A" * 5000, "A" * 3000]
+    got = _count_acc(tmp_path, seqs, 21, mode="forward",
+                     chunk_len=1 << 13)
+    want = _brute(seqs, 21, "forward")
+    assert got == want  # one kmer, count 4960+2980
+
+
+def test_acc_regrow(tmp_path):
+    """A deliberately tiny expected-uniques forces La regrowth."""
+    rng = np.random.default_rng(7)
+    seqs = _rand_seqs(rng, 60, 400)
+    got = _count_acc(tmp_path, seqs, 21, chunk_len=1 << 14,
+                     expected=64)  # La0 = 2048 floor; still multi-merge
+    assert got == _brute(seqs, 21, "canonical")
+
+
+def test_acc_with_n_bases(tmp_path):
+    rng = np.random.default_rng(9)
+    seqs = ["ACGTNNACGTACGTACGTACGTTTTGCA" * 8,
+            *_rand_seqs(rng, 10, 150)]
+    got = _count_acc(tmp_path, seqs, 11)
+    assert got == _brute(seqs, 11)
+
+
+def test_acc_multi_chunk_merges(tmp_path):
+    """Enough chunks to trigger several M-cadence merges."""
+    rng = np.random.default_rng(13)
+    seqs = _rand_seqs(rng, 200, 500)
+    got = _count_acc(tmp_path, seqs, 21, chunk_len=1 << 13)
+    assert got == _brute(seqs, 21)
