@@ -351,6 +351,24 @@ def run(b: CommandBuilder) -> int:
                     plan = configure_counting(paths, b.k, b.memory_gb)
                     for kk, vv in plan.items():
                         sys.stderr.write(f"  {kk}: {vv}\n")
+                    # analytic multi-chip prediction (measured stage
+                    # costs + interconnect model; parallel/scaling.py)
+                    from .parallel.scaling import scaling_report
+                    sys.stderr.write(
+                        "  predicted scaling (ICI "
+                        f"{__import__('meryl_tpu.parallel.scaling', fromlist=['ICI_GB_S']).ICI_GB_S:g} GB/s, "
+                        "docs/multihost.md):\n")
+                    for row in scaling_report(plan["chunk_len"]):
+                        sys.stderr.write(
+                            f"    {row['devices']:4d} devices"
+                            f" ({row['hosts']} hosts):"
+                            f" eff {row['efficiency']:.2f}"
+                            f"  local {row['t_local_ms']}ms"
+                            f"  ici {row['t_ici_ms']}ms"
+                            f"  dcn {row['t_dcn_ms']}ms"
+                            f"  merge {row['t_merge_ms']}ms"
+                            f"  -> {row['bases_per_s'] / 1e9:.2f}"
+                            " Gbases/s\n")
             for inp in node.inputs:
                 if isinstance(inp, OpNode):
                     describe_counting(inp)

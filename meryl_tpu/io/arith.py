@@ -52,9 +52,16 @@ class _RangeDecoder:
         self.range = 0xFFFFFFFF
         code = 0
         for _ in range(5):
-            code = ((code << 8) | self.d[self.p]) & 0xFFFFFFFFFF
-            self.p += 1
+            code = ((code << 8) | self._byte()) & 0xFFFFFFFFFF
         self.code = code & 0xFFFFFFFF
+
+    def _byte(self) -> int:
+        # a truncated stream must fail as a codec error, not IndexError
+        if self.p >= len(self.d):
+            raise ArithError("arith: input exhausted")
+        b = self.d[self.p]
+        self.p += 1
+        return b
 
     def get_freq(self, tot: int) -> int:
         self.range //= tot
@@ -64,8 +71,7 @@ class _RangeDecoder:
         self.code -= start * self.range
         self.range *= size
         while self.range < _TOP:
-            self.code = ((self.code << 8) | self.d[self.p]) & 0xFFFFFFFF
-            self.p += 1
+            self.code = ((self.code << 8) | self._byte()) & 0xFFFFFFFF
             self.range = (self.range << 8) & 0xFFFFFFFF
 
 
@@ -146,6 +152,8 @@ class _Model:
 
     def decode(self, rc: _RangeDecoder) -> int:
         fr = rc.get_freq(self.tot)
+        if fr >= self.tot:  # corrupt stream desynced the range coder
+            raise ArithError("arith: frequency out of range")
         freqs = self.freqs
         acc = 0
         i = 0
@@ -315,7 +323,10 @@ def decode(data: bytes, out_hint: int | None = None) -> bytes:
         pmap = cur.take(nsym)
         out_sz = cur.uint7()
     if flags & EXT:
-        buf = _bz2.decompress(cur.d[cur.p:])
+        try:
+            buf = _bz2.decompress(cur.d[cur.p:])
+        except OSError as e:  # corrupt stream is a codec error
+            raise ArithError(f"EXT bz2: {e}") from e
         if len(buf) != out_sz:
             raise ArithError(f"EXT body {len(buf)} != {out_sz}")
     elif flags & CAT:

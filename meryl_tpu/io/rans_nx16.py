@@ -181,6 +181,8 @@ def _decode_o0(cur: _Cur, out_sz: int, N: int) -> bytes:
         s = ssym[m]
         x = F[s] * (x >> _TF_SHIFT) + m - C[s]
         if x < _L:
+            if p + 1 >= len(d):
+                raise RansError("rans: input exhausted")
             x = (x << 16) | d[p] | (d[p + 1] << 8)
             p += 2
         out[i] = s
@@ -307,6 +309,8 @@ def _decode_o1(cur: _Cur, out_sz: int, N: int) -> bytes:
             s = ssym[m]
             x = F[s] * (x >> shift) + m - C[s]
             if x < _L:
+                if p + 1 >= len(d):
+                    raise RansError("rans: input exhausted")
                 x = (x << 16) | d[p] | (d[p + 1] << 8)
                 p += 2
             out[j * seg + i] = s
@@ -321,6 +325,8 @@ def _decode_o1(cur: _Cur, out_sz: int, N: int) -> bytes:
         s = ssym[m]
         x = F[s] * (x >> shift) + m - C[s]
         if x < _L:
+            if p + 1 >= len(d):
+                raise RansError("rans: input exhausted")
             x = (x << 16) | d[p] | (d[p + 1] << 8)
             p += 2
         out[i] = s

@@ -396,7 +396,20 @@ def execute_root(node: OpNode, k: int, *, out=None, verbose: int = 0):
     try:
         from .reports import print_kmers
         for group in bucket_groups(node):
+            if verbose >= 2:
+                sys.stderr.write(
+                    f"merylOp::eval()-- STARTING operation {node.op} "
+                    f"buckets {group[0]:02d}..{group[-1]:02d}\n")
             hi, lo, counts = ev.eval_buckets(node, group)
+            if verbose >= 3 and len(counts):
+                # per-kmer trace (the reference's sayEverything ladder,
+                # merylOp-nextMer.C:425-440): one line per surviving
+                # kmer — debugging aid, deliberately unbounded
+                from .reports import format_kmer_lines
+                blob = format_kmer_lines(hi, lo, counts, k)
+                for line in blob.decode().splitlines():
+                    sys.stderr.write(
+                        f"merylOp::eval()--   {node.op} kmer {line}\n")
             if writer is not None:
                 if len(group) == 1:
                     writer.add_bucket(group[0], hi, lo, counts)
