@@ -316,6 +316,14 @@ int64_t mt_merge_kway(const uint64_t* hi, const uint64_t* lo,
     u128 ck = (i < lens[s]) ? (((u128)hi[offs[s] + i] << 64) |
                                lo[offs[s] + i])
                             : INF;
+    // prefetch the entry the NEXT win of this run will touch: cursor
+    // streams miss DRAM once per cache line and the tournament is
+    // latency-bound (the line arrives long before the run wins again)
+    if (i + 8 < lens[s]) {
+      __builtin_prefetch(&hi[offs[s] + i + 8]);
+      __builtin_prefetch(&lo[offs[s] + i + 8]);
+      __builtin_prefetch(&ct[offs[s] + i + 8]);
+    }
     key[s] = ck;  // must precede replay: s may be stored as a loser
     int32_t cur = winner;
     for (int64_t p = (K + s) >> 1; p >= 1; p >>= 1) {
@@ -389,6 +397,10 @@ int64_t mt_merge_kway64(const uint64_t* lo, const uint64_t* ct,
     }
     int64_t i = ++idx[s];
     uint64_t ck = (i < lens[s]) ? lo[offs[s] + i] : INF;
+    if (i + 8 < lens[s]) {
+      __builtin_prefetch(&lo[offs[s] + i + 8]);
+      __builtin_prefetch(&ct[offs[s] + i + 8]);
+    }
     key[s] = ck;
     int32_t cur = winner;
     for (int64_t p = (K + s) >> 1; p >= 1; p >>= 1) {
