@@ -214,7 +214,7 @@ class DeviceAccCounter:
         self._pending = []         # (cells, n_ovf devscalar, codes np)
         self._nallones = []        # device scalars, fetched at the end
         self._fallback_runs = []   # host-counted overflow chunks
-        self._empty_cells = None
+        self._ovf_planes = []      # captured cell-overflow windows
 
     def _fresh_acc(self):
         zp = tuple(jnp.full((self.B, self.La), 0xFFFFFFFF, jnp.uint32)
@@ -229,27 +229,42 @@ class DeviceAccCounter:
             codes = np.concatenate(
                 [codes, np.full(self.chunk_len - len(codes), SEP,
                                 np.uint8)])
-        cells, n_ovf, n_allones = accum.route_chunk(
+        cells, ovf, n_ovf_row, n_allones = accum.route_chunk(
             jnp.asarray(codes), self.cfg)
         self._nallones.append(n_allones)
-        self._pending.append((cells, n_ovf, codes))
-        # resolve overflow with one-chunk lag so the scalar fetch
-        # overlaps the next chunk's device work
-        if len(self._pending) > 1:
-            self._resolve(self._pending.pop(0))
+        self._pending.append((cells, ovf, n_ovf_row, codes))
+        # overflow scalars are checked in a batch at merge cadence —
+        # a per-chunk int() fetch costs one link round trip per chunk
+        # (raw chunk codes are kept until their check clears, so an
+        # overflowed chunk can still be recounted exactly)
+        if len(self._pending) >= self.M:
+            for item in self._pending:
+                self._resolve(item)
+            self._pending = []
         if len(self._staged) >= self.M:
             self._merge()
 
     def _resolve(self, item):
-        cells, n_ovf, codes = item
-        if int(n_ovf) > 0:
-            # adversarial composition: recount this chunk on the host
-            # path (exact), drop its cells
+        from .ops.accum import OVF_CAP
+        cells, ovf, n_ovf_row, codes = item
+        nrow = np.asarray(n_ovf_row)
+        mx = int(nrow.max()) if len(nrow) else 0
+        if mx > OVF_CAP:
+            # adversarial composition blew a whole capture row:
+            # recount this chunk on the host path (exact), drop cells
             self._fallback_runs.extend(_finish_chunk(
                 *_count_chunk(jnp.asarray(codes), self.k, self.mode,
                               None)))
-        else:
-            self._staged.append(cells)
+            return
+        if mx > 0:
+            # thin Poisson tail: the overflowed windows sit at the
+            # head of each capture row — collect them host-side
+            planes = [np.asarray(p) for p in ovf]
+            for r in np.flatnonzero(nrow):
+                n = int(nrow[r])
+                self._ovf_planes.append(
+                    [p[r, :n].copy() for p in planes])
+        self._staged.append(cells)
 
     def _merge(self):
         from .ops import accum
@@ -309,6 +324,21 @@ class DeviceAccCounter:
 
         runs = ([acc_run] if acc_run is not None else []) \
             + self._fallback_runs
+        if self._ovf_planes:
+            # captured cell-overflow windows: raw kmers, count 1 each
+            P = self.P
+            planes = [np.concatenate([o[p] for o in self._ovf_planes])
+                      for p in range(P)]
+            ohi, olo = km.hilo_from_planes(planes)
+            order = np.lexsort((olo, ohi))
+            ohi, olo = ohi[order], olo[order]
+            new = np.empty(len(ohi), bool)
+            new[:1] = True
+            np.logical_or(ohi[1:] != ohi[:-1], olo[1:] != olo[:-1],
+                          out=new[1:])
+            st = np.flatnonzero(new)
+            cnt = np.diff(np.append(st, len(ohi))).astype(np.uint64)
+            runs.append((ohi[st], olo[st], cnt))
         hi, lo, counts = merge_runs(runs)
         if n_allones:
             twok = 2 * self.k

@@ -50,23 +50,28 @@ SENT = U32(0xFFFFFFFF)
 def plan_route(chunk_len: int, k: int, expected_uniques: int) -> dict:
     """Static routing/accumulator geometry for one chunk size.
 
-    B bucket rows sized so merge rows stay near the 2^14 sort-cost
-    sweet spot; c cell capacity = 2x the uniform expectation (equal-
-    mass rows keep skew statistical; real overflow falls back)."""
-    L0 = min(1 << 17, chunk_len)
+    Tuned on chip (scripts in /tmp round 3; see STATUS.md): sort cost
+    scales ~log(row length), so routing rows are short (2^16) and the
+    cell slack is the tight 3-sigma tail (overflow recounts exactly on
+    the host path — rare by construction); merges amortize over M=8
+    chunks; the accumulator row capacity starts from a DISCOUNTED
+    expectation (the file-size estimate overshoots FASTQ ~4x) and
+    regrows on demand — oversized rows make every merge re-sort
+    padding."""
+    L0 = min(1 << 16, chunk_len)
     R0 = max(1, chunk_len // L0)
-    # merge row target ~2^14: B from the larger of the staged volume
-    # and the expected accumulator size
-    M = 4
+    M = 8
     vol = max(int(expected_uniques), M * chunk_len)
     B = max(8, min(1 << 11, vol >> 14))
     B = 1 << (B - 1).bit_length()
-    c = max(16, (2 * L0) // B)
+    mean = max(1.0, L0 / B)
+    c = max(8, int(mean + 3.0 * mean ** 0.5 + 4))
     # prefix resolution: >= 64 prefixes per row where the equal-mass
     # map is steepest (slope 2 at x=0), else quantization alone
     # unbalances rows 2x and cells overflow chronically
     bits = min(2 * k, 26, (B - 1).bit_length() + 6)
-    La0 = max(2048, _eighth_round(int(expected_uniques * 1.35 // B) + 1))
+    La0 = max(2048, _eighth_round(
+        int(expected_uniques * 0.35 // B) + 1))
     return {"B": B, "R0": R0, "L0": L0, "c": c, "bits": bits,
             "M": M, "La0": La0}
 
@@ -106,11 +111,23 @@ def _top_bits(planes, k: int, b: int):
     return ((hi.astype(jnp.int32) << need) | lo.astype(jnp.int32))
 
 
+# per-routing-row capture capacity for cell-overflow windows: the
+# 3-sigma cell slack leaves a thin Poisson tail (~a few windows per
+# chunk) that the host counts exactly from this region instead of
+# recounting the whole chunk
+OVF_CAP = 256
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def route_chunk(codes, cfg):
-    """codes (chunk_len,) uint8 -> ((B, R0*c) cell planes, n_ovf,
-    n_allones).  Cells hold raw windows grouped by bucket row
-    (unsorted within; each window counts 1); sentinel entries pad."""
+    """codes (chunk_len,) uint8 -> ((B, R0*c) cell planes,
+    ovf_planes (R0, OVF_CAP) x P, n_ovf_row (R0,), n_allones).
+
+    Cells hold raw windows grouped by bucket row (unsorted within;
+    each window counts 1); sentinel entries pad.  Windows whose cell
+    overflowed sort into the capture region (real keys only — invalid
+    windows sort past it); a row overflowing OVF_CAP tells the driver
+    to recount the whole chunk on the host path."""
     k, P, mode, B, R0, L0, c, bits = cfg
     D = B * c
     planes, valid = ext.extract_kmers(codes, k, mode)
@@ -140,7 +157,8 @@ def route_chunk(codes, cfg):
     seg_base = jax.lax.cummax(jnp.where(seg_start, iot, -1), axis=1)
     in_range = row1 < U32(B)
     kept_q = ((iot - seg_base) < c) & in_range
-    n_ovf = jnp.sum((~kept_q & in_range).astype(jnp.int32))
+    is_ovf = ~kept_q & in_range
+    n_ovf_row = jnp.sum(is_ovf.astype(jnp.int32), axis=1)
 
     # per-(row, bucket) counts: vectorized binary search over sorted
     # row ids (tiny gathers; a one-hot MXU histogram materializes
@@ -163,8 +181,13 @@ def route_chunk(codes, cfg):
     pad_row = jnp.broadcast_to(
         (jax.lax.broadcasted_iota(U32, (B, c), 0)).reshape(D)[None, :],
         (R0, D))
+    # non-kept REAL windows key just below the sentinel so they sort
+    # into a contiguous capture slice right after the cells; invalid
+    # windows (row == B: their planes are garbage across N/breaks)
+    # and excess pads sort past it
+    OVFK = U32(0xFFFFFFFE)
     key2 = jnp.concatenate(
-        [jnp.where(kept_q, row1, SENT),
+        [jnp.where(kept_q, row1, jnp.where(is_ovf, OVFK, SENT)),
          jnp.where(kept_p, pad_row, SENT)], axis=1)
     planes_cat = [jnp.concatenate(
         [planes1[p], jnp.full((R0, D), SENT, U32)], axis=1)
@@ -172,7 +195,8 @@ def route_chunk(codes, cfg):
     srt2 = jax.lax.sort((key2,) + tuple(planes_cat), num_keys=1,
                         dimension=-1, is_stable=True)
     cells = [s[:, :D].T.reshape(B, R0 * c) for s in srt2[1:]]
-    return tuple(cells), n_ovf, n_allones
+    ovf = tuple(s[:, D:D + OVF_CAP] for s in srt2[1:])
+    return tuple(cells), ovf, n_ovf_row, n_allones
 
 
 @functools.partial(jax.jit, static_argnames=("P", "La_out", "vmax"))

@@ -118,3 +118,25 @@ def test_acc_multi_chunk_merges(tmp_path):
     seqs = _rand_seqs(rng, 200, 500)
     got = _count_acc(tmp_path, seqs, 21, chunk_len=1 << 13)
     assert got == _brute(seqs, 21)
+
+
+def test_acc_overflow_capture(tmp_path):
+    """A few hundred overflow windows (one hot cell, below OVF_CAP)
+    take the capture path, not the whole-chunk fallback."""
+    rng = np.random.default_rng(31)
+    # ~1830 identical kmers + ~525 random ones overflow one
+    # ~2187-capacity cell by ~170 windows (< OVF_CAP)
+    seqs = ["A" * 1850] + _rand_seqs(rng, 30, 300)
+    fa = str(tmp_path / "in.fa")
+    _write_fa(fa, seqs)
+    exp = counter._use_device_acc(None, [fa], 21, 1 << 15)
+    acc = counter.DeviceAccCounter(21, "canonical", 1 << 15, exp)
+    from meryl_tpu.io.sequence import SequenceChunker
+    for chunk in SequenceChunker([fa], 21, 1 << 15):
+        acc.add_codes(chunk)
+    hi, lo, c = acc.finalize()
+    assert not acc._fallback_runs          # capture, not full fallback
+    assert acc._ovf_planes                 # capture path tripped
+    got = {(int(h) << 64) | int(l): int(v)
+           for h, l, v in zip(hi, lo, c)}
+    assert got == _brute(seqs, 21, "canonical")
