@@ -126,21 +126,32 @@ def bench_lookup():
     gplanes, gvalues = g["gplanes"], g["gvalues"]
     pad_key, pad_planes = g["pad_key"], g["pad_planes"]
 
-    def body(carry, xs):
-        qp, qi = xs
+    def body(carry, qp):
         val, qidx, n_ovf, tail = lk._route_join_kernel_impl(
-            gplanes, gvalues, [qp[i] for i in range(table.P)], qi,
-            pad_key, pad_planes, cfg)
+            gplanes, gvalues, [qp[i] for i in range(table.P)],
+            jnp.int32(N_Q), pad_key, pad_planes, cfg)
         return (carry + jnp.sum(val) + n_ovf.astype(jnp.uint32)
                 + qidx[0, 0] + tail[0, 0]), None
+
+    def body_exists(carry, qp):
+        packed, n_ovf, tail = lk._route_join_kernel_impl(
+            gplanes, gvalues, [qp[i] for i in range(table.P)],
+            jnp.int32(N_Q), pad_key, pad_planes, cfg, True)
+        return (carry + jnp.sum(packed) + n_ovf.astype(jnp.uint32)
+                + tail[0, 0]), None
 
     @jax.jit
     def pipeline(xs):
         out, _ = lax.scan(body, jnp.uint32(0), xs)
         return out
 
+    @jax.jit
+    def pipeline_exists(xs):
+        out, _ = lax.scan(body_exists, jnp.uint32(0), xs)
+        return out
+
     def make_queries():
-        qps, qis = [], []
+        qps = []
         for _ in range(S):
             q = np.concatenate([
                 rng.choice(kmers, size=N_Q // 2),
@@ -149,14 +160,14 @@ def bench_lookup():
             qhi = np.zeros(len(q), np.uint64)
             qp = km.planes_from_hilo(qhi, q, table.P)
             qps.append(np.stack([p.reshape(R0, L0) for p in qp]))
-            qis.append(np.arange(N_Q, dtype=np.uint32).reshape(R0, L0))
-        return jax.device_put((jnp.asarray(np.stack(qps)),
-                               jnp.asarray(np.stack(qis))))
+        return jax.device_put(jnp.asarray(np.stack(qps)))
 
     inputs = [make_queries() for _ in range(TRIALS + 1)]
     jax.block_until_ready(inputs)
     times = _timeit_fetch(pipeline, inputs, TRIALS)
-    return max(S * N_Q / dt / 1e6 for dt in times)
+    times_e = _timeit_fetch(pipeline_exists, inputs, TRIALS)
+    return (max(S * N_Q / dt / 1e6 for dt in times),
+            max(S * N_Q / dt / 1e6 for dt in times_e))
 
 
 def bench_setop():
@@ -441,7 +452,9 @@ def main():
         "trials_bases_per_s": [round(t, 1) for t in trials],
     }
     if lookup_mqps is not None:
-        out["lookup_mqps"] = round(lookup_mqps, 3)
+        vals_mqps, exists_mqps = lookup_mqps
+        out["lookup_mqps"] = round(vals_mqps, 3)
+        out["lookup_exists_mqps"] = round(exists_mqps, 3)
     if setop_meps is not None:
         out["setop_union_sum_meps"] = round(setop_meps, 3)
     if e2e is not None:

@@ -164,12 +164,19 @@ def _join_kernel(db_planes, db_values, q_planes, q_valid):
 # returned by index and answered exactly by the binary-search fallback
 # (rare: capacity is sized from the DB's own bucket skew).
 
-def _route_join_kernel_impl(gplanes, gvalues, q_planes, q_qidx,
-                            pad_key, pad_planes, cfg):
+def _route_join_kernel_impl(gplanes, gvalues, q_planes, n_valid,
+                            pad_key, pad_planes, cfg,
+                            exists_only=False):
     k, P, b, B, G, SUB, LDB, R0, L0, c = cfg
     D = B * c
 
     SENTQ = U32(0xFFFFFFFF)
+
+    # query ids are generated on device (slab order): uploading an
+    # explicit index array costs 4 bytes/query of host->device link
+    iot0 = jax.lax.broadcasted_iota(U32, (R0, L0), 1) \
+        + jax.lax.broadcasted_iota(U32, (R0, L0), 0) * U32(L0)
+    q_qidx = jnp.where(iot0 < n_valid.astype(U32), iot0, SENTQ)
 
     # ---- routing: group queries by top-b-bit bucket ----
     # sort 1 (reals only): queries by bucket prefix
@@ -270,11 +277,34 @@ def _route_join_kernel_impl(gplanes, gvalues, q_planes, q_qidx,
     out_qidx = jnp.where(
         is_q, (packed3 & QMASK) | jnp.where(dup, U32(1) << U32(31),
                                             U32(0)), SENTQ)
+
+    # compact query results to each row's front before download: the
+    # join rows are ~75% DB entries and padding, and every byte pays
+    # the device->host link (measured 10 MB/s on the dev tunnel —
+    # this slice is 3x smaller than the raw join).  Existence-style
+    # callers (screening: the dominant meryl-lookup workload) only
+    # need a found bit, which packs with qidx+dup into ONE array —
+    # a 2-array compaction sort and half the download bytes.
+    flag = jnp.where(is_q, U32(0), U32(1))
+    if exists_only:
+        packed = jnp.where(
+            is_q,
+            (packed3 & U32((1 << 21) - 1))
+            | jnp.where(out_val > U32(0), U32(1) << U32(22), U32(0))
+            | jnp.where(dup, U32(1) << U32(31), U32(0)),
+            SENTQ)
+        srt4 = jax.lax.sort((flag, packed), num_keys=1, dimension=-1,
+                            is_stable=True)
+        return srt4[1][:, :CQ], n_ovf, tail_qidx
+    srt4 = jax.lax.sort((flag, out_val, out_qidx),
+                        num_keys=1, dimension=-1, is_stable=True)
+    out_val = srt4[1][:, :CQ]
+    out_qidx = srt4[2][:, :CQ]
     return out_val, out_qidx, n_ovf, tail_qidx
 
 
 _route_join_kernel = jax.jit(_route_join_kernel_impl,
-                             static_argnames=("cfg",))
+                             static_argnames=("cfg", "exists_only"))
 
 
 class ExactLookup:
@@ -396,20 +426,30 @@ class ExactLookup:
             "pad_planes": [jnp.asarray(p) for p in pad_planes],
         }
 
-    def values_bulk(self, q_planes_np, valid_np) -> np.ndarray:
+    def values_bulk(self, q_planes_np, valid_np,
+                    exists_only: bool = False) -> np.ndarray:
         """Values for a LARGE host-side query batch.
 
         Big batches against non-degenerate tables run the routed join
         (gather-free; see _route_join_kernel_impl); small batches and
         fallback cases run fixed-size slabs through the prefix-table
-        binary search.  q_planes_np: P numpy arrays; valid_np: bool."""
+        binary search.  q_planes_np: P numpy arrays; valid_np: bool.
+
+        exists_only=True returns 0/1 instead of counts — screening
+        callers (existence / include / exclude / -bed / -wig-depth)
+        then pay one packed output array instead of two (the download
+        bounds these workloads on slow device->host links)."""
         n_valid = int(np.count_nonzero(valid_np))
         if (self._n >= self.JOIN_MIN_N and n_valid >= self.JOIN_MIN_Q):
             if self._grouped is None:
                 self._grouped = self._build_grouped() or "degenerate"
             if self._grouped != "degenerate":
-                return self._values_bulk_join(q_planes_np, valid_np)
-        return self._values_bulk_bsearch(q_planes_np, valid_np)
+                return self._values_bulk_join(q_planes_np, valid_np,
+                                              exists_only)
+        out = self._values_bulk_bsearch(q_planes_np, valid_np)
+        if exists_only:
+            return (out > 0).astype(np.uint32)
+        return out
 
     def _values_bulk_bsearch(self, q_planes_np, valid_np) -> np.ndarray:
         """Binary-search bulk path (measured 8.9 Mq/s on v5e; the
@@ -431,7 +471,8 @@ class ExactLookup:
             out[s:e] = vals[:n]
         return out
 
-    def _values_bulk_join(self, q_planes_np, valid_np) -> np.ndarray:
+    def _values_bulk_join(self, q_planes_np, valid_np,
+                          exists_only: bool = False) -> np.ndarray:
         g = self._grouped
         cfg = g["cfg"]
         R0, L0 = cfg[7], cfg[8]
@@ -448,19 +489,28 @@ class ExactLookup:
                 a = np.full(slab, 0xFFFFFFFF, np.uint32)
                 a[:n] = p[take]
                 qp.append(jnp.asarray(a.reshape(R0, L0)))
-            qi = np.full(slab, SENTQ, np.uint32)
-            qi[:n] = np.arange(n, dtype=np.uint32)
-            val2, qidx2, n_ovf, tail = _route_join_kernel(
-                g["gplanes"], g["gvalues"], qp,
-                jnp.asarray(qi.reshape(R0, L0)),
-                g["pad_key"], g["pad_planes"], cfg)
-            val2 = np.asarray(val2).reshape(-1)
-            qidx2 = np.asarray(qidx2).reshape(-1)
-            mask = qidx2 != SENTQ
-            v = val2[mask]
-            qraw = qidx2[mask]
-            dup = (qraw >> 31) != 0
-            qn = (qraw & 0x7FFFFFFF).astype(np.int64)
+            if exists_only:
+                packed, n_ovf, tail = _route_join_kernel(
+                    g["gplanes"], g["gvalues"], qp, jnp.int32(n),
+                    g["pad_key"], g["pad_planes"], cfg, True)
+                pk = np.asarray(packed).reshape(-1)
+                mask = pk != SENTQ
+                pk = pk[mask]
+                v = ((pk >> 22) & 1).astype(np.uint32)
+                dup = (pk >> 31) != 0
+                qn = (pk & 0x1FFFFF).astype(np.int64)
+                val2 = qidx2 = None
+            else:
+                val2, qidx2, n_ovf, tail = _route_join_kernel(
+                    g["gplanes"], g["gvalues"], qp, jnp.int32(n),
+                    g["pad_key"], g["pad_planes"], cfg)
+                val2 = np.asarray(val2).reshape(-1)
+                qidx2 = np.asarray(qidx2).reshape(-1)
+                mask = qidx2 != SENTQ
+                v = val2[mask]
+                qraw = qidx2[mask]
+                dup = (qraw >> 31) != 0
+                qn = (qraw & 0x7FFFFFFF).astype(np.int64)
             # duplicate queries copy their run representative's value:
             # the download is in sorted-key order, so chains are
             # contiguous — one vectorized forward fill
@@ -476,8 +526,10 @@ class ExactLookup:
                 oq = (tq[tq != SENTQ]).astype(np.int64)
                 opos = take[oq]
                 qpo = [np.ascontiguousarray(p[opos]) for p in q_planes_np]
-                out[opos] = self._values_bulk_bsearch(
+                ov = self._values_bulk_bsearch(
                     qpo, np.ones(len(opos), bool))
+                out[opos] = (ov > 0).astype(np.uint32) if exists_only \
+                    else ov
         return out
 
     def values_join(self, q_planes_np, valid_np) -> np.ndarray:

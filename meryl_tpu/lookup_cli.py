@@ -168,12 +168,14 @@ def _extract_positions(codes: np.ndarray, k: int, P: int):
     return fpl_np, rpl_np, vmask
 
 
-def _per_position_values(lookups, codes: np.ndarray, k: int):
+def _per_position_values(lookups, codes: np.ndarray, k: int,
+                         exists_only: bool = False):
     """For each DB: (fvals, rvals) uint32 arrays over kmer start
     positions 0..len-k, plus the validity mask.
 
     Small batches use the prefix-table binary search; large ones the
-    sort-merge join (see lookup.py)."""
+    routed join (see lookup.py).  exists_only callers (screening) get
+    0/1 and pay half the device->host bytes."""
     L = len(codes)
     npos = max(0, L - k + 1)
     if npos == 0:
@@ -188,8 +190,8 @@ def _per_position_values(lookups, codes: np.ndarray, k: int):
     vpad[:npos] = vmask
     for Lk in lookups:
         if npos >= BULK_MIN:
-            nf.append(Lk.values_bulk(fpl_np, vmask))
-            nr.append(Lk.values_bulk(rpl_np, vmask))
+            nf.append(Lk.values_bulk(fpl_np, vmask, exists_only))
+            nr.append(Lk.values_bulk(rpl_np, vmask, exists_only))
         else:
             def q(pl):
                 qp = []
@@ -236,7 +238,8 @@ def cmd_dump(g: LookupGlobal, out):
     use_labels = len(g.labels) > 0
     for name, seq, _ in iter_sequences(g.seq1):
         codes = km.CODE_LUT[np.frombuffer(seq, np.uint8)]
-        nf, nr, vmask = _per_position_values(g.lookups, codes, k)
+        nf, nr, vmask = _per_position_values(
+            g.lookups, codes, k, exists_only=(g.mode != "wig-count"))
         npos = len(vmask)
 
         if g.mode in ("bed", "bed-runs"):
@@ -345,7 +348,8 @@ def cmd_existence(g: LookupGlobal, out):
                  for r in batch]
         n = len(batch)
         buf, offs, lens = km.concat_codes_with_breakers(codes)
-        nf, nr, vmask = _per_position_values(g.lookups, buf, k)
+        nf, nr, vmask = _per_position_values(g.lookups, buf, k,
+                                             exists_only=True)
         spans = np.maximum(0, lens - k + 1)
         cv = np.concatenate([[0], np.cumsum(vmask)])
         ntotal = cv[offs + spans] - cv[offs]
@@ -382,7 +386,7 @@ def _batch_found(L, codes_list, k: int):
     per-read path, whose two device dispatches per read measured
     ~0.04 Mbases/s against the reference's streaming C filter."""
     buf, offs, lens = km.concat_codes_with_breakers(codes_list)
-    nf, nr, vmask = _per_position_values([L], buf, k)
+    nf, nr, vmask = _per_position_values([L], buf, k, exists_only=True)
     found = ((nf[0] > 0) | (nr[0] > 0)) & vmask
     spans = np.maximum(0, lens - k + 1)
     return found, offs, spans

@@ -129,3 +129,24 @@ def test_join_min_max_filter(tmp_path):
     got = table.values_bulk(_qplanes(q, table.P), np.ones(len(q), bool))
     want = np.array([model.get(int(x), 0) for x in q], np.uint32)
     assert np.array_equal(got, want)
+
+
+def test_join_exists_mode(tmp_path):
+    """exists_only returns 0/1 with identical found-set semantics,
+    including duplicates and overflow fallback."""
+    rng = np.random.default_rng(9)
+    table, lo, c = _table(tmp_path, rng, n=40000)
+    model = {int(x) for x in lo}
+    q = np.concatenate([
+        rng.choice(lo, size=3000),
+        rng.integers(0, 1 << (2 * K), size=3000, dtype=np.uint64),
+        np.repeat(rng.choice(lo, size=4), 300),     # hit dups
+        np.repeat(np.uint64(42), 500),              # miss dups
+    ])
+    rng.shuffle(q)
+    valid = rng.random(len(q)) < 0.95
+    got = table.values_bulk(_qplanes(q, table.P), valid,
+                            exists_only=True)
+    want = np.array([1 if (v and int(x) in model) else 0
+                     for x, v in zip(q, valid)], np.uint32)
+    assert np.array_equal(got, want)
