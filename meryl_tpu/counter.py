@@ -175,6 +175,11 @@ def merge_runs(runs):
     return hi[starts], lo[starts], counts
 
 
+class AccCapacity(Exception):
+    """The accumulator would outgrow its HBM budget: the driver
+    salvages the device state exactly and finishes on the host path."""
+
+
 class DeviceAccCounter:
     """Single-chip device-accumulator counting driver (ops/accum.py):
     the device keeps the running sorted-unique (kmer, count) set; the
@@ -215,6 +220,8 @@ class DeviceAccCounter:
         self._nallones = []        # device scalars, fetched at the end
         self._fallback_runs = []   # host-counted overflow chunks
         self._ovf_planes = []      # captured cell-overflow windows
+        self._cap_bytes = int(float(
+            _os.environ.get("MERYL_TPU_ACC_CAP_GB", 4.0)) * 1e9)
 
     def _fresh_acc(self):
         zp = tuple(jnp.full((self.B, self.La), 0xFFFFFFFF, jnp.uint32)
@@ -283,6 +290,9 @@ class DeviceAccCounter:
             new_la = self.La
             while new_la < hi:
                 new_la *= 2
+            # (P planes + counts) u32 x3 for the merge working set
+            if new_la * self.B * (self.P + 1) * 4 * 3 > self._cap_bytes:
+                raise AccCapacity()
             self.La = new_la
             self._acc = (
                 tuple(jnp.concatenate(
@@ -296,6 +306,63 @@ class DeviceAccCounter:
                                jnp.uint32)], axis=1))
         self._acc = (planes, counts)
         self._staged = []
+
+    def salvage(self):
+        """Exact device-state rescue when the accumulator hit its HBM
+        budget (AccCapacity): download the accumulator and every
+        staged cell group, count them host-side, and return the run
+        list — the driver finishes the remaining input on the host
+        path and union-merges everything."""
+        for item in self._pending:
+            self._resolve(item)
+        self._pending = []
+        runs = list(self._fallback_runs)
+        self._fallback_runs = []
+        if self._acc is not None:
+            planes_np = [np.asarray(p).reshape(-1) for p in self._acc[0]]
+            counts_np = np.asarray(self._acc[1]).reshape(-1)
+            keepm = counts_np > 0
+            hi, lo = km.hilo_from_planes([p[keepm] for p in planes_np])
+            runs.append((hi, lo, counts_np[keepm].astype(np.uint64)))
+            self._acc = None
+        for cells in self._staged:
+            planes_np = [np.asarray(p).reshape(-1) for p in cells]
+            real = ~np.logical_and.reduce(
+                [p == 0xFFFFFFFF for p in planes_np])
+            hi, lo = km.hilo_from_planes([p[real] for p in planes_np])
+            order = np.lexsort((lo, hi))
+            hi, lo = hi[order], lo[order]
+            new = np.empty(len(hi), bool)
+            new[:1] = True
+            np.logical_or(hi[1:] != hi[:-1], lo[1:] != lo[:-1],
+                          out=new[1:])
+            st = np.flatnonzero(new)
+            cnt = np.diff(np.append(st, len(hi))).astype(np.uint64)
+            runs.append((hi[st], lo[st], cnt))
+        self._staged = []
+        if self._ovf_planes:
+            planes = [np.concatenate([o[p] for o in self._ovf_planes])
+                      for p in range(self.P)]
+            ohi, olo = km.hilo_from_planes(planes)
+            order = np.lexsort((olo, ohi))
+            ohi, olo = ohi[order], olo[order]
+            new = np.empty(len(ohi), bool)
+            new[:1] = True
+            np.logical_or(ohi[1:] != ohi[:-1], olo[1:] != olo[:-1],
+                          out=new[1:])
+            st = np.flatnonzero(new)
+            cnt = np.diff(np.append(st, len(ohi))).astype(np.uint64)
+            runs.append((ohi[st], olo[st], cnt))
+            self._ovf_planes = []
+        n_allones = sum(int(x) for x in self._nallones)
+        self._nallones = []
+        if n_allones:
+            twok = 2 * self.k
+            runs.append((np.array([(1 << max(0, twok - 64)) - 1],
+                                  np.uint64),
+                         np.array([(1 << min(64, twok)) - 1], np.uint64),
+                         np.array([n_allones], np.uint64)))
+        return runs
 
     def finalize(self):
         """-> sorted unique (hi, lo, counts-u32)."""
@@ -377,9 +444,13 @@ def _use_device_acc(count_suffix, paths, k, chunk_len) -> int:
     if jax.device_count() != 1 or jax.default_backend() == "cpu":
         return 0
     cap = int(float(_os.environ.get("MERYL_TPU_ACC_CAP_GB", 4.0)) * 1e9)
-    # (P planes + counts) x u32, x3 for the merge sort's working set
+    # (P planes + counts) x u32, x3 for the merge sort's working set;
+    # the admission estimate uses the same FASTQ/dedup discount the
+    # accumulator sizes itself with — if uniques really outgrow the
+    # budget mid-run, AccCapacity salvages the device state exactly
+    # and the rest of the input finishes on the host path
     acc_bytes = (km.num_planes(k) + 1) * 4 * 3
-    if exp * acc_bytes > cap:
+    if exp * 0.35 * acc_bytes > cap:
         return 0
     return max(1, exp)
 
@@ -389,13 +460,34 @@ def count_to_arrays_device_acc(paths, k: int, mode: str, hpc: bool,
                                progress=None, segment=None):
     acc = DeviceAccCounter(k, mode, chunk_len, expected_uniques)
     nbases = 0
-    for chunk in SequenceChunker(paths, k, chunk_len, hpc=hpc,
-                                 segment=segment):
-        acc.add_codes(chunk)
+    it = iter(SequenceChunker(paths, k, chunk_len, hpc=hpc,
+                              segment=segment))
+    salvage_runs = None
+    for chunk in it:
+        try:
+            acc.add_codes(chunk)
+        except AccCapacity:
+            # the unique set outgrew the accumulator's HBM budget:
+            # rescue the device state exactly and finish the stream
+            # on the host sort+merge path
+            salvage_runs = acc.salvage()
+            break
         nbases += len(chunk)
         if progress:
             progress(nbases)
-    return acc.finalize()
+    if salvage_runs is not None:
+        runs = salvage_runs
+        for chunk in it:
+            runs.extend(_finish_chunk(*_count_chunk(
+                jnp.asarray(chunk), k, mode, None)))
+            nbases += len(chunk)
+            if progress:
+                progress(nbases)
+        return merge_runs(runs)
+    try:
+        return acc.finalize()
+    except AccCapacity:  # the final merge itself outgrew the budget
+        return merge_runs(acc.salvage())
 
 
 def _use_sharded(count_suffix) -> bool:

@@ -140,3 +140,13 @@ def test_acc_overflow_capture(tmp_path):
     got = {(int(h) << 64) | int(l): int(v)
            for h, l, v in zip(hi, lo, c)}
     assert got == _brute(seqs, 21, "canonical")
+
+
+def test_acc_capacity_salvage(tmp_path, monkeypatch):
+    """A tiny HBM budget forces AccCapacity mid-run; the salvage path
+    must still produce exact counts (device state + host finish)."""
+    monkeypatch.setenv("MERYL_TPU_ACC_CAP_GB", "0.000002")  # ~2 KB
+    rng = np.random.default_rng(17)
+    seqs = _rand_seqs(rng, 80, 400)
+    got = _count_acc(tmp_path, seqs, 21, chunk_len=1 << 13, expected=64)
+    assert got == _brute(seqs, 21, "canonical")
