@@ -140,17 +140,25 @@ def load_tables(g: LookupGlobal, err=None):
 BULK_MIN = 1 << 16  # switch to the sort-merge join above this many positions
 
 
-def _extract_positions(codes: np.ndarray, k: int, P: int):
+def _extract_positions(codes: np.ndarray, k: int, P: int,
+                       canonical: bool = False):
     """Per-position forward/reverse kmer planes + validity (host).
 
     Batch size adapts to the sequence (pow2 grid between CHUNK_MIN and
     CHUNK): a 25 Mbase chromosome extracts in ~12 dispatches instead
-    of ~400 — every dispatch pays the device round trip."""
+    of ~400 — every dispatch pays the device round trip.
+
+    canonical=True extracts min(fmer, rmer) once and returns it as
+    BOTH orientations: against a canonical database value(fmer) ==
+    value(rmer) == value(canonical), so one query per position
+    replaces two (half the link bytes and device dispatches; the
+    wig-count palindrome rule still holds since fv == rv)."""
     L = len(codes)
     npos = max(0, L - k + 1)
     size = max(CHUNK_MIN, min(CHUNK, 1 << int(max(L, 1) - 1).bit_length()))
     fpl_np = [np.zeros(npos, np.uint32) for _ in range(P)]
-    rpl_np = [np.zeros(npos, np.uint32) for _ in range(P)]
+    rpl_np = fpl_np if canonical else \
+        [np.zeros(npos, np.uint32) for _ in range(P)]
     vmask = np.zeros(npos, bool)
     step = size - (k - 1)
     pos = 0
@@ -158,12 +166,19 @@ def _extract_positions(codes: np.ndarray, k: int, P: int):
         end = min(pos + size, L)
         chunk = np.full(size, 255, np.uint8)
         chunk[:end - pos] = codes[pos:end]
-        fpl, rpl, valid = ext.extract_kmers(jnp.asarray(chunk), k, "both")
+        if canonical:
+            fpl, valid = ext.extract_kmers(jnp.asarray(chunk), k,
+                                           "canonical")
+            rpl = None
+        else:
+            fpl, rpl, valid = ext.extract_kmers(jnp.asarray(chunk), k,
+                                                "both")
         nvalid = min(step, npos - pos)
         vmask[pos:pos + nvalid] = np.asarray(valid)[:nvalid]
         for p in range(P):
             fpl_np[p][pos:pos + nvalid] = np.asarray(fpl[p])[:nvalid]
-            rpl_np[p][pos:pos + nvalid] = np.asarray(rpl[p])[:nvalid]
+            if not canonical:
+                rpl_np[p][pos:pos + nvalid] = np.asarray(rpl[p])[:nvalid]
         pos += nvalid
     return fpl_np, rpl_np, vmask
 
@@ -182,7 +197,9 @@ def _per_position_values(lookups, codes: np.ndarray, k: int,
         z = [np.zeros(0, np.uint32) for _ in lookups]
         return z, list(z), np.zeros(0, bool)
     P = lookups[0].P
-    fpl_np, rpl_np, vmask = _extract_positions(codes, k, P)
+    canonical = all(getattr(Lk.db, "mode", None) == "canonical"
+                    for Lk in lookups)
+    fpl_np, rpl_np, vmask = _extract_positions(codes, k, P, canonical)
     nf, nr = [], []
     # pad to a power of two so jit signatures stay bounded
     npad = 1 << max(8, int(npos - 1).bit_length())
@@ -191,7 +208,8 @@ def _per_position_values(lookups, codes: np.ndarray, k: int,
     for Lk in lookups:
         if npos >= BULK_MIN:
             nf.append(Lk.values_bulk(fpl_np, vmask, exists_only))
-            nr.append(Lk.values_bulk(rpl_np, vmask, exists_only))
+            nr.append(nf[-1] if canonical else
+                      Lk.values_bulk(rpl_np, vmask, exists_only))
         else:
             def q(pl):
                 qp = []
@@ -202,8 +220,12 @@ def _per_position_values(lookups, codes: np.ndarray, k: int,
                 return qp
             fv = np.asarray(Lk.values_batch(q(fpl_np),
                                             jnp.asarray(vpad)))[:npos]
-            rv = np.asarray(Lk.values_batch(q(rpl_np),
-                                            jnp.asarray(vpad)))[:npos]
+            rv = fv if canonical else \
+                np.asarray(Lk.values_batch(q(rpl_np),
+                                           jnp.asarray(vpad)))[:npos]
+            if exists_only:
+                fv = (fv > 0).astype(np.uint32)
+                rv = (rv > 0).astype(np.uint32)
             nf.append(fv)
             nr.append(rv)
     return nf, nr, vmask
