@@ -216,7 +216,8 @@ class DeviceAccCounter:
                     plan["L0"], plan["c"], plan["bits"])
         self._acc = None
         self._staged = []          # routed cell tuples awaiting merge
-        self._pending = []         # (cells, n_ovf devscalar, codes np)
+        self._pending = []         # (cells, ovf, n_ovf_row, codes,
+                                   #  n_allones devscalar)
         self._nallones = []        # device scalars, fetched at the end
         self._fallback_runs = []   # host-counted overflow chunks
         self._ovf_planes = []      # captured cell-overflow windows
@@ -238,8 +239,11 @@ class DeviceAccCounter:
                                 np.uint8)])
         cells, ovf, n_ovf_row, n_allones = accum.route_chunk(
             jnp.asarray(codes), self.cfg)
-        self._nallones.append(n_allones)
-        self._pending.append((cells, ovf, n_ovf_row, codes))
+        # n_allones travels WITH the pending chunk: it is committed to
+        # self._nallones only when the chunk's cells are staged — a
+        # host-path recount (cell overflow > OVF_CAP) counts the
+        # all-ones kmer itself, so committing eagerly double-counts it
+        self._pending.append((cells, ovf, n_ovf_row, codes, n_allones))
         # overflow scalars are checked in a batch at merge cadence —
         # a per-chunk int() fetch costs one link round trip per chunk
         # (raw chunk codes are kept until their check clears, so an
@@ -253,16 +257,19 @@ class DeviceAccCounter:
 
     def _resolve(self, item):
         from .ops.accum import OVF_CAP
-        cells, ovf, n_ovf_row, codes = item
+        cells, ovf, n_ovf_row, codes, n_allones = item
         nrow = np.asarray(n_ovf_row)
         mx = int(nrow.max()) if len(nrow) else 0
         if mx > OVF_CAP:
             # adversarial composition blew a whole capture row:
             # recount this chunk on the host path (exact), drop cells
+            # AND the chunk's all-ones scalar — the host recount
+            # counts the all-ones kmer itself
             self._fallback_runs.extend(_finish_chunk(
                 *_count_chunk(jnp.asarray(codes), self.k, self.mode,
                               None)))
             return
+        self._nallones.append(n_allones)
         if mx > 0:
             # thin Poisson tail: the overflowed windows sit at the
             # head of each capture row — collect them host-side

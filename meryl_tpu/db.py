@@ -118,6 +118,13 @@ class MerylDB:
     def multiset(self) -> bool:
         return bool(self.meta.get("multiset", False))
 
+    @property
+    def mode(self):
+        """'canonical' / 'forward' / 'reverse' (None on DBs written
+        before the field existed — callers must treat None as
+        not-canonical)."""
+        return self.meta.get("mode")
+
     def stats(self) -> dict:
         return {
             "numUnique": int(self.meta["numUnique"]),

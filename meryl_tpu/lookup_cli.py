@@ -184,21 +184,28 @@ def _extract_positions(codes: np.ndarray, k: int, P: int,
 
 
 def _per_position_values(lookups, codes: np.ndarray, k: int,
-                         exists_only: bool = False):
+                         exists_only: bool = False,
+                         allow_canonical: bool = True):
     """For each DB: (fvals, rvals) uint32 arrays over kmer start
     positions 0..len-k, plus the validity mask.
 
     Small batches use the prefix-table binary search; large ones the
     routed join (see lookup.py).  exists_only callers (screening) get
-    0/1 and pay half the device->host bytes."""
+    0/1 and pay half the device->host bytes.
+
+    allow_canonical=False disables the single-orientation shortcut for
+    callers that need the reference's raw value(f)/value(r) pair (wig-
+    count sums them, dump.C:154-161: against a canonical DB the raw
+    pair is C for non-palindromes, while the shortcut's fv == rv would
+    double to 2C)."""
     L = len(codes)
     npos = max(0, L - k + 1)
     if npos == 0:
         z = [np.zeros(0, np.uint32) for _ in lookups]
         return z, list(z), np.zeros(0, bool)
     P = lookups[0].P
-    canonical = all(getattr(Lk.db, "mode", None) == "canonical"
-                    for Lk in lookups)
+    canonical = allow_canonical and all(
+        Lk.db.mode == "canonical" for Lk in lookups)
     fpl_np, rpl_np, vmask = _extract_positions(codes, k, P, canonical)
     nf, nr = [], []
     # pad to a power of two so jit signatures stay bounded
@@ -261,7 +268,8 @@ def cmd_dump(g: LookupGlobal, out):
     for name, seq, _ in iter_sequences(g.seq1):
         codes = km.CODE_LUT[np.frombuffer(seq, np.uint8)]
         nf, nr, vmask = _per_position_values(
-            g.lookups, codes, k, exists_only=(g.mode != "wig-count"))
+            g.lookups, codes, k, exists_only=(g.mode != "wig-count"),
+            allow_canonical=(g.mode != "wig-count"))
         npos = len(vmask)
 
         if g.mode in ("bed", "bed-runs"):

@@ -225,7 +225,11 @@ class Builder:
             return
         if getattr(self, "_expect_t", False):
             import os as _o
-            _o.environ["MERYL_TPU_THREADS"] = str(int(w))
+            try:
+                _o.environ["MERYL_TPU_THREADS"] = str(int(w))
+            except ValueError:
+                raise ParseError(
+                    f"-t expects a thread count, got '{w}'")
             self._expect_t = False
             return
         if w == "-m":                 # memory (GB): drives the same
@@ -235,7 +239,11 @@ class Builder:
             self.memory_gb = float(w[2:])
             return
         if getattr(self, "_expect_m", False):
-            self.memory_gb = float(w)
+            try:
+                self.memory_gb = float(w)
+            except ValueError:
+                raise ParseError(
+                    f"-m expects a memory size in GB, got '{w}'")
             self._expect_m = False
             return
         if w.startswith("-V") or w in ("-Q", "-P", "-C"):

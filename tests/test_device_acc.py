@@ -85,6 +85,21 @@ def test_acc_allones_kmer(tmp_path):
     assert got[allones] == want[allones] == 26
 
 
+def test_acc_allones_not_doubled_by_host_fallback(tmp_path):
+    """A chunk that trips the host-recount fallback (poly-A cell
+    overflow > OVF_CAP) AND contains all-ones kmers (poly-G, k=16
+    forward): the host recount counts the all-ones kmer itself, so the
+    chunk's device n_allones scalar must be dropped, not committed
+    (advisor round-3 high finding)."""
+    seqs = ["A" * 5000, "G" * 40]
+    got = _count_acc(tmp_path, seqs, 16, mode="forward",
+                     chunk_len=1 << 13)
+    want = _brute(seqs, 16, "forward")
+    assert got == want
+    allones = (1 << 32) - 1
+    assert got[allones] == 25  # 40 - 16 + 1, not doubled
+
+
 def test_acc_overflow_fallback(tmp_path):
     """Poly-A input routes every window to one bucket cell: the chunk
     must overflow and be recounted exactly on the host path."""

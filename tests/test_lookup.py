@@ -412,3 +412,32 @@ def test_filter_batched_matches_naive(tmp_path):
         f = line.rstrip("\n").split("\t")
         assert f[0] == n
         assert int(f[3]) == hits(s), (n, s)
+
+def test_canonical_single_orientation_gate(setup, monkeypatch):
+    """Against a canonical DB the screening modes must resolve ONE
+    orientation per position (the shortcut halves queries/link bytes);
+    wig-count must NOT use it (the reference sums raw value(f) +
+    value(r), dump.C:154-161 — the shortcut's fv == rv would double
+    non-palindromic counts).  Advisor round-3 medium finding: the gate
+    read a nonexistent attribute and was dead code."""
+    calls = []
+    orig_batch = ExactLookup.values_batch
+    orig_bulk = ExactLookup.values_bulk
+
+    def spy_batch(self, *a, **kw):
+        calls.append("batch")
+        return orig_batch(self, *a, **kw)
+
+    def spy_bulk(self, *a, **kw):
+        calls.append("bulk")
+        return orig_bulk(self, *a, **kw)
+
+    monkeypatch.setattr(ExactLookup, "values_batch", spy_batch)
+    monkeypatch.setattr(ExactLookup, "values_bulk", spy_bulk)
+
+    _run_mode(setup, "bed")          # canonical shortcut: 1 per seq
+    bed_calls = len(calls)
+    calls.clear()
+    _run_mode(setup, "wig-count")    # raw pair: 2 per seq
+    wig_calls = len(calls)
+    assert wig_calls == 2 * bed_calls

@@ -322,3 +322,14 @@ def test_counting_root_extra_outputs(tmp_path):
                        f"print={dump}"]) == 0
     assert sum(1 for _ in open(dump)) > 0
     assert v2cli.main(["-k", "11", "count", str(fa), "output"]) == 1
+
+
+def test_bad_memory_flag_is_parse_error(capsys):
+    """-m with a non-numeric word must exit 1 with a usage message,
+    not raise an uncaught ValueError (advisor round-3 low finding)."""
+    from meryl_tpu.v2 import cli as v2cli
+    rc = v2cli.main(["-m", "lots", "histogram"])
+    assert rc == 1
+    assert "memory size" in capsys.readouterr().err
+    rc = v2cli.main(["-t", "many", "histogram"])
+    assert rc == 1
