@@ -234,6 +234,36 @@ def bench_setop():
     return max(S * 2 * N / dt / 1e6 for dt in times)
 
 
+def measure_link_rates():
+    """Measured host->device and device->host rates for LARGE
+    contiguous arrays (the transfer shape the e2e counting path uses).
+    Small/chatty transfers on the dev tunnel are far slower — these
+    rates decompose the e2e wall clock, they do not model dispatch
+    latency."""
+    import jax
+    import jax.numpy as jnp
+
+    mb = 1 << 20
+    rng = np.random.default_rng(9)
+    h2d = []
+    for rep in range(2):
+        a = rng.integers(0, 255, size=64 * mb, dtype=np.uint8)
+        t0 = time.perf_counter()
+        d = jax.device_put(a)
+        d.block_until_ready()
+        h2d.append(a.nbytes / (time.perf_counter() - t0))
+        del d
+    d2h = []
+    dev = jax.device_put(jnp.asarray(
+        rng.integers(0, 255, size=32 * mb, dtype=np.uint8)))
+    dev.block_until_ready()
+    for rep in range(2):
+        t0 = time.perf_counter()
+        back = np.asarray(dev)
+        d2h.append(back.nbytes / (time.perf_counter() - t0))
+    return max(h2d), max(d2h)
+
+
 def bench_count_e2e():
     """END-TO-END counting throughput: wall-clock `count_to_db` from a
     FASTQ file on disk to a decoded-verified DB on disk — the number a
@@ -273,9 +303,10 @@ def bench_count_e2e():
 
     times = []
     n_uniques = 0
-    for rep in range(3):  # rep 0 warms compiles; the dev tunnel's
-        # link rate swings several-fold between runs, so the metric
-        # is the best warm run
+    for rep in range(4):  # rep 0 warms compiles; the dev tunnel's
+        # link rate swings several-fold between runs, so the headline
+        # is the best warm run and the median is reported alongside
+        # (so round-over-round changes can be told from link noise)
         out = os.path.join(tempfile.gettempdir(),
                            f"meryl_bench_e2e_{rep}.meryl")
         shutil.rmtree(out, ignore_errors=True)
@@ -286,13 +317,42 @@ def bench_count_e2e():
         n_uniques = len(c)
         assert n_uniques > 0
         shutil.rmtree(out, ignore_errors=True)
-    return bases / min(times[1:]), {
+
+    from meryl_tpu.counter import LAST_WIRE_STATS
+    warm = sorted(times[1:])
+    best = warm[0]
+    detail = {
         "bases": bases,
         "uniques": int(n_uniques),
         "cold_s": round(times[0], 2),
         "warm_s": [round(t, 2) for t in times[1:]],
+        "warm_median_s": round(warm[len(warm) // 2], 2),
         "in_bytes": os.path.getsize(fq),
     }
+    # wall-clock decomposition: measured large-array link rates x the
+    # actual byte volumes the run moved; the residual is device+host
+    # compute.  The PCIe projection is then a computed field (VERDICT
+    # r3 item 2): same residual, wire at a conservative 8 GB/s PCIe
+    # gen4 x8 effective rate.
+    try:
+        h2d_rate, d2h_rate = measure_link_rates()
+        h2d_b = int(LAST_WIRE_STATS.get("h2d_bytes", 0))
+        d2h_b = int(LAST_WIRE_STATS.get("d2h_bytes", 0))
+        wire_s = h2d_b / h2d_rate + d2h_b / d2h_rate
+        residual_s = max(0.0, best - wire_s)
+        pcie_s = residual_s + (h2d_b + d2h_b) / 8e9
+        detail.update({
+            "h2d_bytes": h2d_b,
+            "d2h_bytes": d2h_b,
+            "h2d_rate_mbs": round(h2d_rate / 1e6, 1),
+            "d2h_rate_mbs": round(d2h_rate / 1e6, 1),
+            "wire_s_est": round(wire_s, 2),
+            "residual_s": round(residual_s, 2),
+            "pcie_proj_bases_s": round(bases / pcie_s, 1),
+        })
+    except Exception as e:  # decomposition must never sink the bench
+        detail["decompose_error"] = str(e)[:200]
+    return bases / best, detail
 
 
 def bench_bam_ingest():

@@ -59,13 +59,7 @@ def _sort_rowlen(chunk_len: int) -> int | None:
 _COMPACT_DEVICE = _os.environ.get("MERYL_TPU_COMPACT", "host") == "device"
 
 
-def _extract_filtered(codes, k: int, mode: str, suffix):
-    if (_USE_PALLAS and mode == "canonical"
-            and codes.shape[0] % (1 << 13) == 0):
-        from .ops.extract_pallas import extract_kmers_pallas
-        planes, valid = extract_kmers_pallas(codes, k)
-    else:
-        planes, valid = ext.extract_kmers(codes, k, mode)
+def _suffix_filter(planes, valid, suffix):
     if suffix is not None:
         sbits, slen = suffix
         need = 2 * slen
@@ -80,33 +74,67 @@ def _extract_filtered(codes, k: int, mode: str, suffix):
     return planes, valid
 
 
+def _extract_any(codes_or_packed, k, mode):
+    """Extraction for both wire formats: a plain (L,) uint8 codes
+    array, or the packed triple (packed2, exc, n_real) from
+    km.pack_codes_2bit (4x less h2d wire; extract_kmers_packed)."""
+    if isinstance(codes_or_packed, tuple):
+        packed2, exc, n_real = codes_or_packed
+        return ext.extract_kmers_packed(packed2, exc, n_real, k, mode)
+    codes = codes_or_packed
+    if (_USE_PALLAS and mode == "canonical"
+            and codes.shape[0] % (1 << 13) == 0):
+        from .ops.extract_pallas import extract_kmers_pallas
+        return extract_kmers_pallas(codes, k)
+    return ext.extract_kmers(codes, k, mode)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mode", "suffix",
                                               "rowlen"))
 def _chunk_pipeline(codes, k: int, mode: str, suffix=None, rowlen=None):
-    """codes (L,) uint8 -> (sorted planes, start mask, n_invalid).
+    """codes (L,) uint8 OR packed triple -> (sorted planes, start mask,
+    n_invalid).
 
     Device program is extract + sort + neighbor-compare only; run
     lengths are recovered on the host from start positions
     (cnt.sort_starts rationale).  suffix: optional (bits, length)
     static pair — only count kmers whose last `length` bases encode to
     `bits` (the reference's count-suffix, merylOp-countSimple.C:50-90)."""
-    planes, valid = _extract_filtered(codes, k, mode, suffix)
+    planes, valid = _suffix_filter(*_extract_any(codes, k, mode), suffix)
     return cnt.sort_starts(planes, valid, rowlen)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mode", "suffix"))
 def _chunk_pipeline_compacted(codes, k: int, mode: str, suffix=None):
-    planes, valid = _extract_filtered(codes, k, mode, suffix)
+    planes, valid = _suffix_filter(*_extract_any(codes, k, mode), suffix)
     return cnt.sort_count_compacted(planes, valid)
 
 
-def _count_chunk(codes, k: int, mode: str, suffix=None):
-    """Dispatch one chunk; returns an opaque device result for
-    _finish_chunk (keeps the 1-deep host/device pipeline)."""
+def _wire_chunk(chunk: np.ndarray):
+    """Host chunk -> device wire arrays.  MERYL_TPU_PACK_WIRE=0 ships
+    raw uint8 codes (1 B/base); default packs to 2-bit words + an
+    exception list (0.25 B/base + ~4 B/read)."""
+    if _os.environ.get("MERYL_TPU_PACK_WIRE", "1") == "0":
+        return jnp.asarray(chunk)
+    packed2, exc, n_real = km.pack_codes_2bit(chunk)
+    return (jnp.asarray(packed2), jnp.asarray(exc), jnp.uint32(n_real))
+
+
+def _count_chunk(chunk, k: int, mode: str, suffix=None):
+    """Dispatch one chunk (host np codes or pre-built wire arrays);
+    returns an opaque device result for _finish_chunk (keeps the
+    1-deep host/device pipeline)."""
+    if isinstance(chunk, np.ndarray):
+        L = len(chunk)
+        chunk = _wire_chunk(chunk)
+    elif isinstance(chunk, tuple):
+        L = chunk[0].shape[0] * 16
+    else:
+        L = chunk.shape[0]
     if _COMPACT_DEVICE:
-        return (_chunk_pipeline_compacted(codes, k, mode, suffix), None)
-    rowlen = _sort_rowlen(codes.shape[0])
-    return (_chunk_pipeline(codes, k, mode, suffix, rowlen), rowlen)
+        return (_chunk_pipeline_compacted(chunk, k, mode, suffix), None)
+    rowlen = _sort_rowlen(L)
+    return (_chunk_pipeline(chunk, k, mode, suffix, rowlen), rowlen)
 
 
 def _finish_chunk(result, rowlen=None):
@@ -223,6 +251,10 @@ class DeviceAccCounter:
         self._ovf_planes = []      # captured cell-overflow windows
         self._cap_bytes = int(float(
             _os.environ.get("MERYL_TPU_ACC_CAP_GB", 4.0)) * 1e9)
+        # wire accounting (bench decomposition: the volumes that cross
+        # the host<->device link, independent of what the link costs)
+        self.wire_h2d_bytes = 0
+        self.wire_d2h_bytes = 0
 
     def _fresh_acc(self):
         zp = tuple(jnp.full((self.B, self.La), 0xFFFFFFFF, jnp.uint32)
@@ -237,8 +269,17 @@ class DeviceAccCounter:
             codes = np.concatenate(
                 [codes, np.full(self.chunk_len - len(codes), SEP,
                                 np.uint8)])
-        cells, ovf, n_ovf_row, n_allones = accum.route_chunk(
-            jnp.asarray(codes), self.cfg)
+        if _os.environ.get("MERYL_TPU_PACK_WIRE", "1") == "0":
+            self.wire_h2d_bytes += codes.nbytes
+            cells, ovf, n_ovf_row, n_allones = accum.route_chunk(
+                jnp.asarray(codes), self.cfg)
+        else:
+            packed2, exc, n_real = km.pack_codes_2bit(
+                codes, pad_to=self.chunk_len)
+            self.wire_h2d_bytes += packed2.nbytes + exc.nbytes
+            cells, ovf, n_ovf_row, n_allones = accum.route_chunk_packed(
+                jnp.asarray(packed2), jnp.asarray(exc),
+                jnp.uint32(n_real), self.cfg)
         # n_allones travels WITH the pending chunk: it is committed to
         # self._nallones only when the chunk's cells are staged — a
         # host-path recount (cell overflow > OVF_CAP) counts the
@@ -266,8 +307,7 @@ class DeviceAccCounter:
             # AND the chunk's all-ones scalar — the host recount
             # counts the all-ones kmer itself
             self._fallback_runs.extend(_finish_chunk(
-                *_count_chunk(jnp.asarray(codes), self.k, self.mode,
-                              None)))
+                *_count_chunk(codes, self.k, self.mode, None)))
             return
         self._nallones.append(n_allones)
         if mx > 0:
@@ -388,6 +428,7 @@ class DeviceAccCounter:
             # device->host link is the e2e bottleneck on slow links
             lmax = min(self.La, max(256, getattr(self, "_max_run",
                                                  self.La)))
+            self.wire_d2h_bytes += self.B * lmax * 4 * (self.P + 1)
             planes_np = [np.asarray(p[:, :lmax]).reshape(-1)
                          for p in self._acc[0]]
             counts_np = np.asarray(self._acc[1][:, :lmax]).reshape(-1)
@@ -462,6 +503,12 @@ def _use_device_acc(count_suffix, paths, k, chunk_len) -> int:
     return max(1, exp)
 
 
+# wire volumes of the most recent device-accumulator run (set by
+# count_to_arrays_device_acc; read by bench.py to decompose the e2e
+# wall clock into link and compute terms)
+LAST_WIRE_STATS: dict = {}
+
+
 def count_to_arrays_device_acc(paths, k: int, mode: str, hpc: bool,
                                chunk_len: int, expected_uniques: int,
                                progress=None, segment=None):
@@ -486,15 +533,20 @@ def count_to_arrays_device_acc(paths, k: int, mode: str, hpc: bool,
         runs = salvage_runs
         for chunk in it:
             runs.extend(_finish_chunk(*_count_chunk(
-                jnp.asarray(chunk), k, mode, None)))
+                chunk, k, mode, None)))
             nbases += len(chunk)
             if progress:
                 progress(nbases)
         return merge_runs(runs)
     try:
-        return acc.finalize()
+        out = acc.finalize()
     except AccCapacity:  # the final merge itself outgrew the budget
-        return merge_runs(acc.salvage())
+        out = merge_runs(acc.salvage())
+    LAST_WIRE_STATS.clear()
+    LAST_WIRE_STATS.update(h2d_bytes=acc.wire_h2d_bytes,
+                           d2h_bytes=acc.wire_d2h_bytes,
+                           bases=nbases)
+    return out
 
 
 def _use_sharded(count_suffix) -> bool:
@@ -595,8 +647,7 @@ def count_to_arrays(paths, k: int, mode: str = "canonical", hpc: bool = False,
     #                 loader/worker/writer overlap, sweatShop-style)
     for chunk in SequenceChunker(paths, k, chunk_len, hpc=hpc,
                                  segment=segment):
-        codes = jnp.asarray(chunk)
-        result = _count_chunk(codes, k, mode, suffix)  # async dispatch
+        result = _count_chunk(chunk, k, mode, suffix)  # async dispatch
         if pending is not None:
             runs.extend(_finish_chunk(*pending))
         pending = result
@@ -835,7 +886,7 @@ def count_to_db_batched(paths, out_path: str, k: int, *,
             runs = []
         batch_idx = batch_idx_cur
         runs.extend(_finish_chunk(*_count_chunk(
-            jnp.asarray(chunk), k, mode, None)))
+            chunk, k, mode, None)))
         if progress:
             progress(nbases)
     if nchunks == 0:  # empty input

@@ -50,6 +50,50 @@ def encode_bases(seq) -> np.ndarray:
     return CODE_LUT[buf]
 
 
+EXC_PAD = np.int32(0x7FFFFFFF)  # out-of-bounds: device scatter drops it
+
+
+def pack_codes_2bit(codes: np.ndarray, pad_to: int | None = None):
+    """uint8 code chunk -> packed wire format for
+    ops/extract.extract_kmers_packed: 2-bit codes 16 per uint32 word
+    (code j of word w at bits 2*(j mod 16), little-endian byte order)
+    plus an exception list of non-ACGT positions (INT32_MAX padded to
+    a power of two so jit signatures stay bounded).
+
+    -> (packed2 (ceil(L/16),) u32, exc (E_pad,) i32, n_real).
+    n_real = 1 + last valid position: the device invalidates every
+    window at or past n_real - k + 1, so a trailing separator run (the
+    chunker's final-chunk padding) costs NO exception entries — a
+    padded final chunk would otherwise blow the exception cap and
+    force a fresh multi-minute tunnel compile.
+    Cuts host->device wire bytes 4x vs uint8 codes; the device scatter
+    that restores mid-stream exceptions costs ~7 ns each."""
+    L = pad_to if pad_to is not None else len(codes)
+    L = (L + 15) & ~15
+    assert L >= len(codes)
+    ok = codes <= 3
+    nz = np.flatnonzero(ok)
+    n_real = int(nz[-1]) + 1 if len(nz) else 0
+    exc = np.flatnonzero(~ok[:n_real]).astype(np.int32)
+    c4 = np.where(ok, codes, 0).astype(np.uint8)
+    if len(c4) != L:
+        c4 = np.concatenate([c4, np.zeros(L - len(c4), np.uint8)])
+    c4 = c4.reshape(-1, 4)
+    by = (c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4)
+          | (c4[:, 3] << 6)).astype(np.uint8)
+    packed2 = np.ascontiguousarray(by).view("<u4")
+    # exception capacity floor = L/64 (one separator per >=64-base
+    # read): typical chunks then share ONE jit signature; denser
+    # exception sets (short reads, N floods) grow by powers of two
+    floor = max(16, L >> 6)
+    floor = 1 << (floor - 1).bit_length()
+    cap = floor if len(exc) <= floor else \
+        1 << int(len(exc) - 1).bit_length()
+    exc_p = np.full(cap, EXC_PAD, np.int32)
+    exc_p[:len(exc)] = exc
+    return packed2, exc_p, n_real
+
+
 def string_to_kmer(s: str) -> int:
     """k-mer string -> 2k-bit integer (python int)."""
     v = 0

@@ -341,6 +341,7 @@ class ExactLookup:
         self._np_hi, self._np_lo = hi, lo
         self._np_counts = np.ascontiguousarray(counts, np.uint32)
         self._grouped = None
+        self._bacj = None
 
     def n_kmers(self) -> int:
         return self._n
@@ -363,6 +364,9 @@ class ExactLookup:
     JOIN_MIN_Q = 1 << 17     # below: binary-search path (jit churn)
     JOIN_MIN_N = 1 << 16     # tiny tables: binary search is fine
     _LDB_TARGET = 1 << 13    # DB entries per join row (pre padding)
+    BACJ_MIN_N = 1 << 23     # big-DB regime: grid compare-join
+    BACJ_SLAB = 1 << 22      # queries per grid-join dispatch (the
+    #                          B*c pad-sort slots amortize over Q)
 
     def _build_grouped(self):
         """Host-side one-time build of the bucket-grouped DB layout:
@@ -440,6 +444,16 @@ class ExactLookup:
         then pay one packed output array instead of two (the download
         bounds these workloads on slow device->host links)."""
         n_valid = int(np.count_nonzero(valid_np))
+        if (self._n >= self.BACJ_MIN_N and n_valid >= self.JOIN_MIN_Q):
+            # big-DB (Merqury screening) regime: the routed join below
+            # re-sorts the whole grouped DB every slab, so its per-
+            # query cost diverges with N — the grid join's DB touch is
+            # a dense streaming compare instead (ops/bacjoin.py)
+            if self._bacj is None:
+                self._bacj = self._build_bacj() or "degenerate"
+            if self._bacj != "degenerate":
+                return self._values_bulk_bacj(q_planes_np, valid_np,
+                                              exists_only)
         if (self._n >= self.JOIN_MIN_N and n_valid >= self.JOIN_MIN_Q):
             if self._grouped is None:
                 self._grouped = self._build_grouped() or "degenerate"
@@ -530,6 +544,100 @@ class ExactLookup:
                     qpo, np.ones(len(opos), bool))
                 out[opos] = (ov > 0).astype(np.uint32) if exists_only \
                     else ov
+        return out
+
+    def _build_bacj(self):
+        """One-time host build of the bucket-grid layout for the
+        big-DB compare-join (ops/bacjoin.py).  Returns None when no
+        geometry fits the device-memory cap with sane padding."""
+        import os
+
+        from .ops import bacjoin as bj
+
+        if 2 * self.k < 18 or self._n < self.BACJ_MIN_N:
+            return None
+        cap = float(os.environ.get("MERYL_TPU_BACJ_CAP_GB", "6")) * 1e9
+        bm = min(26, 2 * self.k - 1)
+        topM = bj._top_bits_np(self._np_hi, self._np_lo, self.k, bm)
+        cM = np.bincount(topM.astype(np.int64), minlength=1 << bm)
+
+        def bucket_max(b):
+            return int(cM.reshape(1 << b, -1).sum(axis=1).max())
+
+        cfg = bj.plan_bacjoin(self._n, self.k, bucket_max,
+                              self.BACJ_SLAB, cap, b_hi=bm)
+        if cfg is None:
+            return None
+        dbd, dbv = bj.build_db_grid(self._np_hi, self._np_lo,
+                                    self._np_counts, self.k, cfg)
+        return {
+            "cfg": cfg,
+            "kcfg": (self.k, cfg["b"], cfg["b1"], cfg["c"],
+                     cfg["capA"], cfg["s_cap"], cfg["ovfcap"]),
+            "dbd": tuple(jnp.asarray(d) for d in dbd),
+            "dbv": jnp.asarray(dbv),
+        }
+
+    def _values_bulk_bacj(self, q_planes_np, valid_np,
+                          exists_only: bool = False) -> np.ndarray:
+        """Bulk lookup through the bucket-grid compare-join.  Every
+        escape is exact: per-cell overflow queries are captured by
+        position and re-answered by binary search; a coarse row whose
+        capture window itself overflows (ovfcap) falls back for the
+        whole row; a slab the host router cannot place (degenerate
+        query skew) falls back for the whole slab."""
+        from .ops import bacjoin as bj
+
+        g = self._bacj
+        cfg, kcfg = g["cfg"], g["kcfg"]
+        capA, ovfcap = cfg["capA"], cfg["ovfcap"]
+        SENTQ = np.uint32(0xFFFFFFFF)
+        Q = len(valid_np)
+        out = np.zeros(Q, np.uint32)
+        vidx = np.flatnonzero(valid_np)
+        qhi, qlo = km.hilo_from_planes(q_planes_np)
+
+        def bsearch_into(idx):
+            if len(idx) == 0:
+                return
+            qpo = [np.ascontiguousarray(p[idx]) for p in q_planes_np]
+            ov = self._values_bulk_bsearch(qpo,
+                                           np.ones(len(idx), bool))
+            out[idx] = (ov > 0).astype(np.uint32) if exists_only else ov
+
+        for s in range(0, len(vidx), self.BACJ_SLAB):
+            take = vidx[s:s + self.BACJ_SLAB]
+            routed = bj.route_queries_host(qhi[take], qlo[take],
+                                           self.k, cfg)
+            if routed is None:
+                bsearch_into(take)
+                continue
+            qlow, n_row, perm = routed
+            vals, pos, ovf_pos, n_ovf = bj.bacjoin_kernel(
+                g["dbd"], g["dbv"],
+                tuple(jnp.asarray(x) for x in qlow),
+                jnp.asarray(n_row), kcfg)
+            vals = np.asarray(vals)
+            pos = np.asarray(pos)
+            n_ovf = np.asarray(n_ovf)
+            rows, cols = np.nonzero(pos != SENTQ)
+            orig = perm[rows * capA + pos[rows, cols]]
+            v = vals[rows, cols]
+            out[take[orig]] = (v > 0).astype(np.uint32) \
+                if exists_only else v
+            lost_rows = np.flatnonzero(n_ovf > ovfcap)
+            if len(lost_rows):
+                # capture window overflowed: re-answer those coarse
+                # rows wholesale (duplicate-flood adversarial case)
+                for r in lost_rows:
+                    rp = perm[r * capA:(r + 1) * capA]
+                    bsearch_into(take[rp[rp >= 0]])
+            ok_rows = n_ovf <= ovfcap
+            op = np.asarray(ovf_pos)
+            orr, occ = np.nonzero((op != SENTQ) & ok_rows[:, None])
+            if len(orr):
+                oidx = perm[orr * capA + op[orr, occ]]
+                bsearch_into(take[oidx])
         return out
 
     def values_join(self, q_planes_np, valid_np) -> np.ndarray:

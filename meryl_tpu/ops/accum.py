@@ -129,8 +129,23 @@ def route_chunk(codes, cfg):
     windows sort past it); a row overflowing OVF_CAP tells the driver
     to recount the whole chunk on the host path."""
     k, P, mode, B, R0, L0, c, bits = cfg
-    D = B * c
     planes, valid = ext.extract_kmers(codes, k, mode)
+    return _route_core(planes, valid, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def route_chunk_packed(packed2, exc, n_real, cfg):
+    """route_chunk over the 2-bit packed wire format (4x less
+    host->device traffic; see ops/extract.extract_kmers_packed)."""
+    k, P, mode, B, R0, L0, c, bits = cfg
+    planes, valid = ext.extract_kmers_packed(packed2, exc, n_real, k,
+                                             mode)
+    return _route_core(planes, valid, cfg)
+
+
+def _route_core(planes, valid, cfg):
+    k, P, mode, B, R0, L0, c, bits = cfg
+    D = B * c
 
     allones = None
     for p in planes:

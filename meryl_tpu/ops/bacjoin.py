@@ -1,0 +1,322 @@
+"""Bucket-aligned compare-join: bulk exact lookup for the big-DB
+(Merqury screening) regime, where the database is much larger than a
+query slab.
+
+Why this shape (round-4 probes, scripts/probe_r4_lookup.py): at a
+2^28-entry table EVERY gather formulation costs 10-54 ns per element
+on TPU (flat 13.2, vmap'd dynamic_slice 53.6, take-with-computed-index
+17.3, row-aligned take_along_axis 10.2), so a binary search runs at
+4.5-8.4 Mq/s and even ONE gather per query eats half the 25 ns budget
+of a 40 Mq/s target.  The r3 routed join avoids gathers but re-sorts
+the whole grouped DB inside every slab (G x LDB entries), so for
+N >> Q its per-query cost diverges.  This kernel touches the DB only
+with dense streaming reads:
+
+  build (host, once):  pad the sorted DB into a (B, s_cap) top-b-bit
+      bucket grid — per bucket, its suffix keys and values at fixed
+      offsets, value 0 marking padding.  The DB is never re-sorted or
+      gathered again.
+  route (host, per slab):  radix-partition the queries into B1 coarse
+      rows of capacity capA (numpy; linear time, overlappable with the
+      device).  Host->device wire = B1*capA suffix words, ~1.3x the
+      raw query bytes.
+  align (device):  per coarse row, ONE row-batched sort of
+      [queries ++ c pads per fine bucket] keyed (fine bucket, is_pad)
+      puts each fine bucket's queries before its pads; a cummax rank
+      keeps exactly c entries per bucket; ONE compaction sort yields
+      bucket-major (B, c) query cells.  Overflowing queries (rank >=
+      c: duplicate-heavy or skewed slabs) are captured per row for an
+      exact host-side fallback, never dropped.
+  resolve (device):  for each cell lane j < c, a dense broadcast
+      compare of the cell's suffix against its bucket's s_cap DB
+      entries; value = sum of matching entries' values (DB keys are
+      unique, padding has value 0, so the sum is exact).  Traffic =
+      c * B * s_cap * 8 bytes of sequential HBM reads — the only DB
+      touch, at memory-bandwidth speed.
+  pack (device):  one flag sort compacts results to each coarse row's
+      front; reals per row <= capA by construction, so the download
+      slice is statically (B1, capA).
+
+Reference contract: merylExactLookup value()/exists()
+(/root/reference/src/meryl-lookup/meryl-lookup.C:40-100); the
+reference probes one kmer at a time from CPU threads — this is the
+TPU-native batched equivalent for its dominant screening workload.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+U32 = jnp.uint32
+SENT = 0xFFFFFFFF
+
+
+def _ceil_div(a, b):
+    return -(-a // b)
+
+
+def _cap_for_overflow(lam: float, target: float = 0.03) -> int:
+    """Smallest per-bucket cell capacity with expected query overflow
+    <= target fraction under Poisson(lam) bucket occupancy.  Overflow
+    is never wrong — it falls back to the exact binary search — so the
+    capacity only balances pad-sort volume against fallback volume."""
+    lam = max(lam, 1e-9)
+    for c in range(2, 257):
+        # E[(X - c)+] = sum_{x > c} (x - c) P(x)
+        xs = np.arange(c + 1, max(int(lam + 12 * np.sqrt(lam)), c + 40))
+        logp = xs * np.log(lam) - lam - \
+            np.cumsum(np.log(np.maximum(np.arange(1, xs[-1] + 1), 1)))[xs - 1]
+        tail = float(np.sum((xs - c) * np.exp(logp)))
+        if tail / lam <= target:
+            return c
+    return 256
+
+
+def plan_bacjoin(n_db: int, k: int, bucket_max, q_slab: int,
+                 mem_cap_bytes: int, b_hi: int = 26) -> dict | None:
+    """Choose the join geometry for a DB of n_db entries.
+
+    bucket_max: callable b -> max top-b-bit bucket count (the caller
+    computes it from the real key distribution; padding and exactness
+    both depend on the true max, not a Poisson model).
+    Returns None when no b fits the memory cap with sane padding
+    (degenerate skew) — callers fall back to the binary search."""
+    best = None
+    for b in range(min(b_hi, 2 * k - 1), 15, -1):
+        B = 1 << b
+        if B > 8 * n_db or B < 2:
+            continue
+        s_cap = int(bucket_max(b))
+        ps = max(1, _ceil_div(2 * k - b, 32))  # suffix planes
+        mem = B * s_cap * 4 * (ps + 1)
+        if mem > mem_cap_bytes:
+            continue
+        c = _cap_for_overflow(q_slab / B)
+        # device work model: align/pack sorts ~0.83 ns/slot (3 sorts
+        # touch the q_slab + B*c slots), dense compare ~0.01 ns/elt
+        # (sequential HBM at ~800 GB/s, 8 B/entry) — measured floors,
+        # docs/tpu-design.md
+        work = 0.83 * 3 * (q_slab + B * c) \
+            + 0.01 * c * B * s_cap * (ps + 1)
+        if best is None or work < best["work"]:
+            b1 = max(10, min(b - 8, 14))
+            lam = q_slab / (1 << b1)
+            capA = int(np.ceil(lam + 5.0 * np.sqrt(lam) + 8))
+            capA = _ceil_div(capA, 8) * 8
+            best = {"b": b, "B": B, "s_cap": s_cap, "c": c, "ps": ps,
+                    "b1": b1, "capA": capA, "work": work,
+                    "mem": mem, "ovfcap": 64}
+    if best is None:
+        return None
+    # padding sanity: a grid mostly made of padding burns compare
+    # bandwidth for nothing (pathological key skew)
+    if best["B"] * best["s_cap"] > 4 * n_db + (1 << 22):
+        return None
+    return best
+
+
+def build_db_grid(hi: np.ndarray, lo: np.ndarray, counts: np.ndarray,
+                  k: int, cfg: dict):
+    """Sorted (hi, lo, counts) -> ((ps x (B, s_cap)) suffix planes,
+    (B, s_cap) values) with value 0 marking padding.  Host, once."""
+    b, B, s_cap, ps = cfg["b"], cfg["B"], cfg["s_cap"], cfg["ps"]
+    n = len(counts)
+    top = _top_bits_np(hi, lo, k, b)
+    cnt = np.bincount(top.astype(np.int64), minlength=B)
+    starts = np.zeros(B + 1, np.int64)
+    np.cumsum(cnt, out=starts[1:])
+    col = np.arange(n, dtype=np.int64) - starts[top.astype(np.int64)]
+    flat = top.astype(np.int64) * s_cap + col
+    sbits = 2 * k - b
+    dbd = []
+    for p in range(ps):
+        pl = np.zeros(B * s_cap, np.uint32)
+        pl[flat] = _suffix_plane_np(hi, lo, sbits, p)
+        dbd.append(pl.reshape(B, s_cap))
+    dbv = np.zeros(B * s_cap, np.uint32)
+    dbv[flat] = counts
+    return dbd, dbv.reshape(B, s_cap)
+
+
+def _top_bits_np(hi, lo, k: int, b: int):
+    shift = 2 * k - b
+    hi = np.asarray(hi, np.uint64)
+    lo = np.asarray(lo, np.uint64)
+    if 2 * k <= 64:
+        return (lo >> np.uint64(shift)).astype(np.int64)
+    if shift >= 64:
+        return (hi >> np.uint64(shift - 64)).astype(np.int64)
+    nhi = 2 * k - 64
+    out = hi << np.uint64(b - nhi)
+    out |= lo >> np.uint64(shift)
+    return out.astype(np.int64)
+
+
+def _suffix_plane_np(hi, lo, sbits: int, p: int):
+    """Plane p (bits [32p, 32p+32)) of the low sbits bits of each key."""
+    hi = np.asarray(hi, np.uint64)
+    lo = np.asarray(lo, np.uint64)
+    sh = 32 * p
+    if sh >= 64:
+        v = hi >> np.uint64(sh - 64)
+    else:
+        v = lo >> np.uint64(sh)
+        if sh > 0:
+            v |= hi << np.uint64(64 - sh)
+    v = v.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    bits_here = sbits - sh
+    if bits_here < 32:
+        v &= np.uint64((1 << max(0, bits_here)) - 1)
+    return v.astype(np.uint32)
+
+
+def route_queries_host(hi: np.ndarray, lo: np.ndarray, k: int,
+                       cfg: dict):
+    """Partition a query slab into (B1, capA) low-bit rows.
+
+    -> (qlow list of ps_l x (B1, capA) u32, n_row (B1,) i32,
+        perm (Q,) int64 original index per (row, col) slot, or None
+        when a coarse row overflows capA — caller splits the slab).
+    Queries carry only their low 2k - b1 bits; the row IS the coarse
+    bucket, so the top bits travel for free."""
+    b1, capA = cfg["b1"], cfg["capA"]
+    B1 = 1 << b1
+    Q = len(lo)
+    coarse = _top_bits_np(hi, lo, k, b1)
+    n_row = np.bincount(coarse, minlength=B1).astype(np.int32)
+    if n_row.max() > capA:
+        return None
+    order = np.argsort(coarse, kind="stable")
+    starts = np.zeros(B1 + 1, np.int64)
+    np.cumsum(n_row, out=starts[1:])
+    col = np.arange(Q, dtype=np.int64) - starts[coarse[order]]
+    flat = coarse[order] * capA + col
+    lbits = 2 * k - b1
+    ps_l = max(1, _ceil_div(lbits, 32))
+    qlow = []
+    hs, ls = hi[order], lo[order]
+    for p in range(ps_l):
+        pl = np.zeros(B1 * capA, np.uint32)
+        pl[flat] = _suffix_plane_np(hs, ls, lbits, p)
+        qlow.append(pl.reshape(B1, capA))
+    perm = np.full(B1 * capA, -1, np.int64)
+    perm[flat] = order
+    return qlow, n_row, perm
+
+
+def _bits_from_planes(planes, lo_bit: int, nbits: int):
+    """bits [lo_bit, lo_bit + nbits) (nbits <= 32) of multiword planes
+    (any shape) as one u32 array."""
+    p0 = lo_bit // 32
+    off = lo_bit - 32 * p0
+    v = planes[p0] >> U32(off)
+    if off and p0 + 1 < len(planes):
+        v = v | (planes[p0 + 1] << U32(32 - off))
+    if nbits < 32:
+        v = v & U32((1 << nbits) - 1)
+    return v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def bacjoin_kernel(dbd, dbv, qlow, n_row, cfg):
+    """Resolve one routed query slab against the DB grid.
+
+    dbd: ps x (B, s_cap) u32 suffix planes; dbv: (B, s_cap) u32
+    qlow: ps_l x (B1, capA) u32 low-bit planes; n_row: (B1,) i32
+    cfg: (k, b, b1, c, capA, s_cap, ovfcap) static
+
+    -> vals (B1, capA) u32   value per real query, row-front packed
+       pos  (B1, capA) u32   original column of each packed result
+                             (SENT past the row's real count)
+       ovf_pos (B1, ovfcap) u32  columns of cell-overflow queries
+       n_ovf (B1,) i32          per-row overflow counts
+    """
+    k, b, b1, c, capA, s_cap, ovfcap = cfg
+    B2 = 1 << (b - b1)
+    B1 = n_row.shape[0]
+    lbits = 2 * k - b1
+    sbits = 2 * k - b
+    ps = len(dbd)
+
+    pos = jax.lax.broadcasted_iota(U32, (B1, capA), 1)
+    valid = pos < n_row[:, None].astype(U32)
+
+    # fine-bucket id within the coarse row; invalid slots key past
+    # every pad so they fall to the dropped tail
+    fbl = _bits_from_planes(qlow, sbits, b - b1).astype(U32)
+    key_q = jnp.where(valid, fbl * U32(2), U32(2 * B2 + 3))
+
+    # c pads per fine bucket, keyed directly after their bucket's
+    # queries: sorting [queries ++ pads] then ranking by cummax keeps
+    # min(n_f, c) queries + (c - n_f) pads = EXACTLY c per bucket, so
+    # the compaction sort's leading B2*c slots are the aligned cells
+    # (no per-bucket counting — the r3 join's count search costs
+    # B1*B2*log2 gathers at 10 ns each here)
+    D = B2 * c
+    pad_key = (jax.lax.broadcasted_iota(U32, (B2, c), 0) * U32(2)
+               + U32(1)).reshape(D)
+    key1 = jnp.concatenate(
+        [key_q, jnp.broadcast_to(pad_key[None, :], (B1, D))], axis=1)
+    pl1 = [jnp.concatenate(
+        [q, jnp.zeros((B1, D), U32)], axis=1) for q in qlow]
+    pos1 = jnp.concatenate(
+        [jnp.where(valid, pos, U32(SENT)),
+         jnp.full((B1, D), SENT, U32)], axis=1)
+    srt1 = jax.lax.sort((key1,) + tuple(pl1) + (pos1,), num_keys=1,
+                        dimension=-1)
+    key1s, pl1s, pos1s = srt1[0], list(srt1[1:-1]), srt1[-1]
+
+    W = capA + D
+    seg = key1s >> U32(1)
+    seg_start = jnp.concatenate(
+        [jnp.ones((B1, 1), bool), seg[:, 1:] != seg[:, :-1]], axis=1)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (B1, W), 1)
+    seg_base = jax.lax.cummax(jnp.where(seg_start, iot, -1), axis=1)
+    kept = ((iot - seg_base) < c) & (seg < U32(B2))
+    is_q = (key1s & U32(1)) == U32(0)
+    # overflowing real queries (rank >= c) sort between the cells and
+    # the dropped pads; the host resolves them exactly by binary search
+    key2 = jnp.where(kept, seg,
+                     jnp.where(is_q & (seg < U32(B2)), U32(B2),
+                               U32(B2 + 1)))
+    srt2 = jax.lax.sort((key2,) + tuple(pl1s) + (pos1s,), num_keys=1,
+                        dimension=-1, is_stable=True)
+    cells_q = [s[:, :D] for s in srt2[1:-1]]
+    cells_pos = srt2[-1][:, :D]
+    tail_pos = srt2[-1][:, D:D + ovfcap]
+    n_ovf = jnp.sum((srt2[0][:, D:] == U32(B2)).astype(jnp.int32),
+                    axis=1)
+
+    # (B1, B2*c) bucket-major cells -> (B, c); the dense resolve:
+    # lane j of every bucket compares against the bucket's whole DB
+    # row in one streaming pass (c passes total; DB keys are unique
+    # and padding carries value 0, so the match-sum is the value)
+    B = 1 << b
+    cells_q = [cq.reshape(B, c) for cq in cells_q]
+    cells_pos = cells_pos.reshape(B, c)
+
+    vals = []
+    for j in range(c):
+        lane = [cq[:, j] for cq in cells_q]
+        eq = None
+        for p in range(ps):
+            qdp = _bits_from_planes(lane, 32 * p,
+                                    min(32, sbits - 32 * p))
+            e = dbd[p] == qdp[:, None]
+            eq = e if eq is None else (eq & e)
+        vals.append(jnp.sum(jnp.where(eq, dbv, U32(0)), axis=1,
+                            dtype=jnp.uint32))
+    val_cells = jnp.stack(vals, axis=1)  # (B, c)
+
+    # pack results to each coarse row's front; reals per row <= n_row
+    # <= capA by construction, so (B1, capA) is a static full cover
+    valr = val_cells.reshape(B1, D)
+    posr = cells_pos.reshape(B1, D)
+    flag = jnp.where(posr == U32(SENT), U32(1), U32(0))
+    srt3 = jax.lax.sort((flag, valr, posr), num_keys=1, dimension=-1,
+                        is_stable=True)
+    return srt3[1][:, :capA], srt3[2][:, :capA], tail_pos, n_ovf

@@ -162,15 +162,11 @@ def _valid_windows(is_valid, k: int, L: int):
     return lax.slice(acc, (0,), (L,))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "mode"))
-def extract_kmers(codes, k: int, mode: str = "canonical"):
-    """codes: (L,) uint8/uint32 base codes (0..3, INVALID_CODE elsewhere).
-
-    Returns (planes, valid) where planes is a list of P uint32 arrays of
-    length L (window starting at each position; windows running past the
-    end are invalid) and valid is a bool array of length L.
-    """
-    codes = codes.astype(U32)
+def _extract_from_u32(codes, k: int, mode: str, n_real=None):
+    """Shared core: codes (L,) uint32 (0..3, INVALID_CODE elsewhere) ->
+    (planes, valid).  n_real: optional traced scalar — windows starting
+    at or past position n_real - k + 1 are invalidated (used by the
+    packed wire format, whose trailing pad unpacks to code 0)."""
     L = codes.shape[0]
 
     padded = jnp.concatenate(
@@ -184,7 +180,9 @@ def extract_kmers(codes, k: int, mode: str = "canonical"):
     # windows that run off the end of the chunk are invalid (the pad is
     # INVALID_CODE, so `valid` already covers this; pos_ok is belt and
     # braces for the L-k+1..L-1 tail)
-    pos_ok = jnp.arange(L, dtype=jnp.int32) <= jnp.int32(L - k)
+    last = jnp.int32(L - k) if n_real is None else \
+        (n_real.astype(jnp.int32) - jnp.int32(k))
+    pos_ok = jnp.arange(L, dtype=jnp.int32) <= last
     validb = (valid == U32(1)) & pos_ok
 
     if mode == "canonical":
@@ -202,3 +200,40 @@ def extract_kmers(codes, k: int, mode: str = "canonical"):
     else:
         raise ValueError(mode)
     return out, validb
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mode"))
+def extract_kmers(codes, k: int, mode: str = "canonical"):
+    """codes: (L,) uint8/uint32 base codes (0..3, INVALID_CODE elsewhere).
+
+    Returns (planes, valid) where planes is a list of P uint32 arrays of
+    length L (window starting at each position; windows running past the
+    end are invalid) and valid is a bool array of length L.
+    """
+    return _extract_from_u32(codes.astype(U32), k, mode)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mode"))
+def extract_kmers_packed(packed2, exc, n_real, k: int,
+                         mode: str = "canonical"):
+    """Packed-wire variant: the host ships 2-bit codes (16/u32 word,
+    code j of word w at bits 2*(j mod 16)) plus a short exception index
+    list instead of one byte per base — a 4x host->device wire cut (the
+    reference's loader streams 2 MB buffers for the same reason,
+    /root/reference/src/meryl/merylOp-countThreads.C:138-168).
+
+    packed2: (L/16,) uint32; exc: (E,) int32 positions of non-ACGT
+    codes (N bases / sequence separators), padded with INT32_MAX
+    (out-of-bounds entries drop); n_real: traced scalar — codes at
+    positions >= n_real are trailing pad.
+    Returns (planes, valid) exactly like extract_kmers.
+    """
+    W = packed2.shape[0]
+    sh = U32(2) * jax.lax.broadcasted_iota(U32, (W, 16), 1)
+    codes = ((packed2[:, None] >> sh) & U32(3)).reshape(W * 16)
+    # exceptions are sparse (~1 per read + N runs): a tiny scatter is
+    # ~7 ns/element on a few thousand elements — negligible next to a
+    # bitmask sideband's L/8 wire bytes
+    codes = codes.at[exc].set(U32(INVALID_CODE), mode="drop",
+                              unique_indices=True)
+    return _extract_from_u32(codes, k, mode, n_real=n_real)
