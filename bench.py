@@ -170,6 +170,106 @@ def bench_lookup():
             max(S * N_Q / dt / 1e6 for dt in times_e))
 
 
+def bench_lookup_bigdb():
+    """Big-DB bulk lookup (the Merqury screening regime, VERDICT r3
+    item 1): a 2^28-entry DB — 128x the 2^21-query slab — resolved by
+    the bucket-aligned compare-join (ops/bacjoin.py), device-kernel
+    rate by the same scan + scalar-checksum convention as
+    bench_lookup.  The r3 routed join collapses to the ~9 Mq/s binary
+    search in this regime because it re-sorts the grouped DB side
+    every slab; the grid join's only DB touch is a dense streaming
+    compare."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from meryl_tpu import lookup as lk
+    from meryl_tpu.ops import bacjoin as bj
+
+    K = 21
+    LOGN = 28
+    S = 2
+    TRIALS = 3
+
+    rng = np.random.default_rng(4)
+    n_target = 1 << LOGN
+    # sorted unique keys as a Poisson process over the key space: same
+    # bucket-occupancy statistics as uniform draws, no giant sort
+    gaps = rng.exponential(scale=(1 << (2 * K)) / n_target,
+                           size=n_target)
+    lo = np.floor(np.cumsum(gaps)).astype(np.uint64)
+    keep = np.ones(n_target, bool)
+    keep[1:] = lo[1:] != lo[:-1]
+    lo = lo[keep & (lo < (1 << (2 * K)))]
+    hi = np.zeros(len(lo), np.uint64)
+    counts = rng.integers(1, 200, size=len(lo)).astype(np.uint32)
+    n = len(lo)
+
+    bm = min(26, 2 * K - 1)
+    topM = bj._top_bits_np(hi, lo, K, bm)
+    cM = np.bincount(topM.astype(np.int64), minlength=1 << bm)
+
+    def bucket_max(b):
+        return int(cM.reshape(1 << b, -1).sum(axis=1).max())
+
+    q_slab = lk.ExactLookup.BACJ_SLAB
+    cfg = bj.plan_bacjoin(n, K, bucket_max, q_slab,
+                          float(os.environ.get(
+                              "MERYL_TPU_BACJ_CAP_GB", "6")) * 1e9,
+                          b_hi=bm)
+    dbd, dbv = bj.build_db_grid(hi, lo, counts, K, cfg)
+    dbd_d = tuple(jnp.asarray(d) for d in dbd)
+    dbv_d = jnp.asarray(dbv)
+    jax.block_until_ready((dbd_d, dbv_d))
+    kcfg = (K, cfg["b"], cfg["b1"], cfg["c"], cfg["capA"],
+            cfg["s_cap"], cfg["ovfcap"])
+
+    def body(carry, x):
+        ql, nrow = x
+        vals, pos, tail, novf = bj.bacjoin_kernel(
+            dbd_d, dbv_d, tuple(ql[i] for i in range(ql.shape[0])),
+            nrow, kcfg)
+        return (carry + jnp.sum(vals, dtype=jnp.uint32)
+                + jnp.sum(pos, dtype=jnp.uint32)
+                + jnp.sum(tail, dtype=jnp.uint32)
+                + jnp.sum(novf).astype(jnp.uint32)), None
+
+    @jax.jit
+    def pipeline(xs, nr):
+        out, _ = lax.scan(body, jnp.uint32(0), (xs, nr))
+        return out
+
+    def make_batch(seed0):
+        qs, ns = [], []
+        r = np.random.default_rng(seed0)
+        for _ in range(S):
+            half = q_slab // 2
+            take = r.integers(0, n, size=half)
+            qlo = np.concatenate([lo[take], r.integers(
+                0, 1 << (2 * K), size=q_slab - half, dtype=np.uint64)])
+            qhi = np.zeros(q_slab, np.uint64)
+            qlow, n_row, _ = bj.route_queries_host(qhi, qlo, K, cfg)
+            qs.append(np.stack(qlow))
+            ns.append(n_row)
+        return (jax.device_put(jnp.asarray(np.stack(qs))),
+                jax.device_put(jnp.asarray(np.stack(ns))))
+
+    inputs = [make_batch(50 + 13 * i) for i in range(TRIALS + 1)]
+    jax.block_until_ready(inputs)
+    int(pipeline(*inputs[0]))  # compile + warm
+    times = []
+    for t in range(TRIALS):
+        t0 = time.perf_counter()
+        int(pipeline(*inputs[1 + t]))
+        times.append(time.perf_counter() - t0)
+    detail = {"n_db": int(n), "q_slab": int(q_slab),
+              "db_over_slab": round(n / q_slab, 1),
+              "grid_gb": round(cfg["B"] * cfg["s_cap"] * 4
+                               * (cfg["ps"] + 1) / 1e9, 2),
+              "geometry": {kk: int(cfg[kk]) for kk in
+                           ("b", "b1", "c", "capA", "s_cap")}}
+    return max(S * q_slab / dt / 1e6 for dt in times), detail
+
+
 def bench_setop():
     """Set-operation merge-kernel throughput (BASELINE.md workload:
     'union-sum / intersect-min / subtract set ops'): union-sum over
@@ -232,6 +332,105 @@ def bench_setop():
     jax.block_until_ready(inputs)
     times = _timeit_fetch(pipeline, inputs, TRIALS)
     return max(S * 2 * N / dt / 1e6 for dt in times)
+
+
+def bench_calibration():
+    """Measured stage costs that feed the multi-chip scaling model
+    (parallel/scaling.py reads these fields from the newest
+    BENCH_r*.json, so -C's efficiency table is derived from the
+    current round's hardware, not hand-entered literals):
+
+      t_local_ns_per_base — the SPMD shard step's LOCAL stage (extract
+        + sort_count_compacted at the production 2^22 device chunk,
+        parallel/shard_count.py:151-154), per base.
+      t_merge_ns_per_elt — the owner-side merge of received sorted
+        runs (ops/count.merge_counted), per merged element.
+
+    Both are fetch-grounded lax.scan dispatches with the ~27 ms tunnel
+    RTT measured by a null dispatch and subtracted."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from meryl_tpu.ops import count as cnt
+    from meryl_tpu.ops import extract as ext
+
+    K = 21
+    rng = np.random.default_rng(7)
+
+    @jax.jit
+    def null(x):
+        return x + jnp.uint32(1)
+
+    int(null(jnp.uint32(0)))
+    rtts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        int(null(jnp.uint32(i + 10)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
+    # local stage: 4 chunks of 2^22 per dispatch
+    CHUNK, R = 1 << 22, 4
+
+    def local_body(carry, codes):
+        planes, valid = ext.extract_kmers(codes, K, "canonical")
+        cp, cc, nu = cnt.sort_count_compacted(planes, valid)
+        return (carry + nu.astype(jnp.uint32) + cc[0] + cp[0][0]), None
+
+    @jax.jit
+    def local_pipe(chunks):
+        out, _ = lax.scan(local_body, jnp.uint32(0), chunks)
+        return out
+
+    ins = [jax.device_put(jnp.asarray(
+        rng.integers(0, 4, size=(R, CHUNK)).astype(np.uint8)))
+        for _ in range(3)]
+    jax.block_until_ready(ins)
+    ts = _timeit_fetch(local_pipe, ins, 2)
+    t_local_ns = max(0.1, (min(ts) - rtt)) / (R * CHUNK) * 1e9
+
+    # merge stage: two 2^21-entry sorted unique runs per scan step, 4
+    # steps per dispatch (2^24 merged elements)
+    N, S = 1 << 21, 4
+
+    def make_runs():
+        out = []
+        for _ in range(S):
+            pair = []
+            for _ in range(2):
+                v = np.unique(rng.integers(0, 1 << 42, size=N,
+                                           dtype=np.uint64))
+                v = np.pad(v, (0, N - len(v)),
+                           constant_values=(1 << 42) - 1)[:N]
+                pl = [(v & 0xFFFFFFFF).astype(np.uint32),
+                      (v >> 32).astype(np.uint32)]
+                cts = rng.integers(1, 50, size=N).astype(np.uint32)
+                pair.append((pl, cts))
+            out.append(pair)
+        a_pl = [jnp.asarray(np.stack([p[0][0][i] for p in out]))
+                for i in range(2)]
+        a_ct = jnp.asarray(np.stack([p[0][1] for p in out]))
+        b_pl = [jnp.asarray(np.stack([p[1][0][i] for p in out]))
+                for i in range(2)]
+        b_ct = jnp.asarray(np.stack([p[1][1] for p in out]))
+        return jax.device_put((tuple(a_pl), a_ct, tuple(b_pl), b_ct))
+
+    def merge_body(carry, xs):
+        a_pl, a_ct, b_pl, b_ct = xs
+        mp, mc, nu = cnt.merge_counted(list(a_pl), a_ct,
+                                       list(b_pl), b_ct)
+        return (carry + nu.astype(jnp.uint32) + mc[0] + mp[0][0]), None
+
+    @jax.jit
+    def merge_pipe(xs):
+        out, _ = lax.scan(merge_body, jnp.uint32(0), xs)
+        return out
+
+    ins = [make_runs() for _ in range(3)]
+    jax.block_until_ready(ins)
+    ts = _timeit_fetch(merge_pipe, ins, 2)
+    t_merge_ns = max(0.1, (min(ts) - rtt)) / (S * 2 * N) * 1e9
+    return round(t_local_ns, 3), round(t_merge_ns, 3)
 
 
 def measure_link_rates():
@@ -485,6 +684,14 @@ def main():
     except Exception:
         setop_meps = None
     try:
+        bigdb = None if err is not None else bench_lookup_bigdb()
+    except Exception:
+        bigdb = None
+    try:
+        calib = None if err is not None else bench_calibration()
+    except Exception:
+        calib = None
+    try:
         e2e = None if err is not None else bench_count_e2e()
     except Exception:
         e2e = None
@@ -517,6 +724,12 @@ def main():
         out["lookup_exists_mqps"] = round(exists_mqps, 3)
     if setop_meps is not None:
         out["setop_union_sum_meps"] = round(setop_meps, 3)
+    if bigdb is not None:
+        rate, bdetail = bigdb
+        out["lookup_bigdb_mqps"] = round(rate, 3)
+        out["lookup_bigdb_detail"] = bdetail
+    if calib is not None:
+        out["t_local_ns_per_base"], out["t_merge_ns_per_elt"] = calib
     if e2e is not None:
         rate, detail = e2e
         out["count_e2e_bases_s"] = round(rate, 1)

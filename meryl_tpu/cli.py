@@ -353,10 +353,15 @@ def run(b: CommandBuilder) -> int:
                         sys.stderr.write(f"  {kk}: {vv}\n")
                     # analytic multi-chip prediction (measured stage
                     # costs + interconnect model; parallel/scaling.py)
+                    from .parallel import scaling as sc
                     from .parallel.scaling import scaling_report
                     sys.stderr.write(
-                        "  predicted scaling (ICI "
-                        f"{__import__('meryl_tpu.parallel.scaling', fromlist=['ICI_GB_S']).ICI_GB_S:g} GB/s, "
+                        "  predicted scaling ("
+                        f"{sc.TPU_GEN} ICI {sc.ICI_GB_S:g} GB/s; "
+                        f"t_local {sc.T_LOCAL_NS_PER_BASE:g} ns/base"
+                        f" from {sc.CALIBRATION['t_local_src']}, "
+                        f"t_merge {sc.T_MERGE_NS_PER_ELT:g} ns/elt"
+                        f" from {sc.CALIBRATION['t_merge_src']}; "
                         "docs/multihost.md):\n")
                     for row in scaling_report(plan["chunk_len"]):
                         sys.stderr.write(

@@ -2,10 +2,18 @@
 
 No multi-chip hardware is reachable from this environment, so instead
 of a measurement the -C plan prints a checkable prediction: from the
-MEASURED single-chip stage costs (docs/tpu-design.md) plus published
-interconnect bandwidths, estimate each SPMD step's local compute, ICI
-all-to-all, DCN crossing, and accumulator-merge time, and report the
-parallel efficiency at several device counts.
+MEASURED single-chip stage costs plus published interconnect
+bandwidths, estimate each SPMD step's local compute, ICI all-to-all,
+DCN crossing, and accumulator-merge time, and report the parallel
+efficiency at several device counts.
+
+Stage-cost calibration is re-measured every round: bench.py emits
+`t_local_ns_per_base` (the compacted shard-step local kernel) and
+`t_merge_ns_per_elt` (the row-batched merge floor) into BENCH_r{N}.json
+and this module reads the newest such file at import, so -C's table is
+derived from the current round's hardware measurements, not
+hand-entered literals (VERDICT r3 item 5).  Resolution order:
+env override > newest BENCH_r*.json > built-in r3/r4 measurements.
 
 The counting step (parallel/shard_count.make_sharded_count_step) does,
 per device and per chunk of C bases:
@@ -26,28 +34,95 @@ model, verify against reality later.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 
-# measured on a v5e chip over the dev tunnel, RTT-corrected
-# (docs/tpu-design.md): the compacted count pipeline (extract + sort +
-# RLE + on-device compaction) per base, and the row-batched sort floor
-# per element for the merge stage
-T_LOCAL_NS_PER_BASE = 3.3
-T_SORT_NS_PER_ELT = 1.5
+# built-in fallbacks (v5e chip over the dev tunnel, RTT-corrected,
+# docs/tpu-design.md): compacted count pipeline per base; row-batched
+# merge (sort + per-run reduce) per merged element
+_DEFAULT_T_LOCAL_NS = 3.3
+_DEFAULT_T_MERGE_NS = 3.0
 
 # bytes per unique (kmer, count) entry on the wire: P=2 planes + count
 WIRE_BYTES = 12
 
-# interconnect defaults (checkable assumptions, overridable by env):
-# v5p ICI is 3D-torus at ~4x 200 GB/s links/chip; a full all-to-all
-# sustains roughly a third of the bisection share per chip.  DCN
-# (multi-host) planned at 100 Gb/s/host usable.
-ICI_GB_S = float(os.environ.get("MERYL_TPU_ICI_GB_S", 150.0))
-DCN_GB_S = float(os.environ.get("MERYL_TPU_DCN_GB_S", 12.5))
+# Per-generation interconnect table (docs/multihost.md for sources and
+# the derivation).  "aggregate" is the published per-chip ICI
+# bandwidth; a full all-to-all across the torus sustains roughly a
+# third of it per chip (bisection share), which is what the model
+# uses.  DCN is the usable per-host share for multislice crossings.
+ICI_TABLE = {
+    #          aggregate GB/s   all-to-all GB/s   DCN GB/s/host
+    "v4":  {"ici_aggregate": 300.0, "ici": 100.0, "dcn": 12.5},
+    "v5e": {"ici_aggregate": 200.0, "ici":  67.0, "dcn": 12.5},
+    "v5p": {"ici_aggregate": 600.0, "ici": 200.0, "dcn": 25.0},
+}
+TPU_GEN = os.environ.get("MERYL_TPU_GEN", "v5e")
 
 # owner-skew headroom: equal-mass boundaries leave composition skew;
 # the pair_cap sizing uses 4x, the expected hot-owner load is ~1.3x
 SKEW = 1.3
+
+
+def _newest_bench_json(root: str):
+    cands = []
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    return max(cands)[1] if cands else None
+
+
+def _load_calibration() -> dict:
+    """(t_local_ns, t_merge_ns, source) resolved from env > newest
+    BENCH_r*.json > built-ins."""
+    t_local = t_merge = None
+    src_l = src_m = None
+    if os.environ.get("MERYL_TPU_T_LOCAL_NS"):
+        t_local = float(os.environ["MERYL_TPU_T_LOCAL_NS"])
+        src_l = "env"
+    if os.environ.get("MERYL_TPU_T_MERGE_NS"):
+        t_merge = float(os.environ["MERYL_TPU_T_MERGE_NS"])
+        src_m = "env"
+    if t_local is None or t_merge is None:
+        root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        path = os.environ.get("MERYL_TPU_BENCH_JSON") \
+            or _newest_bench_json(root)
+        if path and os.path.exists(path):
+            try:
+                with open(path) as f:
+                    data = json.loads(f.readline())
+                name = os.path.basename(path)
+                if t_local is None and "t_local_ns_per_base" in data \
+                        and data["t_local_ns_per_base"] > 0:
+                    t_local = float(data["t_local_ns_per_base"])
+                    src_l = name
+                if t_merge is None and "t_merge_ns_per_elt" in data \
+                        and data["t_merge_ns_per_elt"] > 0:
+                    t_merge = float(data["t_merge_ns_per_elt"])
+                    src_m = name
+            except (OSError, ValueError, KeyError):
+                pass
+    if t_local is None:
+        t_local, src_l = _DEFAULT_T_LOCAL_NS, "built-in"
+    if t_merge is None:
+        t_merge, src_m = _DEFAULT_T_MERGE_NS, "built-in"
+    return {"t_local_ns": t_local, "t_merge_ns": t_merge,
+            "t_local_src": src_l, "t_merge_src": src_m}
+
+
+CALIBRATION = _load_calibration()
+T_LOCAL_NS_PER_BASE = CALIBRATION["t_local_ns"]
+T_MERGE_NS_PER_ELT = CALIBRATION["t_merge_ns"]
+
+# interconnect (per-generation table above; env-overridable)
+ICI_GB_S = float(os.environ.get(
+    "MERYL_TPU_ICI_GB_S", ICI_TABLE.get(TPU_GEN, ICI_TABLE["v5e"])["ici"]))
+DCN_GB_S = float(os.environ.get(
+    "MERYL_TPU_DCN_GB_S", ICI_TABLE.get(TPU_GEN, ICI_TABLE["v5e"])["dcn"]))
 
 
 def predict_scaling(chunk_len: int, n_devices: int,
@@ -81,9 +156,9 @@ def predict_scaling(chunk_len: int, n_devices: int,
             cross = wire_bytes * (n_pods - 1) / n_pods
             t_dcn = cross * chips_per_host / (DCN_GB_S * 1e9)
     # merge of the n received sorted runs into the accumulator:
-    # ~uniques entries re-sorted at the row-batched floor, plus the
-    # hot owner's skew share
-    t_merge = uniques * T_SORT_NS_PER_ELT * 1e-9 * 2.0
+    # ~uniques entries through the row-batched merge (sort + reduce),
+    # plus the hot owner's skew share
+    t_merge = uniques * T_MERGE_NS_PER_ELT * 1e-9
     # owner skew only exists once work is shuffled by owner
     t_skew = (SKEW - 1.0) * (t_ici + t_merge) if n_devices > 1 else 0.0
     t_step = t_local + t_ici + t_dcn + t_merge + t_skew

@@ -23,6 +23,13 @@ if not BIG:
     os.environ["MERYL_TPU_CHUNK"] = str(1 << 15)
 sys.path.insert(0, "/root/repo")
 
+if "--cpu" in sys.argv:
+    # run the whole verification on the CPU backend (e.g. while the
+    # one allowed TPU-tunnel client is busy); the env var alone does
+    # not override the pinned axon platform — the config call does
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 from meryl_tpu import cli  # noqa: E402
 
 CODE = {"A": 0, "C": 1, "T": 2, "G": 3, "a": 0, "c": 1, "t": 2, "g": 3}

@@ -58,3 +58,65 @@ def test_cli_configure_prints_model(tmp_path, capsys):
     text = err.getvalue()
     assert "predicted scaling" in text
     assert "256 devices" in text
+
+
+def test_calibration_reads_bench_json(tmp_path):
+    """The model's stage costs come from the newest BENCH_r*.json when
+    the fields are present (VERDICT r3 item 5: bench-fed, not
+    hand-entered)."""
+    import importlib
+    import json
+    import os
+
+    from meryl_tpu.parallel import scaling as sc
+
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps({
+        "metric": "x", "t_local_ns_per_base": 5.5,
+        "t_merge_ns_per_elt": 2.25}) + "\n")
+    old = os.environ.get("MERYL_TPU_BENCH_JSON")
+    os.environ["MERYL_TPU_BENCH_JSON"] = str(p)
+    try:
+        importlib.reload(sc)
+        assert sc.T_LOCAL_NS_PER_BASE == 5.5
+        assert sc.T_MERGE_NS_PER_ELT == 2.25
+        assert sc.CALIBRATION["t_local_src"] == "BENCH_r99.json"
+        r = sc.predict_scaling(1 << 22, 8)
+        assert abs(r["t_local_ms"] - (1 << 22) * 5.5e-6) < 1e-3
+    finally:
+        if old is None:
+            os.environ.pop("MERYL_TPU_BENCH_JSON", None)
+        else:
+            os.environ["MERYL_TPU_BENCH_JSON"] = old
+        importlib.reload(sc)
+
+
+def test_calibration_env_override_beats_file():
+    import importlib
+    import os
+
+    from meryl_tpu.parallel import scaling as sc
+
+    os.environ["MERYL_TPU_T_LOCAL_NS"] = "9.0"
+    try:
+        importlib.reload(sc)
+        assert sc.T_LOCAL_NS_PER_BASE == 9.0
+        assert sc.CALIBRATION["t_local_src"] == "env"
+    finally:
+        os.environ.pop("MERYL_TPU_T_LOCAL_NS", None)
+        importlib.reload(sc)
+
+
+def test_generation_table_selects_ici():
+    import importlib
+    import os
+
+    from meryl_tpu.parallel import scaling as sc
+
+    os.environ["MERYL_TPU_GEN"] = "v5p"
+    try:
+        importlib.reload(sc)
+        assert sc.ICI_GB_S == 200.0 and sc.DCN_GB_S == 25.0
+    finally:
+        os.environ.pop("MERYL_TPU_GEN", None)
+        importlib.reload(sc)
