@@ -255,6 +255,7 @@ class DeviceAccCounter:
         # the host<->device link, independent of what the link costs)
         self.wire_h2d_bytes = 0
         self.wire_d2h_bytes = 0
+        self._bases_seen = 0   # drives the packed-download bit split
 
     def _fresh_acc(self):
         zp = tuple(jnp.full((self.B, self.La), 0xFFFFFFFF, jnp.uint32)
@@ -265,6 +266,7 @@ class DeviceAccCounter:
     def add_codes(self, codes: np.ndarray):
         from .io.sequence import SEP
         from .ops import accum
+        self._bases_seen += int(len(codes))
         if len(codes) < self.chunk_len:
             codes = np.concatenate(
                 [codes, np.full(self.chunk_len - len(codes), SEP,
@@ -411,6 +413,89 @@ class DeviceAccCounter:
                          np.array([n_allones], np.uint64)))
         return runs
 
+    def _download_packed(self, lmax: int):
+        """Gap-packed accumulator download (ops/accum.pack_for_download):
+        one u32 per unique instead of P + 1, a ~3x cut of the dominant
+        d2h transfer.  Column 0 of each row crosses dense (the cumsum
+        base); exceptions (unpackable gap/count) are re-applied by
+        position.  Returns None when any row's exceptions overflow the
+        capture arrays — the caller falls back to the dense download,
+        so this path is exact or absent, never approximate."""
+        from .ops import accum
+
+        planes, counts = self._acc
+        # split the 32-bit word between gap and count from the run's
+        # own statistics: gaps need 2k - log2(U) + 3 bits (exception
+        # rate ~e^-8 under the uniform-spacing model), counts need to
+        # cover the mean coverage + 5 sigma; when both cannot fit the
+        # word, shrink the gap field down to 1 bit of slack before
+        # giving up (exceptions are exact either way — the split only
+        # tunes how many ride the side arrays)
+        u_est = int(jnp.sum((counts > 0).astype(jnp.int32)))
+        if u_est <= 0:
+            return None
+        mean_c = max(1.0, self._bases_seen / u_est)
+        need_c = int(np.ceil(mean_c + 5 * np.sqrt(mean_c)
+                             + 8)).bit_length()
+        gbits = min(26, max(1, 2 * self.k - u_est.bit_length() + 3))
+        if gbits + need_c > 32:
+            gbits = 32 - need_c
+            if gbits < 2 * self.k - u_est.bit_length() + 1 \
+                    or gbits < 8:
+                return None
+        cbits = 32 - gbits
+        packed_d, exc_col_d, exc_planes_d, exc_cnt_d, n_exc_d = \
+            accum.pack_for_download(planes, counts, self.P, gbits)
+        n_exc_row = np.asarray(n_exc_d)
+        if n_exc_row.max(initial=0) > accum.EXC_ROW_CAP:
+            return None
+        B = self.B
+        packed = np.asarray(packed_d[:, :lmax]).astype(np.uint32)
+        head_p = [np.asarray(p[:, 0]).astype(np.uint64)
+                  for p in planes]
+        head_c = np.asarray(counts[:, 0]).astype(np.uint32)
+        exc_col = np.asarray(exc_col_d)
+        exc_p = [np.asarray(p).astype(np.uint64) for p in exc_planes_d]
+        exc_cnt = np.asarray(exc_cnt_d)
+        self.wire_d2h_bytes += (packed.nbytes + 4
+                                + sum(p.nbytes // 2 for p in head_p)
+                                + head_c.nbytes + exc_col.nbytes
+                                + sum(p.nbytes // 2 for p in exc_p)
+                                + exc_cnt.nbytes + n_exc_row.nbytes)
+
+        lo0 = head_p[0]
+        if self.P == 2:
+            lo0 = lo0 | (head_p[1] << np.uint64(32))
+        gaps = (packed >> np.uint32(cbits)).astype(np.uint64)
+        cnts = (packed & np.uint32((1 << cbits) - 1)).astype(np.uint32)
+        is_exc = packed == 0xFFFFFFFF
+        gaps[is_exc] = 0
+        gaps[:, 0] = 0
+        keys = gaps
+        keys[:, 0] = lo0
+        np.cumsum(keys, axis=1, out=keys)
+        # exceptions: absolute key + count, correction propagates to
+        # the rest of the row (later gaps are relative to the true
+        # predecessor); rows ascending, columns ascending, so applying
+        # in array order keeps each correction downstream-consistent
+        for r in np.flatnonzero(n_exc_row):
+            for j in range(int(n_exc_row[r])):
+                c = int(exc_col[r, j])
+                if c >= lmax:
+                    return None  # entry past the downloaded prefix
+                t = exc_p[0][r, j]
+                if self.P == 2:
+                    t = t | (exc_p[1][r, j] << np.uint64(32))
+                keys[r, c:] += t - keys[r, c]
+                cnts[r, c] = exc_cnt[r, j]
+        m = packed != 0
+        m[:, 0] = head_c > 0
+        cnts[:, 0] = head_c
+        lo = keys[m]
+        cts = cnts[m]
+        hi = np.zeros(len(lo), np.uint64)
+        return (hi, lo, cts.astype(np.uint64))
+
     def finalize(self):
         """-> sorted unique (hi, lo, counts-u32)."""
         for item in self._pending:
@@ -428,14 +513,21 @@ class DeviceAccCounter:
             # device->host link is the e2e bottleneck on slow links
             lmax = min(self.La, max(256, getattr(self, "_max_run",
                                                  self.La)))
-            self.wire_d2h_bytes += self.B * lmax * 4 * (self.P + 1)
-            planes_np = [np.asarray(p[:, :lmax]).reshape(-1)
-                         for p in self._acc[0]]
-            counts_np = np.asarray(self._acc[1][:, :lmax]).reshape(-1)
-            keepm = counts_np > 0
-            planes_np = [p[keepm] for p in planes_np]
-            hi, lo = km.hilo_from_planes(planes_np)
-            acc_run = (hi, lo, counts_np[keepm].astype(np.uint64))
+            acc_run = None
+            if (2 * self.k <= 64
+                    and _os.environ.get("MERYL_TPU_PACK_D2H",
+                                        "1") != "0"):
+                acc_run = self._download_packed(lmax)
+            if acc_run is None:  # k > 32, knob off, or hatch overflow
+                self.wire_d2h_bytes += self.B * lmax * 4 * (self.P + 1)
+                planes_np = [np.asarray(p[:, :lmax]).reshape(-1)
+                             for p in self._acc[0]]
+                counts_np = np.asarray(
+                    self._acc[1][:, :lmax]).reshape(-1)
+                keepm = counts_np > 0
+                planes_np = [p[keepm] for p in planes_np]
+                hi, lo = km.hilo_from_planes(planes_np)
+                acc_run = (hi, lo, counts_np[keepm].astype(np.uint64))
 
         runs = ([acc_run] if acc_run is not None else []) \
             + self._fallback_runs

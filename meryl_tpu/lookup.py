@@ -364,9 +364,15 @@ class ExactLookup:
     JOIN_MIN_Q = 1 << 17     # below: binary-search path (jit churn)
     JOIN_MIN_N = 1 << 16     # tiny tables: binary search is fine
     _LDB_TARGET = 1 << 13    # DB entries per join row (pre padding)
-    BACJ_MIN_N = 1 << 23     # big-DB regime: grid compare-join
-    BACJ_SLAB = 1 << 22      # queries per grid-join dispatch (the
-    #                          B*c pad-sort slots amortize over Q)
+    BACJ_MIN_N = 1 << 22     # big-DB regime: grid compare-join (the
+    #                          routed join below re-sorts the grouped
+    #                          DB every slab, so the grid join wins
+    #                          from ~4M entries up)
+    BACJ_SLAB = 1 << 23      # queries per grid-join dispatch: the B*c
+    #                          pad-sort slots amortize over Q — 44.9
+    #                          (2^21) -> 84.3 (2^22) -> 114.6 Mq/s
+    #                          (2^23) measured on v5e at N=2^28
+    #                          (scripts/probe_r4_bacj_sweep.py)
 
     def _build_grouped(self):
         """Host-side one-time build of the bucket-grouped DB layout:
@@ -605,18 +611,39 @@ class ExactLookup:
                                            np.ones(len(idx), bool))
             out[idx] = (ov > 0).astype(np.uint32) if exists_only else ov
 
-        for s in range(0, len(vidx), self.BACJ_SLAB):
-            take = vidx[s:s + self.BACJ_SLAB]
-            routed = bj.route_queries_host(qhi[take], qlo[take],
-                                           self.k, cfg)
-            if routed is None:
-                bsearch_into(take)
-                continue
+        def _route(take):
+            return take, bj.route_queries_host(qhi[take], qlo[take],
+                                               self.k, cfg)
+
+        def _dispatch(routed):
             qlow, n_row, perm = routed
-            vals, pos, ovf_pos, n_ovf = bj.bacjoin_kernel(
+            return bj.bacjoin_kernel(
                 g["dbd"], g["dbv"],
                 tuple(jnp.asarray(x) for x in qlow),
                 jnp.asarray(n_row), kcfg)
+
+        # 1-deep pipeline: the host routes slab i+1 while the device
+        # resolves slab i (kernel dispatch is async; only the result
+        # fetch blocks) — host routing is a third to half of the
+        # per-slab wall clock otherwise
+        slabs = [vidx[s:s + self.BACJ_SLAB]
+                 for s in range(0, len(vidx), self.BACJ_SLAB)]
+        inflight = None
+        for i in range(len(slabs) + 1):
+            nxt = None
+            if i < len(slabs):
+                take, routed = _route(slabs[i])
+                if routed is None:
+                    bsearch_into(take)
+                else:
+                    nxt = (take, routed[2],
+                           _dispatch(routed))
+            if inflight is None:
+                inflight = nxt
+                continue
+            take, perm, handles = inflight
+            inflight = nxt
+            vals, pos, ovf_pos, n_ovf = handles
             vals = np.asarray(vals)
             pos = np.asarray(pos)
             n_ovf = np.asarray(n_ovf)

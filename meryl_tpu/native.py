@@ -60,7 +60,8 @@ def get_lib():
         if os.path.exists(_LIB_PATH):
             try:  # rebuild when a source outran an old checkout's .so
                 so_t = os.path.getmtime(_LIB_PATH)
-                for src in ("mt_host.cpp", "mt_rans.cpp", "mt_arith.cpp"):
+                for src in ("mt_host.cpp", "mt_rans.cpp",
+                            "mt_arith.cpp", "mt_route.cpp"):
                     sp = os.path.join(_NATIVE_DIR, src)
                     if os.path.exists(sp) and os.path.getmtime(sp) > so_t:
                         stale = True
@@ -125,6 +126,14 @@ def get_lib():
                     u8p, ctypes.c_int64, u8p, ctypes.c_int64,
                     ctypes.c_int32, i64p]
                 lib.mt_bam_scan.restype = ctypes.c_int64
+            if hasattr(lib, "mt_bacj_route"):
+                u32p = ctypes.POINTER(ctypes.c_uint32)
+                i32p = ctypes.POINTER(ctypes.c_int32)
+                lib.mt_bacj_route.argtypes = [
+                    u64p, u64p, ctypes.c_int64, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    u32p, i32p, i64p, ctypes.c_int32]
+                lib.mt_bacj_route.restype = ctypes.c_int32
             _lib = lib
         except Exception:
             _lib = None
@@ -839,3 +848,13 @@ def scan_codes_parallel(path: str, hpc: bool = False,
                 pending.append(ex.submit(scan_span, *pair))
             if wrote:
                 yield codes
+
+
+def n_threads() -> int:
+    """General host parallelism for native helpers (router, scans):
+    all available cores, honoring MERYL_TPU_THREADS."""
+    v = os.environ.get("MERYL_TPU_THREADS")
+    if v:
+        return max(1, int(v))
+    from .resources import max_threads
+    return max(1, max_threads())

@@ -285,3 +285,64 @@ def merge_cells(acc_planes, acc_counts, staged, P: int, La_out: int,
                        for s in srt2[1:1 + P])
     new_counts = jnp.where(ok, srt2[1 + P][:, :La_out], U32(0))
     return new_planes, new_counts, n_runs
+
+EXC_ROW_CAP = 64
+
+
+@functools.partial(jax.jit, static_argnames=("P", "gbits"))
+def pack_for_download(acc_planes, acc_counts, P: int, gbits: int):
+    """Wire-pack the accumulator for download (2k <= 64 only).
+
+    Finalize downloads (P + 1) u32 arrays per entry (~12 B/unique,
+    plus row padding); on slow device->host links that transfer IS the
+    end-to-end counting bottleneck.  Keys within an accumulator row
+    are sorted and dense, so each entry is its predecessor's key plus
+    a small gap: pack (gap << cbits | count) into ONE u32 when the gap
+    fits gbits bits and the count fits cbits = 32 - gbits — a 3x wire
+    cut.  Entries that do not fit (giant gap, hot count, or the
+    ambiguous all-ones word) are EXCEPTIONS: their full key + count
+    are compacted per row into fixed (B, EXC_ROW_CAP) side arrays and
+    re-applied by position on the host — exact, like every other hatch
+    in this engine.  The caller downloads column 0 of each row dense
+    (the cumsum base) and falls back to the dense download when any
+    row's exceptions overflow EXC_ROW_CAP.
+
+    -> (packed (B, La) u32   0 = empty, SENT = exception, else word,
+        exc_col (B, EXC) u32 column of each exception (SENT padded),
+        exc_planes P x (B, EXC) u32, exc_cnt (B, EXC) u32,
+        n_exc_row (B,) int32)
+    """
+    B, La = acc_counts.shape
+    cbits = 32 - gbits
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, La), 1)
+    valid = acc_counts > U32(0)
+
+    prev = [jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)
+            for p in acc_planes]
+    d0 = acc_planes[0] - prev[0]
+    if P == 2:
+        borrow = (acc_planes[0] < prev[0]).astype(U32)
+        d1 = acc_planes[1] - prev[1] - borrow
+        hi_ok = d1 == U32(0)
+    else:
+        hi_ok = jnp.ones((B, La), bool)
+    word = (d0 << U32(cbits)) | acc_counts
+    fit = (valid & (col > 0) & hi_ok
+           & (d0 < U32(1 << gbits))
+           & (acc_counts < U32(1 << cbits))
+           & (word != SENT))
+    exc = valid & (col > 0) & ~fit
+    packed = jnp.where(fit, word, jnp.where(exc, SENT, U32(0)))
+
+    # per-row exception compaction: 1-key stable sort (row-batched at
+    # the measured flag-sort floor), exceptions keyed by column so
+    # they stay in key order at the row front
+    key = jnp.where(exc, col.astype(U32), SENT)
+    srt = jax.lax.sort(
+        (key,) + tuple(acc_planes) + (acc_counts,),
+        num_keys=1, dimension=-1, is_stable=True)
+    exc_col = srt[0][:, :EXC_ROW_CAP]
+    exc_planes = tuple(s[:, :EXC_ROW_CAP] for s in srt[1:1 + P])
+    exc_cnt = srt[1 + P][:, :EXC_ROW_CAP]
+    n_exc_row = jnp.sum(exc.astype(jnp.int32), axis=1)
+    return packed, exc_col, exc_planes, exc_cnt, n_exc_row

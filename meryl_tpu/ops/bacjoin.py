@@ -46,6 +46,7 @@ TPU-native batched equivalent for its dominant screening workload.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +54,7 @@ import numpy as np
 
 U32 = jnp.uint32
 SENT = 0xFFFFFFFF
+
 
 
 def _ceil_div(a, b):
@@ -97,13 +99,14 @@ def plan_bacjoin(n_db: int, k: int, bucket_max, q_slab: int,
             continue
         c = _cap_for_overflow(q_slab / B)
         # device work model: align/pack sorts ~0.83 ns/slot (3 sorts
-        # touch the q_slab + B*c slots), dense compare ~0.01 ns/elt
-        # (sequential HBM at ~800 GB/s, 8 B/entry) — measured floors,
-        # docs/tpu-design.md
+        # touch the q_slab + B*c slots); the fused resolve streams the
+        # grid from HBM ONCE regardless of c (~0.01 ns/grid-elt at
+        # ~800 GB/s sequential) — measured floors, docs/tpu-design.md
+        # + scripts/probe_r4_bacj_sweep.py
         work = 0.83 * 3 * (q_slab + B * c) \
-            + 0.01 * c * B * s_cap * (ps + 1)
+            + 0.01 * B * s_cap * (ps + 1)
         if best is None or work < best["work"]:
-            b1 = max(10, min(b - 8, 14))
+            b1 = max(10, min(b - 7, 14))
             lam = q_slab / (1 << b1)
             capA = int(np.ceil(lam + 5.0 * np.sqrt(lam) + 8))
             capA = _ceil_div(capA, 8) * 8
@@ -182,7 +185,18 @@ def route_queries_host(hi: np.ndarray, lo: np.ndarray, k: int,
         perm (Q,) int64 original index per (row, col) slot, or None
         when a coarse row overflows capA — caller splits the slab).
     Queries carry only their low 2k - b1 bits; the row IS the coarse
-    bucket, so the top bits travel for free."""
+    bucket, so the top bits travel for free.
+
+    The native two-pass counting-sort router (native/mt_route.cpp)
+    runs when the shared library is present; this numpy path is the
+    reference implementation and the fallback (differential:
+    tests/test_bacjoin.py::test_native_router_matches_numpy)."""
+    import os as _os
+
+    if _os.environ.get("MERYL_TPU_NATIVE_ROUTE", "1") != "0":
+        out = _route_queries_native(hi, lo, k, cfg)
+        if out is not NotImplemented:
+            return out
     b1, capA = cfg["b1"], cfg["capA"]
     B1 = 1 << b1
     Q = len(lo)
@@ -208,6 +222,44 @@ def route_queries_host(hi: np.ndarray, lo: np.ndarray, k: int,
     return qlow, n_row, perm
 
 
+def _route_queries_native(hi: np.ndarray, lo: np.ndarray, k: int,
+                          cfg: dict):
+    """mt_bacj_route wrapper; NotImplemented when the library or the
+    symbol is unavailable (caller runs the numpy reference)."""
+    import ctypes
+
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "mt_bacj_route"):
+        return NotImplemented
+    b1, capA = cfg["b1"], cfg["capA"]
+    B1 = 1 << b1
+    Q = len(lo)
+    lbits = 2 * k - b1
+    ps_l = max(1, _ceil_div(lbits, 32))
+    hi = np.ascontiguousarray(hi, np.uint64)
+    lo = np.ascontiguousarray(lo, np.uint64)
+    qlow = np.zeros((ps_l, B1, capA), np.uint32)
+    n_row = np.zeros(B1, np.int32)
+    perm = np.full(B1 * capA, -1, np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    rc = lib.mt_bacj_route(
+        hi.ctypes.data_as(u64p), lo.ctypes.data_as(u64p),
+        ctypes.c_int64(Q), ctypes.c_int32(2 * k),
+        ctypes.c_int32(b1), ctypes.c_int32(capA),
+        ctypes.c_int32(ps_l),
+        qlow.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n_row.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(native.n_threads()))
+    if rc == 1:
+        return None    # row overflow: same contract as the numpy path
+    if rc != 0:
+        return NotImplemented
+    return [qlow[p] for p in range(ps_l)], n_row, perm
+
+
 def _bits_from_planes(planes, lo_bit: int, nbits: int):
     """bits [lo_bit, lo_bit + nbits) (nbits <= 32) of multiword planes
     (any shape) as one u32 array."""
@@ -221,8 +273,8 @@ def _bits_from_planes(planes, lo_bit: int, nbits: int):
     return v
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def bacjoin_kernel(dbd, dbv, qlow, n_row, cfg):
+@functools.partial(jax.jit, static_argnames=("cfg", "fused"))
+def bacjoin_kernel(dbd, dbv, qlow, n_row, cfg, fused=None):
     """Resolve one routed query slab against the DB grid.
 
     dbd: ps x (B, s_cap) u32 suffix planes; dbv: (B, s_cap) u32
@@ -299,18 +351,34 @@ def bacjoin_kernel(dbd, dbv, qlow, n_row, cfg):
     cells_q = [cq.reshape(B, c) for cq in cells_q]
     cells_pos = cells_pos.reshape(B, c)
 
-    vals = []
-    for j in range(c):
-        lane = [cq[:, j] for cq in cells_q]
+    if fused is None:
+        fused = os.environ.get("MERYL_TPU_BACJ_FUSED", "1") != "0"
+    if fused:
+        # one (B, c, s_cap) broadcast-compare reduction: XLA reads the
+        # grid ONCE for all c lanes (the per-lane loop below re-streams
+        # dbd+dbv from HBM c times — measured 35.6 vs 44.9 Mq/s at
+        # c=3/N=2^28, scripts/probe_r4_bacj_sweep.py)
         eq = None
         for p in range(ps):
-            qdp = _bits_from_planes(lane, 32 * p,
-                                    min(32, sbits - 32 * p))
-            e = dbd[p] == qdp[:, None]
+            qdp = _bits_from_planes(cells_q, 32 * p,
+                                    min(32, sbits - 32 * p))  # (B, c)
+            e = dbd[p][:, None, :] == qdp[:, :, None]
             eq = e if eq is None else (eq & e)
-        vals.append(jnp.sum(jnp.where(eq, dbv, U32(0)), axis=1,
-                            dtype=jnp.uint32))
-    val_cells = jnp.stack(vals, axis=1)  # (B, c)
+        val_cells = jnp.sum(jnp.where(eq, dbv[:, None, :], U32(0)),
+                            axis=2, dtype=jnp.uint32)  # (B, c)
+    else:
+        vals = []
+        for j in range(c):
+            lane = [cq[:, j] for cq in cells_q]
+            eq = None
+            for p in range(ps):
+                qdp = _bits_from_planes(lane, 32 * p,
+                                        min(32, sbits - 32 * p))
+                e = dbd[p] == qdp[:, None]
+                eq = e if eq is None else (eq & e)
+            vals.append(jnp.sum(jnp.where(eq, dbv, U32(0)), axis=1,
+                                dtype=jnp.uint32))
+        val_cells = jnp.stack(vals, axis=1)  # (B, c)
 
     # pack results to each coarse row's front; reals per row <= n_row
     # <= capA by construction, so (B1, capA) is a static full cover

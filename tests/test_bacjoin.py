@@ -139,3 +139,58 @@ def test_plan_bacjoin_geometry():
     # degenerate: one bucket holds everything at every width
     assert bj.plan_bacjoin(1 << 28, 21, lambda b: 1 << 28, 1 << 21,
                            6 * 10**9) is None
+
+
+def test_native_router_matches_numpy():
+    """The C++ counting-sort router must be byte-identical to the
+    numpy reference (same stability, same plane layout, same perm)."""
+    from meryl_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "mt_bacj_route"):
+        pytest.skip("native router unavailable")
+    rng = np.random.default_rng(11)
+    for k, q in ((21, 5000), (33, 3000), (64, 2000), (12, 1)):
+        twok = 2 * k
+        hi = (rng.integers(0, 1 << 62, size=q, dtype=np.uint64)
+              & np.uint64((1 << max(0, twok - 64)) - 1))
+        lo = rng.integers(0, 1 << 62, size=q, dtype=np.uint64)
+        if twok < 64:
+            lo &= np.uint64((1 << twok) - 1)
+        # duplicate-heavy tail exercises stability
+        lo[q // 2:] = lo[: q - q // 2]
+        hi[q // 2:] = hi[: q - q // 2]
+        b1 = 10
+        lam = q / (1 << b1)
+        capA = int(np.ceil(lam + 6 * np.sqrt(lam) + 16))
+        cfg = {"b1": b1, "capA": capA}
+        got = bj._route_queries_native(hi, lo, k, cfg)
+        assert got is not NotImplemented
+        import os
+        os.environ["MERYL_TPU_NATIVE_ROUTE"] = "0"
+        try:
+            want = bj.route_queries_host(hi, lo, k, cfg)
+        finally:
+            os.environ.pop("MERYL_TPU_NATIVE_ROUTE", None)
+        if want is None:
+            assert got is None
+            continue
+        gq, gn, gp = got
+        wq, wn, wp = want
+        np.testing.assert_array_equal(gn, wn)
+        np.testing.assert_array_equal(gp, wp)
+        assert len(gq) == len(wq)
+        for a, b in zip(gq, wq):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_native_router_overflow_contract():
+    from meryl_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "mt_bacj_route"):
+        pytest.skip("native router unavailable")
+    lo = np.zeros(100, np.uint64)  # all one bucket -> overflow
+    hi = np.zeros(100, np.uint64)
+    assert bj._route_queries_native(hi, lo, 21,
+                                    {"b1": 10, "capA": 8}) is None
