@@ -328,13 +328,28 @@ class ExactLookup:
         pref = _top_bits_np(hi, lo, self.k, self.B)
         offsets = np.searchsorted(
             pref, np.arange((1 << self.B) + 1, dtype=np.uint64)).astype(np.int32)
-        self._offsets = jnp.asarray(offsets)
         planes = km.planes_from_hilo(hi, lo, self.P)
         if self._n == 0:  # keep kernels shape-happy
             planes = [np.zeros(1, np.uint32) for _ in range(self.P)]
             counts = np.zeros(1, np.uint32)
-        self._planes = [jnp.asarray(p) for p in planes]
-        self._values = jnp.asarray(np.ascontiguousarray(counts, np.uint32))
+        # device residency gate: a table past the HBM budget stays
+        # host-resident — bulk queries run the SEGMENTED grid join
+        # (ops/bacjoin.py, streamed through HBM) and point probes the
+        # host searchsorted path.  The reference's equivalent limit is
+        # host RAM (merylExactLookup loads the whole table).
+        import os as _os
+        dev_budget = float(_os.environ.get(
+            "MERYL_TPU_LOOKUP_DEVICE_GB", "6")) * 1e9
+        self._device_resident = (
+            (self.P * 4 + 4) * max(self._n, 1)
+            + 4 * (1 << self.B) <= dev_budget)
+        if self._device_resident:
+            self._offsets = jnp.asarray(offsets)
+            self._planes = [jnp.asarray(p) for p in planes]
+            self._values = jnp.asarray(
+                np.ascontiguousarray(counts, np.uint32))
+        else:
+            self._offsets = self._planes = self._values = None
         max_range = int((offsets[1:] - offsets[:-1]).max()) if self._n else 1
         self._iters = max(1, int(max_range).bit_length())
         # host copies for the lazily-built routed-join layout
@@ -353,8 +368,46 @@ class ExactLookup:
 
     def values_batch(self, q_planes, valid):
         """q_planes: P device arrays, valid: bool mask -> uint32 values."""
+        if not self._device_resident:
+            qhi, qlo = km.hilo_from_planes(
+                [np.asarray(p) for p in q_planes])
+            out = self.values_host(qhi, qlo)
+            out[~np.asarray(valid)] = 0
+            return out
         return _query_kernel(self._planes, self._values, self._offsets,
                              q_planes, valid, self.k, self.B, self._iters)
+
+    def values_host(self, qhi: np.ndarray, qlo: np.ndarray) -> np.ndarray:
+        """Host-side exact probe against the sorted (hi, lo) arrays:
+        the fallback when the table exceeds the device budget (point
+        probes + the segmented join's exception hatches).  Vectorized
+        searchsorted for 2k <= 64; two-stage for wider keys."""
+        n = self._n
+        out = np.zeros(len(qlo), np.uint32)
+        if n == 0:
+            return out
+        if 2 * self.k <= 64:
+            idx = np.searchsorted(self._np_lo, qlo)
+            ok = idx < n
+            ii = np.minimum(idx, n - 1)
+            ok &= self._np_lo[ii] == qlo
+            out[ok] = self._np_counts[ii[ok]]
+            return out
+        # hi plane narrows the range; lo resolves within it.  Keys are
+        # sorted lexicographically so each hi value is one contiguous
+        # run — loop over the DISTINCT query hi values (bounded by
+        # 2^(2k-64) and by Q) with a vectorized lo search per run.
+        idx = np.empty(len(qlo), np.int64)
+        for h in np.unique(qhi):
+            m = qhi == h
+            a = np.searchsorted(self._np_hi, h, "left")
+            b = np.searchsorted(self._np_hi, h, "right")
+            idx[m] = a + np.searchsorted(self._np_lo[a:b], qlo[m])
+        ok = idx < n
+        ii = np.minimum(idx, n - 1)
+        ok &= (self._np_lo[ii] == qlo) & (self._np_hi[ii] == qhi)
+        out[ok] = self._np_counts[ii[ok]]
+        return out
 
     BULK_SLAB = 1 << 16
 
@@ -460,7 +513,8 @@ class ExactLookup:
             if self._bacj != "degenerate":
                 return self._values_bulk_bacj(q_planes_np, valid_np,
                                               exists_only)
-        if (self._n >= self.JOIN_MIN_N and n_valid >= self.JOIN_MIN_Q):
+        if (self._n >= self.JOIN_MIN_N and n_valid >= self.JOIN_MIN_Q
+                and self._device_resident):
             if self._grouped is None:
                 self._grouped = self._build_grouped() or "degenerate"
             if self._grouped != "degenerate":
@@ -570,19 +624,27 @@ class ExactLookup:
         def bucket_max(b):
             return int(cM.reshape(1 << b, -1).sum(axis=1).max())
 
-        cfg = bj.plan_bacjoin(self._n, self.k, bucket_max,
-                              self.BACJ_SLAB, cap, b_hi=bm)
+        cfg = bj.plan_bacjoin_segmented(self._n, self.k, bucket_max,
+                                        self.BACJ_SLAB, cap, b_hi=bm)
         if cfg is None:
             return None
         dbd, dbv = bj.build_db_grid(self._np_hi, self._np_lo,
                                     self._np_counts, self.k, cfg)
-        return {
+        out = {
             "cfg": cfg,
+            "segments": cfg.get("segments", 1),
             "kcfg": (self.k, cfg["b"], cfg["b1"], cfg["c"],
                      cfg["capA"], cfg["s_cap"], cfg["ovfcap"]),
-            "dbd": tuple(jnp.asarray(d) for d in dbd),
-            "dbv": jnp.asarray(dbv),
         }
+        if out["segments"] == 1:
+            out["dbd"] = tuple(jnp.asarray(d) for d in dbd)
+            out["dbv"] = jnp.asarray(dbv)
+        else:
+            # host-resident grid, streamed through HBM one key-range
+            # segment at a time (numpy row slices are views, no copy)
+            out["dbd_np"] = dbd
+            out["dbv_np"] = dbv
+        return out
 
     def _values_bulk_bacj(self, q_planes_np, valid_np,
                           exists_only: bool = False) -> np.ndarray:
@@ -597,6 +659,7 @@ class ExactLookup:
         g = self._bacj
         cfg, kcfg = g["cfg"], g["kcfg"]
         capA, ovfcap = cfg["capA"], cfg["ovfcap"]
+        K = g["segments"]
         SENTQ = np.uint32(0xFFFFFFFF)
         Q = len(valid_np)
         out = np.zeros(Q, np.uint32)
@@ -606,65 +669,96 @@ class ExactLookup:
         def bsearch_into(idx):
             if len(idx) == 0:
                 return
-            qpo = [np.ascontiguousarray(p[idx]) for p in q_planes_np]
-            ov = self._values_bulk_bsearch(qpo,
-                                           np.ones(len(idx), bool))
+            if self._device_resident:
+                qpo = [np.ascontiguousarray(p[idx])
+                       for p in q_planes_np]
+                ov = self._values_bulk_bsearch(
+                    qpo, np.ones(len(idx), bool))
+            else:
+                ov = self.values_host(qhi[idx], qlo[idx])
             out[idx] = (ov > 0).astype(np.uint32) if exists_only else ov
 
-        def _route(take):
-            return take, bj.route_queries_host(qhi[take], qlo[take],
-                                               self.k, cfg)
+        def run_slabs(sel, dbd, dbv, row_base, n_rows):
+            """1-deep pipeline over sel's slabs against one resident
+            grid (the whole grid, or one key-range segment): the host
+            routes slab i+1 while the device resolves slab i (kernel
+            dispatch is async; only the result fetch blocks)."""
+            def _route(take):
+                return take, bj.route_queries_host(
+                    qhi[take], qlo[take], self.k, cfg,
+                    row_base=row_base, n_rows=n_rows)
 
-        def _dispatch(routed):
-            qlow, n_row, perm = routed
-            return bj.bacjoin_kernel(
-                g["dbd"], g["dbv"],
-                tuple(jnp.asarray(x) for x in qlow),
-                jnp.asarray(n_row), kcfg)
+            def _dispatch(routed):
+                qlow, n_row, perm = routed
+                return bj.bacjoin_kernel(
+                    dbd, dbv, tuple(jnp.asarray(x) for x in qlow),
+                    jnp.asarray(n_row), kcfg)
 
-        # 1-deep pipeline: the host routes slab i+1 while the device
-        # resolves slab i (kernel dispatch is async; only the result
-        # fetch blocks) — host routing is a third to half of the
-        # per-slab wall clock otherwise
-        slabs = [vidx[s:s + self.BACJ_SLAB]
-                 for s in range(0, len(vidx), self.BACJ_SLAB)]
-        inflight = None
-        for i in range(len(slabs) + 1):
-            nxt = None
-            if i < len(slabs):
-                take, routed = _route(slabs[i])
-                if routed is None:
-                    bsearch_into(take)
-                else:
-                    nxt = (take, routed[2],
-                           _dispatch(routed))
-            if inflight is None:
+            slabs = [sel[s:s + self.BACJ_SLAB]
+                     for s in range(0, len(sel), self.BACJ_SLAB)]
+            inflight = None
+            for i in range(len(slabs) + 1):
+                nxt = None
+                if i < len(slabs):
+                    take, routed = _route(slabs[i])
+                    if routed is None:
+                        bsearch_into(take)
+                    else:
+                        nxt = (take, routed[2], _dispatch(routed))
+                if inflight is None:
+                    inflight = nxt
+                    continue
+                take, perm, handles = inflight
                 inflight = nxt
+                vals, pos, ovf_pos, n_ovf = handles
+                vals = np.asarray(vals)
+                pos = np.asarray(pos)
+                n_ovf = np.asarray(n_ovf)
+                rows, cols = np.nonzero(pos != SENTQ)
+                orig = perm[rows * capA + pos[rows, cols]]
+                v = vals[rows, cols]
+                out[take[orig]] = (v > 0).astype(np.uint32) \
+                    if exists_only else v
+                lost_rows = np.flatnonzero(n_ovf > ovfcap)
+                if len(lost_rows):
+                    # capture window overflowed: re-answer those
+                    # coarse rows wholesale (duplicate-flood case)
+                    for r in lost_rows:
+                        rp = perm[r * capA:(r + 1) * capA]
+                        bsearch_into(take[rp[rp >= 0]])
+                ok_rows = n_ovf <= ovfcap
+                op = np.asarray(ovf_pos)
+                orr, occ = np.nonzero((op != SENTQ)
+                                      & ok_rows[:, None])
+                if len(orr):
+                    oidx = perm[orr * capA + op[orr, occ]]
+                    bsearch_into(take[oidx])
+
+        if K == 1:
+            run_slabs(vidx, g["dbd"], g["dbv"], 0, 1 << cfg["b1"])
+            return out
+
+        # segmented grid: partition queries by key-range segment (top
+        # log2 K bits), then stream one grid segment through HBM at a
+        # time — each upload serves ALL of that segment's slabs
+        B1 = 1 << cfg["b1"]
+        rows_per_seg = B1 // K
+        buckets_per_seg = cfg["B"] // K
+        coarse = bj._top_bits_np(qhi[vidx], qlo[vidx],
+                                 self.k, cfg["b1"])
+        seg_ids = (coarse // rows_per_seg).astype(np.int64)
+        order = np.argsort(seg_ids, kind="stable")
+        bounds = np.searchsorted(seg_ids[order], np.arange(K + 1))
+        for s in range(K):
+            sel = vidx[order[bounds[s]:bounds[s + 1]]]
+            if len(sel) == 0:
                 continue
-            take, perm, handles = inflight
-            inflight = nxt
-            vals, pos, ovf_pos, n_ovf = handles
-            vals = np.asarray(vals)
-            pos = np.asarray(pos)
-            n_ovf = np.asarray(n_ovf)
-            rows, cols = np.nonzero(pos != SENTQ)
-            orig = perm[rows * capA + pos[rows, cols]]
-            v = vals[rows, cols]
-            out[take[orig]] = (v > 0).astype(np.uint32) \
-                if exists_only else v
-            lost_rows = np.flatnonzero(n_ovf > ovfcap)
-            if len(lost_rows):
-                # capture window overflowed: re-answer those coarse
-                # rows wholesale (duplicate-flood adversarial case)
-                for r in lost_rows:
-                    rp = perm[r * capA:(r + 1) * capA]
-                    bsearch_into(take[rp[rp >= 0]])
-            ok_rows = n_ovf <= ovfcap
-            op = np.asarray(ovf_pos)
-            orr, occ = np.nonzero((op != SENTQ) & ok_rows[:, None])
-            if len(orr):
-                oidx = perm[orr * capA + op[orr, occ]]
-                bsearch_into(take[oidx])
+            a, b = s * buckets_per_seg, (s + 1) * buckets_per_seg
+            dbd_s = tuple(jnp.asarray(d[a:b]) for d in g["dbd_np"])
+            dbv_s = jnp.asarray(g["dbv_np"][a:b])
+            run_slabs(sel, dbd_s, dbv_s, s * rows_per_seg,
+                      rows_per_seg)
+            del dbd_s, dbv_s
         return out
 
     def values_join(self, q_planes_np, valid_np) -> np.ndarray:

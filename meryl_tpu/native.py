@@ -131,7 +131,8 @@ def get_lib():
                 i32p = ctypes.POINTER(ctypes.c_int32)
                 lib.mt_bacj_route.argtypes = [
                     u64p, u64p, ctypes.c_int64, ctypes.c_int32,
-                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int32, ctypes.c_int32,
                     u32p, i32p, i64p, ctypes.c_int32]
                 lib.mt_bacj_route.restype = ctypes.c_int32
             _lib = lib

@@ -119,7 +119,44 @@ def plan_bacjoin(n_db: int, k: int, bucket_max, q_slab: int,
     # bandwidth for nothing (pathological key skew)
     if best["B"] * best["s_cap"] > 4 * n_db + (1 << 22):
         return None
+    best["segments"] = 1
     return best
+
+
+def plan_bacjoin_segmented(n_db: int, k: int, bucket_max, q_slab: int,
+                           seg_cap_bytes: int, b_hi: int = 26,
+                           max_segments: int = 16) -> dict | None:
+    """plan_bacjoin, but when no single-grid geometry fits the device
+    cap, split the grid into K equal coarse-row ranges (segments) of
+    <= seg_cap_bytes each.  The grid lives on the HOST; segments are
+    uploaded one at a time and each serves every query slab routed to
+    its key range — out-of-core lookup for DBs past HBM (the reference
+    simply requires the whole table in RAM: merylExactLookup, SURVEY
+    §2.3; the TPU-native analog streams it through HBM).
+
+    capA is resized for the K-fold query concentration (a slab routed
+    to one segment lands on B1/K rows).  Returns None only for
+    degenerate skew or truly oversized DBs (> max_segments * cap)."""
+    for segs in (1, 2, 4, 8, 16):
+        if segs > max_segments:
+            break
+        cfg = plan_bacjoin(n_db, k, bucket_max, q_slab,
+                           seg_cap_bytes * segs, b_hi)
+        if cfg is None:
+            continue
+        if segs > 1:
+            b1 = cfg["b1"]
+            if (1 << b1) % segs or (1 << b1) <= segs:
+                continue
+            lam = q_slab / ((1 << b1) // segs)
+            capA = int(np.ceil(lam + 5.0 * np.sqrt(lam) + 8))
+            cfg["capA"] = _ceil_div(capA, 8) * 8
+            # rows per segment must also divide the fine buckets
+            if cfg["B"] % segs:
+                continue
+            cfg["segments"] = segs
+        return cfg
+    return None
 
 
 def build_db_grid(hi: np.ndarray, lo: np.ndarray, counts: np.ndarray,
@@ -178,14 +215,19 @@ def _suffix_plane_np(hi, lo, sbits: int, p: int):
 
 
 def route_queries_host(hi: np.ndarray, lo: np.ndarray, k: int,
-                       cfg: dict):
-    """Partition a query slab into (B1, capA) low-bit rows.
+                       cfg: dict, row_base: int = 0,
+                       n_rows: int | None = None):
+    """Partition a query slab into (n_rows, capA) low-bit rows.
 
-    -> (qlow list of ps_l x (B1, capA) u32, n_row (B1,) i32,
+    -> (qlow list of ps_l x (n_rows, capA) u32, n_row (n_rows,) i32,
         perm (Q,) int64 original index per (row, col) slot, or None
         when a coarse row overflows capA — caller splits the slab).
     Queries carry only their low 2k - b1 bits; the row IS the coarse
     bucket, so the top bits travel for free.
+
+    row_base/n_rows select a coarse-row window for SEGMENTED grids
+    (out-of-core DBs): the caller pre-partitions queries by segment
+    and every key must land in [row_base, row_base + n_rows).
 
     The native two-pass counting-sort router (native/mt_route.cpp)
     runs when the shared library is present; this numpy path is the
@@ -193,14 +235,18 @@ def route_queries_host(hi: np.ndarray, lo: np.ndarray, k: int,
     tests/test_bacjoin.py::test_native_router_matches_numpy)."""
     import os as _os
 
+    b1, capA = cfg["b1"], cfg["capA"]
+    if n_rows is None:
+        n_rows = 1 << b1
     if _os.environ.get("MERYL_TPU_NATIVE_ROUTE", "1") != "0":
-        out = _route_queries_native(hi, lo, k, cfg)
+        out = _route_queries_native(hi, lo, k, cfg, row_base, n_rows)
         if out is not NotImplemented:
             return out
-    b1, capA = cfg["b1"], cfg["capA"]
-    B1 = 1 << b1
+    B1 = n_rows
     Q = len(lo)
-    coarse = _top_bits_np(hi, lo, k, b1)
+    coarse = _top_bits_np(hi, lo, k, b1) - row_base
+    if Q and (coarse.min() < 0 or coarse.max() >= n_rows):
+        raise ValueError("query key outside segment row window")
     n_row = np.bincount(coarse, minlength=B1).astype(np.int32)
     if n_row.max() > capA:
         return None
@@ -223,7 +269,8 @@ def route_queries_host(hi: np.ndarray, lo: np.ndarray, k: int,
 
 
 def _route_queries_native(hi: np.ndarray, lo: np.ndarray, k: int,
-                          cfg: dict):
+                          cfg: dict, row_base: int = 0,
+                          n_rows: int | None = None):
     """mt_bacj_route wrapper; NotImplemented when the library or the
     symbol is unavailable (caller runs the numpy reference)."""
     import ctypes
@@ -234,7 +281,7 @@ def _route_queries_native(hi: np.ndarray, lo: np.ndarray, k: int,
     if lib is None or not hasattr(lib, "mt_bacj_route"):
         return NotImplemented
     b1, capA = cfg["b1"], cfg["capA"]
-    B1 = 1 << b1
+    B1 = (1 << b1) if n_rows is None else n_rows
     Q = len(lo)
     lbits = 2 * k - b1
     ps_l = max(1, _ceil_div(lbits, 32))
@@ -247,7 +294,8 @@ def _route_queries_native(hi: np.ndarray, lo: np.ndarray, k: int,
     rc = lib.mt_bacj_route(
         hi.ctypes.data_as(u64p), lo.ctypes.data_as(u64p),
         ctypes.c_int64(Q), ctypes.c_int32(2 * k),
-        ctypes.c_int32(b1), ctypes.c_int32(capA),
+        ctypes.c_int32(b1), ctypes.c_int64(row_base),
+        ctypes.c_int64(B1), ctypes.c_int32(capA),
         ctypes.c_int32(ps_l),
         qlow.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         n_row.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -255,6 +303,8 @@ def _route_queries_native(hi: np.ndarray, lo: np.ndarray, k: int,
         ctypes.c_int32(native.n_threads()))
     if rc == 1:
         return None    # row overflow: same contract as the numpy path
+    if rc == 3:
+        raise ValueError("query key outside segment row window")
     if rc != 0:
         return NotImplemented
     return [qlow[p] for p in range(ps_l)], n_row, perm
@@ -347,7 +397,10 @@ def bacjoin_kernel(dbd, dbv, qlow, n_row, cfg, fused=None):
     # lane j of every bucket compares against the bucket's whole DB
     # row in one streaming pass (c passes total; DB keys are unique
     # and padding carries value 0, so the match-sum is the value)
-    B = 1 << b
+    # bucket count from the ROW slice, not 1 << b: a segmented grid
+    # (out-of-core DBs) passes a contiguous row/bucket range and the
+    # kernel is range-agnostic — fine-bucket ids are row-local
+    B = B1 * B2
     cells_q = [cq.reshape(B, c) for cq in cells_q]
     cells_pos = cells_pos.reshape(B, c)
 

@@ -42,21 +42,26 @@ struct RouteArgs {
 extern "C" {
 
 // returns 0 = ok, 1 = some coarse row overflows capA (caller falls
-// back to the exact whole-slab path), 2 = bad arguments
+// back to the exact whole-slab path), 2 = bad arguments, 3 = a key
+// routed outside [row_base, row_base + n_rows) (segmented-mode caller
+// bug: queries must be pre-partitioned by segment)
 int mt_bacj_route(const uint64_t* hi, const uint64_t* lo, int64_t q,
-                  int32_t twok, int32_t b1, int32_t capA,
+                  int32_t twok, int32_t b1, int64_t row_base,
+                  int64_t n_rows, int32_t capA,
                   int32_t ps_l, uint32_t* qlow, int32_t* n_row,
                   int64_t* perm, int32_t n_threads) {
     if (q < 0 || b1 < 1 || b1 > 26 || twok < b1 || twok > 128 ||
-        capA < 1 || ps_l < 1 || ps_l > 4)
+        capA < 1 || ps_l < 1 || ps_l > 4 || row_base < 0 ||
+        n_rows < 1 || row_base + n_rows > ((int64_t)1 << b1))
         return 2;
-    const int64_t B1 = (int64_t)1 << b1;
+    const int64_t B1 = n_rows;
     const int shift = twok - b1;
     const int lbits = twok - b1;
     int T = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);
     if (q < (int64_t)1 << 18) T = 1;
 
     // pass 1: per-thread histograms over contiguous ranges
+    std::atomic<bool> bad(false);
     std::vector<std::vector<int64_t>> hist(T,
                                            std::vector<int64_t>(B1, 0));
     std::vector<std::thread> th;
@@ -70,13 +75,16 @@ int mt_bacj_route(const uint64_t* hi, const uint64_t* lo, int64_t q,
             range(t, &a, &b);
             auto& h = hist[t];
             for (int64_t i = a; i < b; i++) {
-                uint64_t r = (uint64_t)(key128(hi[i], lo[i]) >> shift);
+                int64_t r = (int64_t)(key128(hi[i], lo[i]) >> shift)
+                            - row_base;
+                if (r < 0 || r >= B1) { bad.store(true); return; }
                 h[r]++;
             }
         });
     }
     for (auto& x : th) x.join();
     th.clear();
+    if (bad.load()) return 3;
 
     // global row counts + overflow check + per-thread cursors
     std::vector<int64_t> start(B1 + 1, 0);
@@ -111,7 +119,7 @@ int mt_bacj_route(const uint64_t* hi, const uint64_t* lo, int64_t q,
             auto& c = cur[t];
             for (int64_t i = a; i < b; i++) {
                 unsigned __int128 k = key128(hi[i], lo[i]);
-                uint64_t r = (uint64_t)(k >> shift);
+                int64_t r = (int64_t)(k >> shift) - row_base;
                 int64_t flat = c[r]++;
                 perm[flat] = i;
                 unsigned __int128 low = k & lmask;
