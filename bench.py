@@ -119,7 +119,7 @@ def bench_lookup():
 
     bm = min(26, 2 * K - 1)
     topM = bj._top_bits_np(hi, kmers, K, bm)
-    cM = np.bincount(topM.astype(np.int64), minlength=1 << bm)
+    cM = np.bincount(topM, minlength=1 << bm)  # already int64
 
     def bucket_max(b):
         return int(cM.reshape(1 << b, -1).sum(axis=1).max())
@@ -291,7 +291,7 @@ def bench_lookup_bigdb():
 
     bm = min(26, 2 * K - 1)
     topM = bj._top_bits_np(hi, lo, K, bm)
-    cM = np.bincount(topM.astype(np.int64), minlength=1 << bm)
+    cM = np.bincount(topM, minlength=1 << bm)  # already int64
 
     def bucket_max(b):
         return int(cM.reshape(1 << b, -1).sum(axis=1).max())
@@ -535,20 +535,25 @@ def measure_link_rates():
     rng = np.random.default_rng(9)
     h2d = []
     for rep in range(2):
-        a = rng.integers(0, 255, size=64 * mb, dtype=np.uint8)
+        a = rng.integers(0, 255, size=16 * mb, dtype=np.uint8)
         t0 = time.perf_counter()
         d = jax.device_put(a)
         d.block_until_ready()
         h2d.append(a.nbytes / (time.perf_counter() - t0))
         del d
     d2h = []
-    dev = jax.device_put(jnp.asarray(
-        rng.integers(0, 255, size=32 * mb, dtype=np.uint8)))
-    dev.block_until_ready()
+    base = jax.device_put(jnp.asarray(
+        rng.integers(0, 255, size=8 * mb, dtype=np.uint8)))
+    base.block_until_ready()
     for rep in range(2):
+        # fetch a DEVICE-COMPUTED array: np.asarray of a device_put
+        # result is served from the retained host buffer and measures
+        # nothing (a 300 GB/s "rate" on a ~10 MB/s tunnel)
+        dev = base + jnp.uint8(rep + 1)
         t0 = time.perf_counter()
         back = np.asarray(dev)
         d2h.append(back.nbytes / (time.perf_counter() - t0))
+        del dev, back
     return max(h2d), max(d2h)
 
 

@@ -619,7 +619,7 @@ class ExactLookup:
         cap = float(os.environ.get("MERYL_TPU_BACJ_CAP_GB", "6")) * 1e9
         bm = min(26, 2 * self.k - 1)
         topM = bj._top_bits_np(self._np_hi, self._np_lo, self.k, bm)
-        cM = np.bincount(topM.astype(np.int64), minlength=1 << bm)
+        cM = np.bincount(topM, minlength=1 << bm)  # already int64
 
         def bucket_max(b):
             return int(cM.reshape(1 << b, -1).sum(axis=1).max())

@@ -289,31 +289,37 @@ def merge_cells(acc_planes, acc_counts, staged, P: int, La_out: int,
 EXC_ROW_CAP = 64
 
 
-@functools.partial(jax.jit, static_argnames=("P", "gbits"))
-def pack_for_download(acc_planes, acc_counts, P: int, gbits: int):
+@functools.partial(jax.jit, static_argnames=("P", "cbits_min"))
+def pack_for_download(acc_planes, acc_counts, P: int, cbits_min: int):
     """Wire-pack the accumulator for download (2k <= 64 only).
 
     Finalize downloads (P + 1) u32 arrays per entry (~12 B/unique,
     plus row padding); on slow device->host links that transfer IS the
     end-to-end counting bottleneck.  Keys within an accumulator row
     are sorted and dense, so each entry is its predecessor's key plus
-    a small gap: pack (gap << cbits | count) into ONE u32 when the gap
-    fits gbits bits and the count fits cbits = 32 - gbits — a 3x wire
-    cut.  Entries that do not fit (giant gap, hot count, or the
-    ambiguous all-ones word) are EXCEPTIONS: their full key + count
-    are compacted per row into fixed (B, EXC_ROW_CAP) side arrays and
-    re-applied by position on the host — exact, like every other hatch
-    in this engine.  The caller downloads column 0 of each row dense
-    (the cumsum base) and falls back to the dense download when any
-    row's exceptions overflow EXC_ROW_CAP.
+    a small gap: pack (gap << cbits | count) into ONE u32 — a 3x wire
+    cut.  The gap/count split is PER ROW: the equal-mass routing map
+    gives rows equal counts but very different key-range widths (the
+    canonical transform warps density several-fold across the space),
+    so each row sizes its gap field from its own max in-row gap
+    (gbits_row, reported to the host), floored by cbits_min bits for
+    the count field (the caller derives cbits_min from coverage).
+    Entries that still do not fit (count past the field, gap past a
+    count-capped field, a multi-plane gap, or the ambiguous all-ones
+    word) are EXCEPTIONS: their full key + count are compacted per
+    row into fixed (B, EXC_ROW_CAP) side arrays and re-applied by
+    position on the host — exact, like every other hatch in this
+    engine.  The caller downloads column 0 of each row dense (the
+    cumsum base) and per-row-dense-downloads rows whose exceptions
+    overflow EXC_ROW_CAP.
 
     -> (packed (B, La) u32   0 = empty, SENT = exception, else word,
+        gbits_row (B,) i32   per-row gap-field width,
         exc_col (B, EXC) u32 column of each exception (SENT padded),
         exc_planes P x (B, EXC) u32, exc_cnt (B, EXC) u32,
         n_exc_row (B,) int32)
     """
     B, La = acc_counts.shape
-    cbits = 32 - gbits
     col = jax.lax.broadcasted_iota(jnp.int32, (B, La), 1)
     valid = acc_counts > U32(0)
 
@@ -326,10 +332,18 @@ def pack_for_download(acc_planes, acc_counts, P: int, gbits: int):
         hi_ok = d1 == U32(0)
     else:
         hi_ok = jnp.ones((B, La), bool)
-    word = (d0 << U32(cbits)) | acc_counts
-    fit = (valid & (col > 0) & hi_ok
-           & (d0 < U32(1 << gbits))
-           & (acc_counts < U32(1 << cbits))
+    # per-row gap field: wide enough for the row's own largest
+    # single-plane gap, capped to leave cbits_min for counts
+    in_row = valid & (col > 0) & hi_ok
+    gmax = jnp.max(jnp.where(in_row, d0, U32(0)), axis=1)
+    gbits_row = jnp.clip(32 - jax.lax.clz(jnp.maximum(gmax, U32(1)))
+                         .astype(jnp.int32), 1, 32 - cbits_min)
+    gb = gbits_row[:, None].astype(U32)
+    cb = U32(32) - gb
+    word = (d0 << cb) | acc_counts
+    fit = (in_row
+           & (d0 < (U32(1) << gb))
+           & (acc_counts < (U32(1) << cb))
            & (word != SENT))
     exc = valid & (col > 0) & ~fit
     packed = jnp.where(fit, word, jnp.where(exc, SENT, U32(0)))
@@ -345,4 +359,4 @@ def pack_for_download(acc_planes, acc_counts, P: int, gbits: int):
     exc_planes = tuple(s[:, :EXC_ROW_CAP] for s in srt[1:1 + P])
     exc_cnt = srt[1 + P][:, :EXC_ROW_CAP]
     n_exc_row = jnp.sum(exc.astype(jnp.int32), axis=1)
-    return packed, exc_col, exc_planes, exc_cnt, n_exc_row
+    return packed, gbits_row, exc_col, exc_planes, exc_cnt, n_exc_row

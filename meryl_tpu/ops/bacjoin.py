@@ -98,13 +98,18 @@ def plan_bacjoin(n_db: int, k: int, bucket_max, q_slab: int,
         if mem > mem_cap_bytes:
             continue
         c = _cap_for_overflow(q_slab / B)
-        # device work model: align/pack sorts ~0.83 ns/slot (3 sorts
-        # touch the q_slab + B*c slots); the fused resolve streams the
-        # grid from HBM ONCE regardless of c (~0.01 ns/grid-elt at
-        # ~800 GB/s sequential) — measured floors, docs/tpu-design.md
-        # + scripts/probe_r4_bacj_sweep.py
+        # device work model (ns/slab): align/pack sorts ~0.83 ns/slot
+        # (3 sorts touch the q_slab + B*c slots); the fused resolve
+        # streams the grid from HBM once (~0.01 ns/grid-elt at ~800
+        # GB/s) but its VPU compute still scales with c (the (B, c,
+        # s_cap) compare+select tensor, ~0.003 ns/elt at ~1K lanes/
+        # cycle).  Calibration: predicts 90 vs measured 73 ms/slab at
+        # b=21/c=7 and 160 vs 183 at b=16/c=130 (N=2^28, Q=2^23) —
+        # and, decisively, ORDERS them right; the r4.0 model without
+        # the c term picked b=16 and cost 2.5x (45.8 vs 114.6 Mq/s).
         work = 0.83 * 3 * (q_slab + B * c) \
-            + 0.01 * B * s_cap * (ps + 1)
+            + 0.01 * B * s_cap * (ps + 1) \
+            + 0.003 * c * B * s_cap * ps
         if best is None or work < best["work"]:
             b1 = max(10, min(b - 7, 14))
             lam = q_slab / (1 << b1)
@@ -165,12 +170,18 @@ def build_db_grid(hi: np.ndarray, lo: np.ndarray, counts: np.ndarray,
     (B, s_cap) values) with value 0 marking padding.  Host, once."""
     b, B, s_cap, ps = cfg["b"], cfg["B"], cfg["s_cap"], cfg["ps"]
     n = len(counts)
-    top = _top_bits_np(hi, lo, k, b)
-    cnt = np.bincount(top.astype(np.int64), minlength=B)
+    top = _top_bits_np(hi, lo, k, b)  # already int64 — every extra
+    # astype here is a fresh 8n-byte allocation whose first-touch page
+    # faults dominate the build on this VM (measured: 3 copies ~ 9 s
+    # of a 36 s build at n = 2^26)
+    cnt = np.bincount(top, minlength=B)
     starts = np.zeros(B + 1, np.int64)
     np.cumsum(cnt, out=starts[1:])
-    col = np.arange(n, dtype=np.int64) - starts[top.astype(np.int64)]
-    flat = top.astype(np.int64) * s_cap + col
+    col = np.arange(n, dtype=np.int64)
+    col -= starts[top]
+    top *= s_cap
+    flat = top
+    flat += col
     sbits = 2 * k - b
     dbd = []
     for p in range(ps):
@@ -197,21 +208,26 @@ def _top_bits_np(hi, lo, k: int, b: int):
 
 
 def _suffix_plane_np(hi, lo, sbits: int, p: int):
-    """Plane p (bits [32p, 32p+32)) of the low sbits bits of each key."""
+    """Plane p (bits [32p, 32p+32)) of the low sbits bits of each key.
+
+    Minimal-temporary formulation: each u64 intermediate is an 8n-byte
+    allocation whose first-touch faults dominate at genome scale —
+    truncate to u32 as early as possible and mask in place."""
     hi = np.asarray(hi, np.uint64)
     lo = np.asarray(lo, np.uint64)
     sh = 32 * p
     if sh >= 64:
-        v = hi >> np.uint64(sh - 64)
+        v = (hi >> np.uint64(sh - 64)).astype(np.uint32)
+    elif sh == 0:
+        v = lo.astype(np.uint32)      # low 32 bits directly
     else:
-        v = lo >> np.uint64(sh)
-        if sh > 0:
-            v |= hi << np.uint64(64 - sh)
-    v = v.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        v = (lo >> np.uint64(sh)).astype(np.uint32)
+        if np.any(hi):
+            v |= (hi << np.uint64(64 - sh)).astype(np.uint32)
     bits_here = sbits - sh
     if bits_here < 32:
-        v &= np.uint64((1 << max(0, bits_here)) - 1)
-    return v.astype(np.uint32)
+        v &= np.uint32((1 << max(0, bits_here)) - 1)
+    return v
 
 
 def route_queries_host(hi: np.ndarray, lo: np.ndarray, k: int,

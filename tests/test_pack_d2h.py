@@ -142,14 +142,13 @@ def test_k33_gated_to_dense():
 
 def test_pack_kernel_roundtrip_direct():
     """Kernel-level differential: random sorted accumulator rows pack
-    and reconstruct exactly (incl. row-0 base, empty rows, exceptions
-    by gap and by count)."""
+    and reconstruct exactly (incl. row-0 base, empty rows, per-row
+    gap-field widths, exceptions by gap and by count)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(6)
     B, La, P, k = 8, 256, 2, 21
-    gbits = 20
-    cbits = 32 - gbits
+    cbits_min = 10
     span = (1 << (2 * k)) // B
     planes0 = np.full((B, La), 0xFFFFFFFF, np.uint32)
     planes1 = np.full((B, La), 0xFFFFFFFF, np.uint32)
@@ -159,32 +158,42 @@ def test_pack_kernel_roundtrip_direct():
         if r == 3:
             continue  # empty row
         n = int(rng.integers(5, La))
-        gaps = rng.integers(1, 1 << 18, size=n).astype(np.uint64)
-        gaps[n // 2] = np.uint64(3) << np.uint64(gbits)  # giant gap
+        # row 5 is dense (tiny gaps -> narrow field), row 6 sparse
+        hi_g = 1 << (10 if r == 5 else 18)
+        gaps = rng.integers(1, hi_g, size=n).astype(np.uint64)
+        if r != 5:  # row 5 stays narrow: its field must track density
+            gaps[n // 2] = np.uint64(1) << np.uint64(25)  # gap exc
         keys = np.cumsum(gaps) + r * span
-        cts = rng.integers(1, 1 << 10, size=n).astype(np.uint32)
+        cts = rng.integers(1, 1 << 9, size=n).astype(np.uint32)
         if n > 2:
-            cts[1] = np.uint32(5 << cbits)  # count exception
+            cts[1] = np.uint32((1 << 31) + 7)  # count exception
         planes0[r, :n] = keys & 0xFFFFFFFF
         planes1[r, :n] = keys >> 32
         counts[r, :n] = cts
         want += [(int(a), int(b)) for a, b in zip(keys, cts)]
 
-    packed, exc_col, exc_planes, exc_cnt, n_exc = accum.pack_for_download(
-        (jnp.asarray(planes0), jnp.asarray(planes1)),
-        jnp.asarray(counts), P, gbits)
+    packed, gbits_row, exc_col, exc_planes, exc_cnt, n_exc = \
+        accum.pack_for_download(
+            (jnp.asarray(planes0), jnp.asarray(planes1)),
+            jnp.asarray(counts), P, cbits_min)
     packed = np.asarray(packed)
+    gbits_row = np.asarray(gbits_row)
     exc_col = np.asarray(exc_col)
     exc_p = [np.asarray(p).astype(np.uint64) for p in exc_planes]
     exc_cnt = np.asarray(exc_cnt)
     n_exc = np.asarray(n_exc)
     assert n_exc.max() <= accum.EXC_ROW_CAP
+    assert (n_exc[np.array([0, 1, 2, 4, 5, 6, 7])] >= 1).all()
+    assert gbits_row[5] < gbits_row[6]  # field tracks row density
+    assert (gbits_row <= 32 - cbits_min).all()
 
     # host reconstruction (mirrors counter._download_packed)
     lo0 = planes0[:, 0].astype(np.uint64) \
         | (planes1[:, 0].astype(np.uint64) << np.uint64(32))
-    gaps = (packed >> np.uint32(cbits)).astype(np.uint64)
-    cts = (packed & np.uint32((1 << cbits) - 1)).astype(np.uint32)
+    cbits_row = (32 - gbits_row).astype(np.uint32)
+    gaps = (packed >> cbits_row[:, None]).astype(np.uint64)
+    cts = (packed & ((np.uint32(1) << cbits_row[:, None])
+                     - np.uint32(1))).astype(np.uint32)
     is_exc = packed == 0xFFFFFFFF
     gaps[is_exc] = 0
     keys = gaps
