@@ -430,8 +430,9 @@ def bench_calibration():
     current round's hardware, not hand-entered literals):
 
       t_local_ns_per_base — the SPMD shard step's LOCAL stage (extract
-        + sort_count_compacted at the production 2^22 device chunk,
-        parallel/shard_count.py:151-154), per base.
+        + sort_count_compacted at the sharded per-device chunk,
+        counter.shard_default_chunk(), parallel/shard_count.py:151-154),
+        per base.
       t_merge_ns_per_elt — the owner-side merge of received sorted
         runs (ops/count.merge_counted), per merged element.
 
@@ -458,8 +459,10 @@ def bench_calibration():
         rtts.append(time.perf_counter() - t0)
     rtt = min(rtts)
 
-    # local stage: 4 chunks of 2^22 per dispatch
-    CHUNK, R = 1 << 22, 4
+    # local stage: the sharded per-device chunk, 2^24 bases/dispatch
+    from meryl_tpu.counter import shard_default_chunk
+    CHUNK = shard_default_chunk()
+    R = max(1, (1 << 24) // CHUNK)
 
     def local_body(carry, codes):
         planes, valid = ext.extract_kmers(codes, K, "canonical")

@@ -363,7 +363,8 @@ def run(b: CommandBuilder) -> int:
                         f"t_merge {sc.T_MERGE_NS_PER_ELT:g} ns/elt"
                         f" from {sc.CALIBRATION['t_merge_src']}; "
                         "docs/multihost.md):\n")
-                    for row in scaling_report(plan["chunk_len"]):
+                    from .counter import shard_default_chunk
+                    for row in scaling_report(shard_default_chunk()):
                         sys.stderr.write(
                             f"    {row['devices']:4d} devices"
                             f" ({row['hosts']} hosts):"

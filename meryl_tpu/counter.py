@@ -36,6 +36,17 @@ def default_chunk() -> int:
 _USE_PALLAS = bool(_os.environ.get("MERYL_TPU_PALLAS"))
 
 
+def shard_default_chunk() -> int:
+    """Per-DEVICE bases per SPMD step (env MERYL_TPU_SHARD_CHUNK).
+    Smaller than the single-chip chunk: the shard step's local kernel
+    sorts its chunk as ONE flat row (the all-to-all needs the global
+    order), and flat-row sort cost rises ~log L — 3.35 ns/elt at 2^20
+    vs 14.6 at 2^22 (docs/tpu-design.md round-3 table) — so 2^20 per
+    device keeps the dominant sort near its floor while each step
+    still moves megabytes through the collective."""
+    return int(_os.environ.get("MERYL_TPU_SHARD_CHUNK", 1 << 20))
+
+
 def _sort_rowlen(chunk_len: int) -> int | None:
     """Row length for the chunk sort: a single long lax.sort costs up
     to 20x the ~1.5 ns/element floor that row-batched sorts hit
@@ -690,7 +701,7 @@ def _feed_sharded(paths, k: int, mode: str = "canonical",
     from .io.sequence import SEP
     from .parallel.shard_count import ShardedCounter
 
-    chunk_len = chunk_len or default_chunk()
+    chunk_len = chunk_len or shard_default_chunk()
     if mesh is None:
         mesh = Mesh(np.array(jax.devices()), ("d",))
     n = mesh.devices.size
@@ -732,10 +743,13 @@ def count_to_arrays(paths, k: int, mode: str = "canonical", hpc: bool = False,
     """Count kmers in sequence files.  Returns sorted (hi, lo, counts)."""
     if not (1 <= k <= km.K_MAX):
         raise ValueError(f"k must be in [1, {km.K_MAX}], got {k}")
+    user_chunk = chunk_len
     chunk_len = chunk_len or default_chunk()
     if _use_sharded(count_suffix):
+        # the sharded path has its own (smaller) default chunk — pass
+        # the USER's choice through, not the single-chip default
         return count_to_arrays_sharded(paths, k, mode=mode, hpc=hpc,
-                                       chunk_len=chunk_len,
+                                       chunk_len=user_chunk,
                                        progress=progress, segment=segment)
     exp_uniques = _use_device_acc(count_suffix, paths, k, chunk_len)
     if exp_uniques:
