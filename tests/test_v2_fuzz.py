@@ -187,3 +187,28 @@ def test_v2_composition_fuzz(dbs):
                 want[kk] = (ov, ol)
         assert got == want, (trial, vspec, lspec, isel, terms,
                              len(got), len(want))
+
+
+def test_allones_kmer_shares_padding_run(tmp_path):
+    """k=16: the all-ones kmer (poly-G forward) is a REAL key equal to
+    the sentinel padding pattern; stable sort puts the real entries at
+    the run front so the bounded-window reductions must still see them
+    all (regression for the round-4 windowed compute stage)."""
+    from meryl_tpu.v2 import cli as v2
+
+    fa = tmp_path / "g.fa"
+    fa.write_text(">r\n" + "G" * 48 + "\nACGTACGTACGTACGTACGT\n")
+    fb = tmp_path / "h.fa"
+    fb.write_text(">r\n" + "G" * 40 + "\n")
+    oa = tmp_path / "a.meryl"
+    ob = tmp_path / "b.meryl"
+    v2.main(["count-forward", "k=16", str(fa), "output:database=" + str(oa)])
+    v2.main(["count-forward", "k=16", str(fb), "output:database=" + str(ob)])
+    out = tmp_path / "u.meryl"
+    v2.main(["union-sum", str(oa), str(ob), "output:database=" + str(out)])
+    from meryl_tpu.db import MerylDB
+    hi, lo, c = MerylDB.open(str(out)).load_all()
+    d = {int(x): int(v) for x, v in zip(lo, c)}
+    allones = (1 << 32) - 1
+    # 33 poly-G windows in a + 25 in b
+    assert d[allones] == 33 + 25
