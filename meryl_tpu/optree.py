@@ -209,11 +209,16 @@ class BucketEvaluator:
             out[j] = a + np.searchsorted(lo[a:b], cut_lo[j], "left")
         return out
 
-    def _pack_rows(self, ins, m: int):
+    def _pack_rows(self, ins, m: int, extras=None):
         """Pack m sorted-unique (hi, lo, counts) inputs into (R, L)
         padded plane/value/id arrays split at shared key boundaries:
         all instances of a key land in exactly one row, so rows sort
-        independently and the flattened result is globally ordered."""
+        independently and the flattened result is globally ordered.
+
+        extras: optional per-input list of extra payload arrays (e.g.
+        meryl2 label halves), each aligned with that input's counts;
+        packed alongside (zero-padded) and returned as a fourth tuple
+        when given."""
         total = sum(len(c) for _, _, c in ins)
         R = max(2, min(1 << 11, total // self.ROW_TARGET))
         R = 1 << (R - 1).bit_length()
@@ -233,6 +238,9 @@ class BucketEvaluator:
                   for _ in range(self.P)]
         values = np.zeros((R, L), np.uint32)
         ids = np.full((R, L), m, np.int32)
+        n_extra = len(extras[0]) if extras else 0
+        packed_extra = [np.zeros((R, L), extras[0][e].dtype)
+                        for e in range(n_extra)]
         for i, (hi, lo, c) in enumerate(ins):
             iplanes = self._to_planes(hi, lo)
             b = bounds[i]
@@ -249,6 +257,11 @@ class BucketEvaluator:
                     planes[p][r, p0:p0 + e - s] = arr[s:e]
                 values[r, p0:p0 + e - s] = c[s:e]
                 ids[r, p0:p0 + e - s] = i
+                for e2 in range(n_extra):
+                    packed_extra[e2][r, p0:p0 + e - s] = \
+                        extras[i][e2][s:e]
+        if extras is not None:
+            return planes, values, ids, packed_extra
         return planes, values, ids
 
     def eval_bucket(self, node: OpNode, ff: int):

@@ -414,6 +414,11 @@ class Builder:
 # ---------------- evaluation ----------------
 
 class Evaluator:
+    # row-batch the action kernel above this many total input entries
+    # (below it, one flat row already sorts at the floor and the
+    # packing overhead dominates)
+    ROWPACK_MIN = 1 << 17
+
     def __init__(self, k: int, pipes: dict, label_bits: int = 64):
         self.k = int(k)
         self.P = km.num_planes(self.k)
@@ -470,24 +475,48 @@ class Evaluator:
         if total == 0:
             z = np.zeros(0, np.uint64)
             return z, z.copy(), np.zeros(0, np.uint32), np.zeros(0, np.uint64)
-        N = self._pad_to(total)
-        planes = [np.full(N, 0xFFFFFFFF, np.uint32) for _ in range(self.P)]
-        values = np.zeros(N, np.uint32)
-        llo = np.zeros(N, np.uint32)
-        lhi = np.zeros(N, np.uint32)
-        ids = np.full(N, m, np.int32)
-        pos = 0
-        for i, (hi, lo, c, lab) in enumerate(ins):
-            n = len(c)
-            if n == 0:
-                continue
-            for p, arr in enumerate(km.planes_from_hilo(hi, lo, self.P)):
-                planes[p][pos:pos + n] = arr
-            values[pos:pos + n] = c
-            llo[pos:pos + n] = (lab & 0xFFFFFFFF).astype(np.uint32)
-            lhi[pos:pos + n] = (lab >> np.uint64(32)).astype(np.uint32)
-            ids[pos:pos + n] = i
-            pos += n
+        # multiset DBs may repeat keys within one input: the bounded-
+        # window compute and key-boundary row splitting both assume
+        # unique-keyed inputs
+        uniq = not any(isinstance(i, DBInput) and i.open().multiset
+                       for i in act.inputs)
+        if uniq and m <= 6 and total >= self.ROWPACK_MIN:
+            # row-batched layout for large groups: the action's sort
+            # stage then runs at the row-batched floor instead of one
+            # flat row (~log L apart — docs/tpu-design.md); the packer
+            # splits rows at shared key boundaries so the windowed
+            # compute stage and the flattened result stay exact
+            from ..optree import BucketEvaluator
+            if not hasattr(self, "_rowpack_ev"):
+                self._rowpack_ev = BucketEvaluator(self.k)
+            triples = [(hi, lo, c) for hi, lo, c, _ in ins]
+            extras = [[(lab & 0xFFFFFFFF).astype(np.uint32),
+                       (lab >> np.uint64(32)).astype(np.uint32)]
+                      for _, _, _, lab in ins]
+            planes, values, ids, (llo, lhi) = \
+                self._rowpack_ev._pack_rows(triples, m, extras=extras)
+        else:
+            N = self._pad_to(total)
+            planes = [np.full(N, 0xFFFFFFFF, np.uint32)
+                      for _ in range(self.P)]
+            values = np.zeros(N, np.uint32)
+            llo = np.zeros(N, np.uint32)
+            lhi = np.zeros(N, np.uint32)
+            ids = np.full(N, m, np.int32)
+            pos = 0
+            for i, (hi, lo, c, lab) in enumerate(ins):
+                n = len(c)
+                if n == 0:
+                    continue
+                for p, arr in enumerate(km.planes_from_hilo(
+                        hi, lo, self.P)):
+                    planes[p][pos:pos + n] = arr
+                values[pos:pos + n] = c
+                llo[pos:pos + n] = (lab & 0xFFFFFFFF).astype(np.uint32)
+                lhi[pos:pos + n] = (lab >> np.uint64(32)).astype(
+                    np.uint32)
+                ids[pos:pos + n] = i
+                pos += n
 
         va = act.vassign or Assign("first")
         la = act.lassign or Assign("first")
@@ -499,13 +528,20 @@ class Evaluator:
             jnp.asarray(llo), jnp.asarray(lhi), jnp.asarray(ids),
             m, self.k, va, la, sel, jnp.asarray(vconst),
             jnp.asarray(np.uint32(lc & 0xFFFFFFFF)),
-            jnp.asarray(np.uint32((lc >> 32) & 0xFFFFFFFF)))
-        keep = np.asarray(keep)
+            jnp.asarray(np.uint32((lc >> 32) & 0xFFFFFFFF)),
+            unique_inputs=uniq)
+        # flatten row-major: rows are ascending key ranges, so the
+        # flattened kept entries stay globally sorted (flat inputs are
+        # unchanged by the reshape)
+        keep = np.asarray(keep).reshape(-1)
         idx = np.flatnonzero(keep)
-        hi, lo = km.hilo_from_planes([np.asarray(p)[idx] for p in sp])
-        lab = (np.asarray(olhi)[idx].astype(np.uint64) << np.uint64(32)) | \
-            np.asarray(ollo)[idx].astype(np.uint64)
-        return hi, lo, np.asarray(ov)[idx], lab & self.label_mask
+        hi, lo = km.hilo_from_planes(
+            [np.asarray(p).reshape(-1)[idx] for p in sp])
+        lab = (np.asarray(olhi).reshape(-1)[idx].astype(np.uint64)
+               << np.uint64(32)) | \
+            np.asarray(ollo).reshape(-1)[idx].astype(np.uint64)
+        return hi, lo, np.asarray(ov).reshape(-1)[idx], \
+            lab & self.label_mask
 
 
 def resolve_special_args(act: Action):

@@ -153,7 +153,8 @@ def _action_sort_stage(planes, values, lab_lo, lab_hi, input_ids):
 
 def merge_action(planes, values, lab_lo, lab_hi, input_ids,
                  m: int, k: int, vassign: Assign, lassign: Assign,
-                 sel: Selector, vconst, lconst_lo, lconst_hi):
+                 sel: Selector, vconst, lconst_lo, lconst_hi,
+                 unique_inputs: bool = True):
     """Evaluate one meryl2 action over concatenated input buckets.
 
     planes: P uint32 arrays; values: uint32 (0 = padding);
@@ -165,20 +166,31 @@ def merge_action(planes, values, lab_lo, lab_hi, input_ids,
         planes, values, lab_lo, lab_hi, input_ids)
     return _action_compute_stage(splanes, val, llo, lhi, ids, m, k,
                                  vassign, lassign, sel, vconst,
-                                 lconst_lo, lconst_hi)
+                                 lconst_lo, lconst_hi, unique_inputs)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("m", "k", "vassign", "lassign", "sel"))
+                   static_argnames=("m", "k", "vassign", "lassign", "sel",
+                                    "unique_inputs"))
 def _action_compute_stage(splanes, val, llo, lhi, ids,
                           m: int, k: int, vassign: Assign, lassign: Assign,
-                          sel: Selector, vconst, lconst_lo, lconst_hi):
-    N = val.shape[0]
+                          sel: Selector, vconst, lconst_lo, lconst_hi,
+                          unique_inputs: bool = True):
+    N = val.shape  # full shape: (N,) flat or (R, L) row-packed
 
     from ..ops import segscan
 
-    from ..ops.multiword import run_starts
-    start = run_starts(splanes)
+    # run-start mask, shape-agnostic ((N,) flat or (R, L) row-packed;
+    # rows never split a run — optree._pack_rows cuts at shared key
+    # boundaries).  Same sentinel-prefix idiom as multiword.run_starts.
+    neq0 = None
+    for p in splanes:
+        prevp = jnp.concatenate(
+            [jnp.full(p.shape[:-1] + (1,), 0xFFFFFFFF, U32),
+             p[..., :-1]], axis=-1)
+        d0 = p != prevp
+        neq0 = d0 if neq0 is None else (neq0 | d0)
+    start = neq0
 
     present = val > U32(0)
     pres1 = jnp.where(present, 1, 0).astype(jnp.int32)
@@ -191,25 +203,27 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
     # replaced by 2(m-1) shifted elementwise passes sharing one set
     # of same-run masks — the same windowed-reduction design the v1
     # set-op engine adopted in round 3 (ops/setops.py).
-    if m <= 6:  # m == 1 degenerates to identity reductions
+    if unique_inputs and m <= 6:  # m == 1 -> identity reductions
+        # (multiset inputs may repeat a key within ONE input, so the
+        # run-length <= m bound only holds for unique-keyed inputs)
         same_f = []  # same_f[d-1][i]: key[i] == key[i-d]
         same_b = []  # same_b[d-1][i]: key[i] == key[i+d]
         for d in range(1, m):
             eq = None
             for p in splanes:
-                e = p[d:] == p[:-d]
+                e = p[..., d:] == p[..., :-d]
                 eq = e if eq is None else (eq & e)
-            pad = jnp.zeros((d,), bool)
-            same_f.append(jnp.concatenate([pad, eq]))
-            same_b.append(jnp.concatenate([eq, pad]))
+            pad = jnp.zeros(val.shape[:-1] + (d,), bool)
+            same_f.append(jnp.concatenate([pad, eq], axis=-1))
+            same_b.append(jnp.concatenate([eq, pad], axis=-1))
 
         def _win(x, neutral, op):
             acc = x
+            pshape = x.shape[:-1]
             for d in range(1, m):
-                f = jnp.concatenate([jnp.full((d,), neutral, x.dtype),
-                                     x[:-d]])
-                b = jnp.concatenate([x[d:],
-                                     jnp.full((d,), neutral, x.dtype)])
+                padv = jnp.full(pshape + (d,), neutral, x.dtype)
+                f = jnp.concatenate([padv, x[..., :-d]], axis=-1)
+                b = jnp.concatenate([x[..., d:], padv], axis=-1)
                 acc = op(acc, jnp.where(same_f[d - 1], f, neutral))
                 acc = op(acc, jnp.where(same_b[d - 1], b, neutral))
             return acc
@@ -238,7 +252,7 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
     act_len = ssum(pres1)
 
     # rank of each present entry among present entries of its run
-    prefix = jnp.cumsum(pres1) - pres1
+    prefix = jnp.cumsum(pres1, axis=-1) - pres1
     rank = prefix - smin(prefix)  # 0-based among present (stable order)
 
     def value_at_rank(r):  # 1-based @r
@@ -281,7 +295,7 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
                             return cand_v
                         if kind == "input":
                             return value_at_rank(x)
-                        return jnp.full((N_,), x & 0xFFFFFFFF, U32)
+                        return jnp.full(N_, x & 0xFFFFFFFF, U32)
                     tm = _rel(t.rel, q(t.arg1), q(t.arg2))
                 else:
                     def q(which):
@@ -290,8 +304,8 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
                             return cand_l
                         if kind == "input":
                             return label_at_rank(x)
-                        return (jnp.full((N_,), x & 0xFFFFFFFF, U32),
-                                jnp.full((N_,), (x >> 32) & 0xFFFFFFFF, U32))
+                        return (jnp.full(N_, x & 0xFFFFFFFF, U32),
+                                jnp.full(N_, (x >> 32) & 0xFFFFFFFF, U32))
                     tm = _rel64(t.rel, q(t.arg1), q(t.arg2))
                 if t.negate:
                     tm = ~tm
@@ -307,7 +321,7 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
         prods = [p for p in prods if p]
         if not prods:
             return None
-        chosen = jnp.zeros((N_,), jnp.int32)
+        chosen = jnp.zeros(N_, jnp.int32)
         for r in range(m, 0, -1):
             ok = _rank_passes(prods, quantity, r) & (act_len >= r)
             chosen = jnp.where(ok, jnp.int32(r), chosen)
@@ -325,7 +339,7 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
             for r in range(1, m + 1):
                 out_v = jnp.where(chosen == r, value_at_rank(r), out_v)
     elif op == "set":
-        out_v = jnp.full((N,), 0, U32) + vc
+        out_v = jnp.full(N, 0, U32) + vc
     elif op == "atindex":
         out_v = value_at_rank(vassign.index)
     elif op == "min":
@@ -335,7 +349,7 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
     elif op in ("add", "sum"):
         # saturating sum over present inputs + constant (default 0),
         # merylOpCompute.C:171-178 (kmvalumax clamp per step)
-        acc = jnp.full((N,), 0, U32) + (vc if vassign.has_constant
+        acc = jnp.full(N, 0, U32) + (vc if vassign.has_constant
                                         else U32(0))
         for r in range(1, m + 1):
             acc = _sat_add(acc, value_at_rank(r))  # absent rank -> +0
@@ -344,16 +358,16 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
         # sequential clamped subtraction (merylOpCompute.C:180-194) is
         # equivalent to one clamp against the SATURATING sum of the
         # other inputs + constant: once the chain hits 0 it stays 0
-        rest = jnp.zeros((N,), U32)
+        rest = jnp.zeros(N, U32)
         for r in range(2, m + 1):
             rest = _sat_add(rest, value_at_rank(r))
         if vassign.has_constant:
-            rest = _sat_add(rest, jnp.zeros((N,), U32) + vc)
+            rest = _sat_add(rest, jnp.zeros(N, U32) + vc)
         out_v = jnp.where(v_first > rest, v_first - rest, U32(0))
     elif op == "mul":
         # saturating product (merylOpCompute.C:196-203); constant
         # default 1 (merylCommandBuilder-isAssign.C:86)
-        acc = jnp.full((N,), 0, U32) + (vc if vassign.has_constant
+        acc = jnp.full(N, 0, U32) + (vc if vassign.has_constant
                                         else U32(1))
         for r in range(1, m + 1):
             has = act_len >= r
@@ -368,7 +382,7 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
             acc = jnp.where(has, acc // jnp.maximum(value_at_rank(r),
                                                     U32(1)), acc)
         if vassign.has_constant:
-            c = jnp.zeros((N,), U32) + vc
+            c = jnp.zeros(N, U32) + vc
             acc = jnp.where(c > U32(0),
                             acc // jnp.maximum(c, U32(1)), U32(0))
         out_v = acc
@@ -387,7 +401,7 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
         for r in range(2, m + 1):
             has = act_len >= r
             acc = jnp.where(has, _divz_step(acc, value_at_rank(r)), acc)
-        c = jnp.zeros((N,), U32) + (vc if vassign.has_constant
+        c = jnp.zeros(N, U32) + (vc if vassign.has_constant
                                     else U32(1))
         out_v = _divz_step(acc, c)
     elif op in ("mod", "rem"):
@@ -397,14 +411,14 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
         # Constant default 0 (isAssign.C:89) -> the leftover quotient
         # joins the remainder at the end.
         q = v_first
-        racc = jnp.zeros((N,), U32)
+        racc = jnp.zeros(N, U32)
         for r in range(2, m + 1):
             has = act_len >= r
             d = jnp.maximum(value_at_rank(r), U32(1))  # present => >0
             qt = q // d
             racc = jnp.where(has, racc + (q - qt * d), racc)
             q = jnp.where(has, qt, q)
-        c = jnp.zeros((N,), U32) + (vc if vassign.has_constant
+        c = jnp.zeros(N, U32) + (vc if vassign.has_constant
                                     else U32(0))
         qt = q // jnp.maximum(c, U32(1))
         racc = racc + jnp.where(c > U32(0), q - qt * c, q)
@@ -421,8 +435,8 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
     # bitwise AND/OR/XOR across the run: fold per-rank contributions.
     # m is small and static, so unroll over ranks.
     def fold_labels(fold, init_lo, init_hi, with_const):
-        alo = jnp.full((N,), init_lo, U32)
-        ahi = jnp.full((N,), init_hi, U32)
+        alo = jnp.full(N, init_lo, U32)
+        ahi = jnp.full(N, init_hi, U32)
         for r in range(1, m + 1):
             rl, rh = label_at_rank(r)
             has = act_len >= r
@@ -444,8 +458,8 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
                 out_llo = jnp.where(chosen == r, rl, out_llo)
                 out_lhi = jnp.where(chosen == r, rh, out_lhi)
     elif lop == "set":
-        out_llo = jnp.zeros((N,), U32) + lo_c
-        out_lhi = jnp.zeros((N,), U32) + hi_c
+        out_llo = jnp.zeros(N, U32) + lo_c
+        out_lhi = jnp.zeros(N, U32) + hi_c
     elif lop == "atindex":
         out_llo, out_lhi = label_at_rank(lassign.index)
     elif lop == "and":
@@ -529,14 +543,14 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
                 return out_v
             if kind == "input":
                 return value_at_rank(x)
-            return jnp.full((N,), x & 0xFFFFFFFF, U32)
+            return jnp.full(N, x & 0xFFFFFFFF, U32)
         if t.quantity == "label":
             if kind == "out":
                 return (out_llo, out_lhi)
             if kind == "input":
                 return label_at_rank(x)
-            return (jnp.full((N,), x & 0xFFFFFFFF, U32),
-                    jnp.full((N,), (x >> 32) & 0xFFFFFFFF, U32))
+            return (jnp.full(N, x & 0xFFFFFFFF, U32),
+                    jnp.full(N, (x >> 32) & 0xFFFFFFFF, U32))
         if t.quantity == "bases":
             if kind == "letters":
                 total = None
@@ -545,7 +559,7 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
                     c = _count_base(splanes, k, code)
                     total = c if total is None else total + c
                 return total
-            return jnp.full((N,), x, U32)
+            return jnp.full(N, x, U32)
         raise ValueError(t.quantity)
 
     def eval_term(t: SelectorTerm):
@@ -585,7 +599,7 @@ def _action_compute_stage(splanes, val, llo, lhi, ids,
                 pmask = tm if pmask is None else (pmask & tm)
             selected = pmask if selected is None else (selected | pmask)
     else:
-        selected = jnp.ones((N,), bool)
+        selected = jnp.ones(N, bool)
 
     keep = start & selected & (act_len > 0) & (out_v > U32(0))
     return splanes, out_v, out_llo, out_lhi, keep

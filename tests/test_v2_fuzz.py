@@ -212,3 +212,43 @@ def test_allones_kmer_shares_padding_run(tmp_path):
     allones = (1 << 32) - 1
     # 33 poly-G windows in a + 25 in b
     assert d[allones] == 33 + 25
+
+
+def test_rowpacked_action_matches_flat(tmp_path, monkeypatch):
+    """Force the round-4 row-batched action layout on a small input
+    and compare against the flat layout byte-for-byte (values AND
+    labels) across a label-carrying union."""
+    import numpy as np
+
+    from meryl_tpu.db import MerylDB
+    from meryl_tpu.v2 import cli as v2
+
+    rng = np.random.default_rng(9)
+    paths = []
+    for i in range(3):
+        n = 4000 + 700 * i
+        lo = np.unique(rng.integers(0, 1 << 42, size=n,
+                                    dtype=np.uint64))
+        hi = np.zeros(len(lo), np.uint64)
+        c = rng.integers(1, 50, size=len(lo)).astype(np.uint32)
+        lab = rng.integers(0, 1 << 63, size=len(lo), dtype=np.uint64)
+        p = str(tmp_path / f"i{i}.meryl")
+        MerylDB.write(p, 21, hi, lo, c, labels=lab)
+        paths.append(p)
+
+    def run(out):
+        assert v2.main(["union-sum", *paths,
+                        "output:database=" + out]) == 0
+        db = MerylDB.open(out)
+        labs = np.concatenate(
+            [db.load_bucket_labels(ff)[3] for ff in range(64)
+             if db.load_bucket_labels(ff)[3] is not None])
+        return db.load_all(), labs
+
+    monkeypatch.setattr(v2.Evaluator, "ROWPACK_MIN", 1 << 60)
+    flat = run(str(tmp_path / "flat.meryl"))
+    monkeypatch.setattr(v2.Evaluator, "ROWPACK_MIN", 1)
+    packed = run(str(tmp_path / "packed.meryl"))
+    for a, b in zip(flat[0], packed[0]):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(flat[1], packed[1])
