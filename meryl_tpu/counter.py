@@ -628,13 +628,45 @@ def _use_device_acc(count_suffix, paths, k, chunk_len) -> int:
 LAST_WIRE_STATS: dict = {}
 
 
+def _prefetch_chunks(chunker, depth: int = 2):
+    """Iterate a SequenceChunker through a small queue fed by a reader
+    thread: the host file scan (native scanner + decompression)
+    overlaps the device dispatches instead of serializing with the
+    M-cadence fetch barriers.  The reader owns the chunker; errors
+    re-raise at the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE = object()
+
+    def _reader():
+        try:
+            for c in chunker:
+                q.put(c)
+            q.put(DONE)
+        except BaseException as e:  # surface reader errors, then stop
+            q.put(e)
+
+    t = threading.Thread(target=_reader, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def count_to_arrays_device_acc(paths, k: int, mode: str, hpc: bool,
                                chunk_len: int, expected_uniques: int,
                                progress=None, segment=None):
     acc = DeviceAccCounter(k, mode, chunk_len, expected_uniques)
     nbases = 0
-    it = iter(SequenceChunker(paths, k, chunk_len, hpc=hpc,
-                              segment=segment))
+    it = iter(_prefetch_chunks(SequenceChunker(paths, k, chunk_len,
+                                               hpc=hpc,
+                                               segment=segment)))
     salvage_runs = None
     for chunk in it:
         try:
