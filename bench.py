@@ -255,6 +255,80 @@ def bench_lookup_midsize():
             max(S * N_Q / dt / 1e6 for dt in times_e))
 
 
+def bench_v2_action():
+    """meryl2 action-engine throughput (the v2 algebra surface):
+    union-sum with 64-bit label OR over three 1M-entry labeled inputs,
+    row-packed at shared key boundaries (the round-4 layout), S
+    batches per scan dispatch, fetch-grounded.  Returns merged
+    entries/s in millions.  The measured program is the product's
+    action kernel (v2/engine._action_sort_stage + _action_compute_
+    stage with the windowed per-run reductions)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from meryl_tpu.optree import BucketEvaluator
+    from meryl_tpu.v2.engine import (Assign, Selector,
+                                     _action_compute_stage,
+                                     _action_sort_stage)
+
+    N = 1 << 20
+    M = 3
+    S = 4
+    TRIALS = 3
+    rng = np.random.default_rng(6)
+    ev = BucketEvaluator(21)
+    va, la, sel = Assign("add"), Assign("or"), Selector()
+
+    def make_input():
+        batches = []
+        for _ in range(S):
+            triples, extras = [], []
+            for _ in range(M):
+                v = np.unique(rng.integers(0, 1 << 42, size=N,
+                                           dtype=np.uint64))
+                hi = np.zeros(len(v), np.uint64)
+                c = rng.integers(1, 100, size=len(v)).astype(np.uint32)
+                lab = rng.integers(0, 1 << 63, size=len(v),
+                                   dtype=np.uint64)
+                triples.append((hi, v, c))
+                extras.append([(lab & 0xFFFFFFFF).astype(np.uint32),
+                               (lab >> np.uint64(32)).astype(np.uint32)])
+            planes, values, ids, (llo, lhi) = ev._pack_rows(
+                triples, M, extras=extras)
+            batches.append((planes, values, llo, lhi, ids))
+        out = tuple(
+            jnp.asarray(np.stack([b[0][p] for b in batches]))
+            for p in range(ev.P)) + tuple(
+            jnp.asarray(np.stack([b[i] for b in batches]))
+            for i in range(1, 5))
+        return jax.device_put(out)
+
+    vconst = jnp.uint32(0)
+    lc0 = jnp.uint32(0)
+
+    def body(carry, xs):
+        planes = list(xs[:ev.P])
+        values, llo, lhi, ids = xs[ev.P:]
+        sp, v2, l2, h2, i2 = _action_sort_stage(planes, values, llo,
+                                                lhi, ids)
+        osp, ov, ollo, olhi, keep = _action_compute_stage(
+            sp, v2, l2, h2, i2, M, 21, va, la, sel, vconst, lc0, lc0)
+        return (carry + jnp.sum(jnp.where(keep, ov, 0),
+                                dtype=jnp.uint32)
+                + jnp.sum(ollo[:1], dtype=jnp.uint32)
+                + osp[0][0, 0]), None
+
+    @jax.jit
+    def pipeline(xs):
+        out, _ = lax.scan(body, jnp.uint32(0), xs)
+        return out
+
+    inputs = [make_input() for _ in range(TRIALS + 1)]
+    jax.block_until_ready(inputs)
+    times = _timeit_fetch(pipeline, inputs, TRIALS)
+    return max(S * M * N / dt / 1e6 for dt in times)
+
+
 def bench_lookup_bigdb():
     """Big-DB bulk lookup (the Merqury screening regime, VERDICT r3
     item 1): a 2^28-entry DB — 128x the 2^21-query slab — resolved by
@@ -789,6 +863,10 @@ def main():
     except Exception:
         bigdb = None
     try:
+        v2_meps = None if err is not None else bench_v2_action()
+    except Exception:
+        v2_meps = None
+    try:
         calib = None if err is not None else bench_calibration()
     except Exception:
         calib = None
@@ -831,6 +909,8 @@ def main():
         rate, bdetail = bigdb
         out["lookup_bigdb_mqps"] = round(rate, 3)
         out["lookup_bigdb_detail"] = bdetail
+    if v2_meps is not None:
+        out["v2_union_label_meps"] = round(v2_meps, 3)
     if calib is not None:
         out["t_local_ns_per_base"], out["t_merge_ns_per_elt"] = calib
     if e2e is not None:
