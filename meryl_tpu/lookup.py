@@ -692,7 +692,8 @@ class ExactLookup:
                 qlow, n_row, perm = routed
                 return bj.bacjoin_kernel(
                     dbd, dbv, tuple(jnp.asarray(x) for x in qlow),
-                    jnp.asarray(n_row), kcfg)
+                    jnp.asarray(n_row), kcfg,
+                    exists_only=exists_only)
 
             slabs = [sel[s:s + self.BACJ_SLAB]
                      for s in range(0, len(sel), self.BACJ_SLAB)]
@@ -710,15 +711,25 @@ class ExactLookup:
                     continue
                 take, perm, handles = inflight
                 inflight = nxt
-                vals, pos, ovf_pos, n_ovf = handles
-                vals = np.asarray(vals)
-                pos = np.asarray(pos)
-                n_ovf = np.asarray(n_ovf)
-                rows, cols = np.nonzero(pos != SENTQ)
-                orig = perm[rows * capA + pos[rows, cols]]
-                v = vals[rows, cols]
-                out[take[orig]] = (v > 0).astype(np.uint32) \
-                    if exists_only else v
+                if exists_only:
+                    # packed word: found bit 31 | routed column — ONE
+                    # downloaded array instead of two
+                    packed, ovf_pos, n_ovf = handles
+                    packed = np.asarray(packed)
+                    n_ovf = np.asarray(n_ovf)
+                    rows, cols = np.nonzero(packed != SENTQ)
+                    pw = packed[rows, cols]
+                    orig = perm[rows * capA
+                                + (pw & 0x7FFFFFFF).astype(np.int64)]
+                    out[take[orig]] = (pw >> 31).astype(np.uint32)
+                else:
+                    vals, pos, ovf_pos, n_ovf = handles
+                    vals = np.asarray(vals)
+                    pos = np.asarray(pos)
+                    n_ovf = np.asarray(n_ovf)
+                    rows, cols = np.nonzero(pos != SENTQ)
+                    orig = perm[rows * capA + pos[rows, cols]]
+                    out[take[orig]] = vals[rows, cols]
                 lost_rows = np.flatnonzero(n_ovf > ovfcap)
                 if len(lost_rows):
                     # capture window overflowed: re-answer those

@@ -339,8 +339,10 @@ def _bits_from_planes(planes, lo_bit: int, nbits: int):
     return v
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "fused"))
-def bacjoin_kernel(dbd, dbv, qlow, n_row, cfg, fused=None):
+@functools.partial(jax.jit, static_argnames=("cfg", "fused",
+                                             "exists_only"))
+def bacjoin_kernel(dbd, dbv, qlow, n_row, cfg, fused=None,
+                   exists_only=False):
     """Resolve one routed query slab against the DB grid.
 
     dbd: ps x (B, s_cap) u32 suffix planes; dbv: (B, s_cap) u32
@@ -352,6 +354,8 @@ def bacjoin_kernel(dbd, dbv, qlow, n_row, cfg, fused=None):
                              (SENT past the row's real count)
        ovf_pos (B1, ovfcap) u32  columns of cell-overflow queries
        n_ovf (B1,) i32          per-row overflow counts
+    exists_only=True returns (packed, ovf_pos, n_ovf) instead, with
+    packed = found-bit<<31 | column — half the download.
     """
     k, b, b1, c, capA, s_cap, ovfcap = cfg
     B2 = 1 << (b - b1)
@@ -450,10 +454,23 @@ def bacjoin_kernel(dbd, dbv, qlow, n_row, cfg, fused=None):
         val_cells = jnp.stack(vals, axis=1)  # (B, c)
 
     # pack results to each coarse row's front; reals per row <= n_row
-    # <= capA by construction, so (B1, capA) is a static full cover
+    # <= capA by construction, so (B1, capA) is a static full cover.
+    # Screening callers (existence / include / exclude / -bed /
+    # -wig-depth — the dominant meryl-lookup workload) only need a
+    # found bit: exists mode packs it into bit 31 of the position
+    # word, halving both the compaction-sort payload and the
+    # device->host download (capA < 2^22 << 2^31, so the bit is free)
     valr = val_cells.reshape(B1, D)
     posr = cells_pos.reshape(B1, D)
     flag = jnp.where(posr == U32(SENT), U32(1), U32(0))
+    if exists_only:
+        packed = jnp.where(
+            posr == U32(SENT), U32(SENT),
+            posr | jnp.where(valr > U32(0), U32(1) << U32(31),
+                             U32(0)))
+        srt3 = jax.lax.sort((flag, packed), num_keys=1, dimension=-1,
+                            is_stable=True)
+        return srt3[1][:, :capA], tail_pos, n_ovf
     srt3 = jax.lax.sort((flag, valr, posr), num_keys=1, dimension=-1,
                         is_stable=True)
     return srt3[1][:, :capA], srt3[2][:, :capA], tail_pos, n_ovf
