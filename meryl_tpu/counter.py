@@ -53,10 +53,15 @@ def _sort_rowlen(chunk_len: int) -> int | None:
     (docs/tpu-design.md), so chunks are sorted as independent rows and
     the host merge union-sums duplicates across rows.  None disables
     (tiny chunks, or MERYL_TPU_ROWLEN=0)."""
-    # default 2^11: the chip sweep (scripts/probe_rowlen_pipeline.py)
-    # measures device rate rising monotonically as rows shrink (2^14
-    # 873 -> 2^11 1149 -> 2^9 1366 Mbases/s) while the host k-way
-    # finish merge loses only ~14% at 2^11's fan-in (vs ~32% at 2^10)
+    # default 2^11: the chip sweeps (scripts/probe_rowlen_pipeline.py
+    # r3; /tmp rowlen probes r4) measure device rate rising as rows
+    # shrink all the way to a knee at 2^7 (r4: 2^11 1.22 -> 2^9 1.43
+    # -> 2^7 1.69 Gb/s -> 2^6 1.64) — but every halving of the row
+    # also doubles the host k-way finish merge's fan-in, which loses
+    # ~14% at 2^11 and ~32% already at 2^10 (r3 measurement).  The
+    # device-side winner is NOT the pipeline winner; 2^11 stays the
+    # balanced default for the host-merge path (the accumulator path
+    # has its own routing geometry and ignores this knob).
     r = int(_os.environ.get("MERYL_TPU_ROWLEN", 1 << 11))
     if r <= 0 or chunk_len % r or chunk_len // r <= 1:
         return None
