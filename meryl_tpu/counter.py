@@ -1019,17 +1019,53 @@ def count_to_db_batched(paths, out_path: str, k: int, *,
                               segment=segment, deterministic=True)
     chunks_per_batch = max(1, int(np.ceil(batch_bases / chunk_len)))
 
+    # per-BATCH device accumulator: a batch is sized to fit by
+    # construction, so its dedup can stay on device (no host merge at
+    # all; the flush downloads only the batch's packed uniques).  The
+    # gate mirrors _use_device_acc but estimates uniques for ONE
+    # batch; AccCapacity mid-batch salvages exactly and that batch
+    # finishes on the host path (the next batch tries again).
+    acc_exp = 0
+    if _os.environ.get("MERYL_TPU_DEVICE_ACC", "auto") != "0":
+        import jax
+        env_acc = _os.environ.get("MERYL_TPU_DEVICE_ACC", "auto")
+        try:
+            single = (jax.device_count() == 1
+                      and jax.default_backend() != "cpu")
+        except Exception:
+            single = False
+        exp_b = min(batch_bases, 4 ** k if k < 32 else 1 << 63)
+        cap = int(float(_os.environ.get("MERYL_TPU_ACC_CAP_GB",
+                                        4.0)) * 1e9)
+        acc_bytes = (km.num_planes(k) + 1) * 4 * 3
+        if env_acc == "1" or (single
+                              and exp_b * 0.35 * acc_bytes <= cap):
+            acc_exp = max(1, exp_b)
+
     batch_idx = 0
     runs = []
+    acc = None
     nchunks = 0
     nbases = 0
     batch_paths = []
 
     def flush_batch(idx):
+        nonlocal acc
         bpath = f"{out_path}.batch{idx}"
         if idx in manifest["done"]:
+            acc = None
             return  # already counted in a previous run
-        hi, lo, counts = merge_runs(runs)
+        parts = list(runs)
+        if acc is not None:
+            try:
+                parts.append(acc.finalize())
+            except AccCapacity:  # final merge outgrew the budget
+                parts.extend(acc.salvage())
+            acc = None
+        if len(parts) == 1:
+            hi, lo, counts = parts[0]
+        else:
+            hi, lo, counts = merge_runs(parts)
         MerylDB.write(bpath, k, hi, lo, counts, mode=mode, hpc=hpc)
         manifest["done"].append(idx)
         save_manifest()
@@ -1040,10 +1076,24 @@ def count_to_db_batched(paths, out_path: str, k: int, *,
         nbases += len(chunk)
         if batch_idx_cur in manifest["done"]:
             continue  # resume: skip chunks of completed batches
-        if batch_idx_cur != batch_idx and runs:
+        if batch_idx_cur != batch_idx and (runs or acc is not None):
             flush_batch(batch_idx)
             runs = []
         batch_idx = batch_idx_cur
+        if acc_exp:
+            if acc is None and not runs:
+                acc = DeviceAccCounter(k, mode, chunk_len, acc_exp)
+            if acc is not None:
+                try:
+                    acc.add_codes(chunk)
+                except AccCapacity:
+                    # salvage is exact and includes everything staged;
+                    # the rest of THIS batch runs on the host path
+                    runs.extend(acc.salvage())
+                    acc = None
+                if progress:
+                    progress(nbases)
+                continue
         runs.extend(_finish_chunk(*_count_chunk(
             chunk, k, mode, None)))
         if progress:
@@ -1055,7 +1105,7 @@ def count_to_db_batched(paths, out_path: str, k: int, *,
         return MerylDB.write(out_path, k, z, z.copy(),
                              np.zeros(0, np.uint32), mode=mode, hpc=hpc)
     n_batches = (nchunks + chunks_per_batch - 1) // chunks_per_batch
-    if runs or batch_idx not in manifest["done"]:
+    if runs or acc is not None or batch_idx not in manifest["done"]:
         flush_batch(batch_idx)
     batch_paths = [f"{out_path}.batch{i}" for i in range(n_batches)]
 

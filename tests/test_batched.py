@@ -128,3 +128,55 @@ def test_configure_counting(tmp_path):
     assert plan["batches"] > 1
     plan2 = configure_counting([fa], 21, memory_gb=64)
     assert plan2["batches"] == 1
+
+
+def test_batched_device_acc_matches(tmp_path, monkeypatch):
+    """Round 4: each batch rides the device accumulator (forced via
+    MERYL_TPU_DEVICE_ACC=1) — the partial DBs and final union must be
+    identical to the host-merge batched path."""
+    monkeypatch.setenv("MERYL_TPU_CHUNK", str(1 << 14))
+    fa = tmp_path / "r.fa"
+    rng = np.random.default_rng(33)
+    seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, 400))
+            for _ in range(60)]
+    fa.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+
+    out1 = str(tmp_path / "host.meryl")
+    monkeypatch.setenv("MERYL_TPU_DEVICE_ACC", "0")
+    db1 = count_to_db_batched(
+        [str(fa)], out1, 21, chunk_len=1 << 14, batch_bases=6000)
+    r1 = db1.load_all()
+
+    out2 = str(tmp_path / "acc.meryl")
+    monkeypatch.setenv("MERYL_TPU_DEVICE_ACC", "1")
+    db2 = count_to_db_batched(
+        [str(fa)], out2, 21, chunk_len=1 << 14, batch_bases=6000)
+    r2 = db2.load_all()
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_batched_device_acc_salvage_midbatch(tmp_path, monkeypatch):
+    """AccCapacity mid-batch: the batch salvages exactly and finishes
+    on the host path; result still equals the host-merge reference."""
+    monkeypatch.setenv("MERYL_TPU_CHUNK", str(1 << 13))
+    fa = tmp_path / "r.fa"
+    rng = np.random.default_rng(34)
+    seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, 500))
+            for _ in range(40)]
+    fa.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+
+    out1 = str(tmp_path / "host.meryl")
+    monkeypatch.setenv("MERYL_TPU_DEVICE_ACC", "0")
+    r1 = count_to_db_batched(
+        [str(fa)], out1, 21, chunk_len=1 << 13,
+        batch_bases=9000).load_all()
+
+    out2 = str(tmp_path / "acc.meryl")
+    monkeypatch.setenv("MERYL_TPU_DEVICE_ACC", "1")
+    monkeypatch.setenv("MERYL_TPU_ACC_CAP_GB", "0.000002")  # ~2 KB
+    r2 = count_to_db_batched(
+        [str(fa)], out2, 21, chunk_len=1 << 13,
+        batch_bases=9000).load_all()
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a, b)
