@@ -135,6 +135,13 @@ def get_lib():
                     ctypes.c_int32, ctypes.c_int32,
                     u32p, i32p, i64p, ctypes.c_int32]
                 lib.mt_bacj_route.restype = ctypes.c_int32
+            if hasattr(lib, "mt_bacj_build_grid"):
+                u32p = ctypes.POINTER(ctypes.c_uint32)
+                lib.mt_bacj_build_grid.argtypes = [
+                    u64p, u64p, u32p, ctypes.c_int64, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    u32p, u32p, ctypes.c_int32]
+                lib.mt_bacj_build_grid.restype = ctypes.c_int32
             _lib = lib
         except Exception:
             _lib = None

@@ -167,9 +167,20 @@ def plan_bacjoin_segmented(n_db: int, k: int, bucket_max, q_slab: int,
 def build_db_grid(hi: np.ndarray, lo: np.ndarray, counts: np.ndarray,
                   k: int, cfg: dict):
     """Sorted (hi, lo, counts) -> ((ps x (B, s_cap)) suffix planes,
-    (B, s_cap) values) with value 0 marking padding.  Host, once."""
+    (B, s_cap) values) with value 0 marking padding.  Host, once.
+
+    A native parallel builder (native/mt_route.cpp mt_bacj_build_grid)
+    runs when available — buckets are contiguous input runs under the
+    sorted order, so the scatter is sequential per bucket range;
+    numpy below is the reference/fallback (differential-tested)."""
+    import os as _os
+
     b, B, s_cap, ps = cfg["b"], cfg["B"], cfg["s_cap"], cfg["ps"]
     n = len(counts)
+    if _os.environ.get("MERYL_TPU_NATIVE_ROUTE", "1") != "0":
+        out = _build_db_grid_native(hi, lo, counts, k, cfg)
+        if out is not NotImplemented:
+            return out
     top = _top_bits_np(hi, lo, k, b)  # already int64 — every extra
     # astype here is a fresh 8n-byte allocation whose first-touch page
     # faults dominate the build on this VM (measured: 3 copies ~ 9 s
@@ -191,6 +202,35 @@ def build_db_grid(hi: np.ndarray, lo: np.ndarray, counts: np.ndarray,
     dbv = np.zeros(B * s_cap, np.uint32)
     dbv[flat] = counts
     return dbd, dbv.reshape(B, s_cap)
+
+
+def _build_db_grid_native(hi, lo, counts, k: int, cfg: dict):
+    import ctypes
+
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "mt_bacj_build_grid"):
+        return NotImplemented
+    b, B, s_cap, ps = cfg["b"], cfg["B"], cfg["s_cap"], cfg["ps"]
+    n = len(counts)
+    hi = np.ascontiguousarray(hi, np.uint64)
+    lo = np.ascontiguousarray(lo, np.uint64)
+    counts = np.ascontiguousarray(counts, np.uint32)
+    dbd = np.zeros((ps, B, s_cap), np.uint32)
+    dbv = np.zeros((B, s_cap), np.uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    rc = lib.mt_bacj_build_grid(
+        hi.ctypes.data_as(u64p), lo.ctypes.data_as(u64p),
+        counts.ctypes.data_as(u32p), ctypes.c_int64(n),
+        ctypes.c_int32(2 * k), ctypes.c_int32(b),
+        ctypes.c_int32(s_cap), ctypes.c_int32(ps),
+        dbd.ctypes.data_as(u32p), dbv.ctypes.data_as(u32p),
+        ctypes.c_int32(native.n_threads()))
+    if rc != 0:
+        return NotImplemented
+    return [dbd[p] for p in range(ps)], dbv
 
 
 def _top_bits_np(hi, lo, k: int, b: int):

@@ -134,3 +134,78 @@ int mt_bacj_route(const uint64_t* hi, const uint64_t* lo, int64_t q,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Native BACJ grid builder: scatter a SORTED unique (hi, lo, counts)
+// table into the (B, s_cap) top-b-bit bucket grid (suffix planes +
+// values, zero = padding).  Keys are sorted, so every bucket is one
+// contiguous input run and the scatter is sequential writes —
+// parallelized by bucket ranges.  Replaces the numpy builder's
+// temporary-heavy path (first-touch page faults dominate there).
+// returns 0 ok, 2 bad args.
+int mt_bacj_build_grid(const uint64_t* hi, const uint64_t* lo,
+                       const uint32_t* counts, int64_t n,
+                       int32_t twok, int32_t b, int32_t s_cap,
+                       int32_t ps, uint32_t* dbd, uint32_t* dbv,
+                       int32_t n_threads) {
+    if (n < 0 || b < 1 || b > 26 || twok < b || twok > 128 ||
+        s_cap < 1 || ps < 1 || ps > 4)
+        return 2;
+    const int64_t B = (int64_t)1 << b;
+    const int shift = twok - b;
+    const int sbits = twok - b;
+    const unsigned __int128 smask =
+        sbits >= 128 ? ~(unsigned __int128)0
+                     : (((unsigned __int128)1 << sbits) - 1);
+    int T = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);
+    if (n < (int64_t)1 << 18) T = 1;
+
+    // bucket start offsets by binary search on the sorted keys: each
+    // thread owns a contiguous BUCKET range so its grid region is
+    // written exactly once (no sharing)
+    std::vector<std::thread> th;
+    const int64_t plane_stride = B * (int64_t)s_cap;
+    for (int t = 0; t < T; t++) {
+        th.emplace_back([&, t]() {
+            int64_t b_lo = B * t / T, b_hi = B * (t + 1) / T;
+            // first input index in bucket b_lo (lower_bound)
+            int64_t lo_i = 0, hi_i = n;
+            while (lo_i < hi_i) {
+                int64_t mid = (lo_i + hi_i) >> 1;
+                if ((int64_t)(key128(hi[mid], lo[mid]) >> shift) <
+                    b_lo)
+                    lo_i = mid + 1;
+                else
+                    hi_i = mid;
+            }
+            int64_t i = lo_i;
+            while (i < n) {
+                int64_t r = (int64_t)(key128(hi[i], lo[i]) >> shift);
+                if (r >= b_hi) break;
+                int64_t col = 0;
+                int64_t base = r * (int64_t)s_cap;
+                while (i < n && col < s_cap) {
+                    unsigned __int128 kk = key128(hi[i], lo[i]);
+                    if ((int64_t)(kk >> shift) != r) break;
+                    unsigned __int128 suf = kk & smask;
+                    for (int p = 0; p < ps; p++)
+                        dbd[p * plane_stride + base + col] =
+                            (uint32_t)(suf >> (32 * p));
+                    dbv[base + col] = counts[i];
+                    i++;
+                    col++;
+                }
+                // overfull bucket (cannot happen when s_cap comes
+                // from the true bucket max): skip the rest exactly
+                while (i < n &&
+                       (int64_t)(key128(hi[i], lo[i]) >> shift) == r)
+                    i++;
+            }
+        });
+    }
+    for (auto& x : th) x.join();
+    return 0;
+}
+
+}  // extern "C"

@@ -194,3 +194,51 @@ def test_native_router_overflow_contract():
     hi = np.zeros(100, np.uint64)
     assert bj._route_queries_native(hi, lo, 21,
                                     {"b1": 10, "capA": 8}) is None
+
+
+def test_native_grid_builder_matches_numpy():
+    from meryl_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "mt_bacj_build_grid"):
+        pytest.skip("native grid builder unavailable")
+    rng = np.random.default_rng(21)
+    for k in (21, 40, 64):
+        twok = 2 * k
+        n = 40000
+        if twok <= 64:
+            lo = np.sort(np.unique(rng.integers(
+                0, 1 << min(twok, 63), size=n, dtype=np.uint64)))
+            hi = np.zeros(len(lo), np.uint64)
+        else:
+            hi = rng.integers(0, 1 << min(twok - 64, 63), size=n,
+                              dtype=np.uint64)
+            lo = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+            order = np.lexsort((lo, hi))
+            hi, lo = hi[order], lo[order]
+            keep = np.ones(n, bool)
+            keep[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+            hi, lo = hi[keep], lo[keep]
+        counts = rng.integers(1, 200, size=len(lo)).astype(np.uint32)
+        bm = 16
+        topM = bj._top_bits_np(hi, lo, k, bm)
+        cM = np.bincount(topM, minlength=1 << bm)
+
+        def bucket_max(b):
+            return int(cM.reshape(1 << b, -1).sum(axis=1).max())
+
+        cfg = bj.plan_bacjoin(len(lo), k, bucket_max, 1 << 14,
+                              10**9, b_hi=bm)
+        if cfg is None:
+            continue
+        got = bj._build_db_grid_native(hi, lo, counts, k, cfg)
+        assert got is not NotImplemented
+        import os
+        os.environ["MERYL_TPU_NATIVE_ROUTE"] = "0"
+        try:
+            want = bj.build_db_grid(hi, lo, counts, k, cfg)
+        finally:
+            os.environ.pop("MERYL_TPU_NATIVE_ROUTE", None)
+        for a, b2 in zip(got[0], want[0]):
+            np.testing.assert_array_equal(a, b2)
+        np.testing.assert_array_equal(got[1], want[1])
