@@ -149,3 +149,40 @@ def test_segmented_exceptions_route_to_host_search(monkeypatch):
     got = _query(t, qlo)
     want = np.array([d.get(int(x), 0) for x in qlo], np.uint32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_segmented_numpy_router_fallback(monkeypatch):
+    """The numpy reference router must handle segment row windows
+    identically to the native one (MERYL_TPU_NATIVE_ROUTE=0)."""
+    monkeypatch.setenv("MERYL_TPU_NATIVE_ROUTE", "0")
+    rng = np.random.default_rng(6)
+    k = 21
+    t, lo, d = _mk(rng, 1 << 15, k, device_gb=1e-6, cap_gb=2e-4,
+                   monkeypatch=monkeypatch)
+    t._bacj = t._build_bacj() or "degenerate"
+    assert t._bacj != "degenerate" and t._bacj["segments"] >= 2
+    Q = 1 << 13
+    take = rng.integers(0, len(lo), size=Q // 2)
+    qlo = np.concatenate([
+        lo[take],
+        rng.integers(0, 1 << 42, size=Q - Q // 2, dtype=np.uint64)])
+    got = _query(t, qlo)
+    want = np.array([d.get(int(x), 0) for x in qlo], np.uint32)
+    np.testing.assert_array_equal(got, want)
+    ex = _query(t, qlo, exists_only=True)
+    np.testing.assert_array_equal(ex, (want > 0).astype(np.uint32))
+
+
+def test_router_window_violation_raises(monkeypatch):
+    """A query routed outside its segment window is a caller bug and
+    must raise, not silently corrupt (both router implementations)."""
+    from meryl_tpu.ops import bacjoin as bj
+
+    cfg = {"b1": 10, "capA": 64}
+    lo = np.array([0, 1 << 41], np.uint64)  # spans both halves
+    hi = np.zeros(2, np.uint64)
+    for env in ("1", "0"):
+        monkeypatch.setenv("MERYL_TPU_NATIVE_ROUTE", env)
+        with pytest.raises(ValueError):
+            bj.route_queries_host(hi, lo, 21, cfg, row_base=0,
+                                  n_rows=512)
