@@ -572,10 +572,17 @@ class DeviceAccCounter:
         runs = ([acc_run] if acc_run is not None else []) \
             + self._fallback_runs
         if self._ovf_planes:
-            # captured cell-overflow windows: raw kmers, count 1 each
+            # captured cell-overflow windows: raw kmers, count 1 each.
+            # Defense in depth (and parity with salvage): drop any
+            # sentinel-keyed entry — the all-ones real kmer is excluded
+            # at extraction and counted by scalar, so a sentinel here
+            # can only be capture-region padding
             P = self.P
             planes = [np.concatenate([o[p] for o in self._ovf_planes])
                       for p in range(P)]
+            real = ~np.logical_and.reduce(
+                [p == 0xFFFFFFFF for p in planes])
+            planes = [p[real] for p in planes]
             ohi, olo = km.hilo_from_planes(planes)
             order = np.lexsort((olo, ohi))
             ohi, olo = ohi[order], olo[order]

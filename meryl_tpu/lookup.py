@@ -206,9 +206,14 @@ def _route_join_kernel_impl(gplanes, gvalues, q_planes, n_valid,
     for _ in range(int(L0).bit_length()):
         mid = (lo_b + hi_b) >> 1
         v = jnp.take_along_axis(pref1, jnp.minimum(mid, L0 - 1), axis=1)
+        # `active` guard is LOAD-BEARING (see ops/accum.py:_route_core):
+        # without it a fully-valid row diverges to lo = L0 + 1 on the
+        # end boundary, overcounting the last bucket and misaligning
+        # the pad fill by one slot
+        active = lo_b < hi_b
         less = v < tgt
-        lo_b = jnp.where(less, mid + 1, lo_b)
-        hi_b = jnp.where(less, hi_b, mid)
+        lo_b = jnp.where(active & less, mid + 1, lo_b)
+        hi_b = jnp.where(active & ~less, mid, hi_b)
     n_bucket = lo_b[:, 1:] - lo_b[:, :-1]  # (R0, B)
     pad_rank = jax.lax.broadcasted_iota(jnp.int32, (B, c), 1).reshape(D)
     n_slot = jnp.repeat(n_bucket, c, axis=1)  # (R0, D), static repeat

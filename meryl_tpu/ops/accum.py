@@ -185,9 +185,18 @@ def _route_core(planes, valid, cfg):
         mid = (lo_b + hi_b) >> 1
         v = jnp.take_along_axis(row1, jnp.minimum(mid, L0 - 1).astype(
             jnp.int32), axis=1)
+        # the `active` guard is LOAD-BEARING: the loop runs a fixed
+        # iteration count, and the all-less path (a routing row with
+        # no invalid windows, boundary target = B) converges one step
+        # early to lo == hi == L0 — the next iteration's clamped read
+        # then reports "less" again and pushes lo to L0 + 1.  That
+        # overcounts the LAST bucket by one, shorts its pad fill, and
+        # slides one overflow window into the cells and one sentinel
+        # pad into the capture (the round-4 --big phantom kmer).
+        active = lo_b < hi_b
         less = v < tgt
-        lo_b = jnp.where(less, mid + 1, lo_b)
-        hi_b = jnp.where(less, hi_b, mid)
+        lo_b = jnp.where(active & less, mid + 1, lo_b)
+        hi_b = jnp.where(active & ~less, mid, hi_b)
     n_bucket = lo_b[:, 1:] - lo_b[:, :-1]
     pad_rank = jax.lax.broadcasted_iota(jnp.int32, (B, c), 1).reshape(D)
     n_slot = jnp.repeat(n_bucket, c, axis=1)

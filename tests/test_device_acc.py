@@ -165,3 +165,123 @@ def test_acc_capacity_salvage(tmp_path, monkeypatch):
     seqs = _rand_seqs(rng, 80, 400)
     got = _count_acc(tmp_path, seqs, 21, chunk_len=1 << 13, expected=64)
     assert got == _brute(seqs, 21, "canonical")
+
+
+def test_route_capture_clean_on_fully_valid_row():
+    """Round-4 regression: a routing row with NO invalid windows made
+    the fixed-iteration bucket searchsorted diverge past the row end
+    (clamped read keeps reporting less once lo == hi == L0), which
+    overcounted the LAST bucket, shorted the pad fill by one, slid one
+    overflow window into the cells and one sentinel pad into the
+    capture — the --big phantom sentinel kmer.  A k-periodic region
+    (no breakers) overflows one cell per rotation while keeping every
+    window valid."""
+    import jax.numpy as jnp
+
+    from meryl_tpu import counter as ctr
+    from meryl_tpu.ops import accum
+
+    k = 21
+    chunk_len = 1 << 17
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 4, size=chunk_len).astype(np.uint8)
+    hot = rng.integers(0, 4, size=k).astype(np.uint8)
+    c = ctr.DeviceAccCounter(k, "canonical", chunk_len, 1 << 17)
+    # plant exactly enough copies of ONE hot kmer to overflow its
+    # cell by ~120 (capture-sized): measure the background occupancy
+    # of the hot kmer's bucket first, then top it past the cap.  k
+    # random spacer bases between copies keep every boundary window
+    # unique and VALID (no breakers -> the all-less searchsorted path)
+    from meryl_tpu.ops import extract as _ext
+    bits, B = c.cfg[7], c.cfg[3]
+    pl, vl = _ext.extract_kmers(jnp.asarray(base), k, "canonical")
+    rows_bg = np.asarray(jnp.where(
+        vl, accum._row_from_prefix(
+            accum._top_bits(pl, k, bits), bits, B, True), B))
+    hotpl, _ = _ext.extract_kmers(jnp.asarray(
+        np.concatenate([hot, np.full(1, 9, np.uint8)])), k,
+        "canonical")
+    hrow = int(np.asarray(accum._row_from_prefix(
+        accum._top_bits(hotpl, k, bits), bits, B, True))[0])
+    bg = int((rows_bg[: c.cfg[5]] == hrow).sum())
+    copies = max(60, c.cfg[6] - bg + 120)
+    period = np.empty((copies, 2 * k), np.uint8)
+    period[:, :k] = hot
+    period[:, k:] = rng.integers(0, 4, size=(copies, k))
+    period = period.reshape(-1)
+    base[: len(period)] = period
+    cells, ovf, n_ovf_row, n_allones = accum.route_chunk(
+        jnp.asarray(base), c.cfg)
+    nrow = np.asarray(n_ovf_row)
+    assert nrow.max() > 0, "test must actually overflow a cell"
+    assert nrow.max() <= accum.OVF_CAP, "overflow must fit the capture"
+    ovf_np = [np.asarray(p) for p in ovf]
+    for r in np.flatnonzero(nrow):
+        n = int(nrow[r])
+        sent = np.logical_and.reduce(
+            [p[r, :min(n, p.shape[1])] == 0xFFFFFFFF for p in ovf_np])
+        assert not sent.any(), (
+            f"sentinel padding captured as overflow in row {r}")
+
+
+def test_acc_decode_exact_with_overflow_no_breakers():
+    """Engine-level: the same shape through the full counter must
+    decode exactly (no phantom sentinel key, no lost counts)."""
+    from meryl_tpu import counter as ctr
+
+    k = 21
+    chunk_len = 1 << 17
+    rng = np.random.default_rng(8)
+    base = rng.integers(0, 4, size=chunk_len).astype(np.uint8)
+    hot = rng.integers(0, 4, size=k).astype(np.uint8)
+    c = ctr.DeviceAccCounter(k, "canonical", chunk_len, 1 << 17)
+    from meryl_tpu.ops import accum as _accum
+    from meryl_tpu.ops import extract as _ext
+    import jax.numpy as jnp
+    bits, B = c.cfg[7], c.cfg[3]
+    pl, vl = _ext.extract_kmers(jnp.asarray(base), k, "canonical")
+    rows_bg = np.asarray(jnp.where(
+        vl, _accum._row_from_prefix(
+            _accum._top_bits(pl, k, bits), bits, B, True), B))
+    hotpl, _ = _ext.extract_kmers(jnp.asarray(
+        np.concatenate([hot, np.full(1, 9, np.uint8)])), k,
+        "canonical")
+    hrow = int(np.asarray(_accum._row_from_prefix(
+        _accum._top_bits(hotpl, k, bits), bits, B, True))[0])
+    bg = int((rows_bg[: c.cfg[5]] == hrow).sum())
+    copies = max(60, c.cfg[6] - bg + 120)
+    period = np.empty((copies, 2 * k), np.uint8)
+    period[:, :k] = hot
+    period[:, k:] = rng.integers(0, 4, size=(copies, k))
+    period = period.reshape(-1)
+    base[: len(period)] = period
+    c.add_codes(base)
+    hi, lo, cts = c.finalize()
+    assert int(lo.max()) < (1 << (2 * k)), "phantom sentinel key"
+    # brute force
+    want = {}
+    run = 0
+    v = 0
+    r = 0
+    mask = (1 << (2 * k)) - 1
+    rc_of = lambda x: int.from_bytes(
+        bytes(reversed([((x >> (2 * i)) & 3) ^ 2
+                        for i in range(k)])), "big") if False else None
+    # canonical brute: fwd value + rc via per-window recompute
+    def rc(x):
+        y = 0
+        for _ in range(k):
+            y = (y << 2) | ((x & 3) ^ 2)
+            x >>= 2
+        return y
+    for x in base:
+        if x > 3:
+            run, v = 0, 0
+            continue
+        v = ((v << 2) | int(x)) & mask
+        run += 1
+        if run >= k:
+            cn = min(v, rc(v))
+            want[cn] = want.get(cn, 0) + 1
+    got = {int(b): int(n) for b, n in zip(lo.tolist(), cts.tolist())}
+    assert got == want
