@@ -172,7 +172,7 @@ def bench_lookup():
         t0 = time.perf_counter()
         int(pipeline(dbd_d, dbv_d, *inputs[1 + t]))
         times.append(time.perf_counter() - t0)
-    return max(S * q_slab / dt / 1e6 for dt in times)
+    return [S * q_slab / dt / 1e6 for dt in times]
 
 
 def bench_lookup_midsize():
@@ -251,8 +251,8 @@ def bench_lookup_midsize():
     jax.block_until_ready(inputs)
     times = _timeit_fetch(pipeline, inputs, TRIALS)
     times_e = _timeit_fetch(pipeline_exists, inputs, TRIALS)
-    return (max(S * N_Q / dt / 1e6 for dt in times),
-            max(S * N_Q / dt / 1e6 for dt in times_e))
+    return ([S * N_Q / dt / 1e6 for dt in times],
+            [S * N_Q / dt / 1e6 for dt in times_e])
 
 
 def bench_v2_action():
@@ -326,7 +326,7 @@ def bench_v2_action():
     inputs = [make_input() for _ in range(TRIALS + 1)]
     jax.block_until_ready(inputs)
     times = _timeit_fetch(pipeline, inputs, TRIALS)
-    return max(S * M * N / dt / 1e6 for dt in times)
+    return [S * M * N / dt / 1e6 for dt in times]
 
 
 def bench_lookup_bigdb():
@@ -427,7 +427,7 @@ def bench_lookup_bigdb():
                                * (cfg["ps"] + 1) / 1e9, 2),
               "geometry": {kk: int(cfg[kk]) for kk in
                            ("b", "b1", "c", "capA", "s_cap")}}
-    return max(S * q_slab / dt / 1e6 for dt in times), detail
+    return [S * q_slab / dt / 1e6 for dt in times], detail
 
 
 def bench_setop():
@@ -494,7 +494,7 @@ def bench_setop():
     rowlen = int(inputs[0][1].shape[-1])
     jax.block_until_ready(inputs)
     times = _timeit_fetch(pipeline, inputs, TRIALS)
-    return max(S * 2 * N / dt / 1e6 for dt in times)
+    return [S * 2 * N / dt / 1e6 for dt in times]
 
 
 def bench_calibration():
@@ -897,20 +897,30 @@ def main():
         "vs_baseline": round(vs, 4),
         "trials_bases_per_s": [round(t, 1) for t in trials],
     }
+    # throughput metrics keep best-of-N as the headline (the tunnel's
+    # run-to-run swing exceeds kernel variance) but now report every
+    # run + the median alongside (VERDICT r4 item 7), so a regression
+    # can be told from link noise round-over-round
+    def _spread(field, rates):
+        rs = sorted(float(r) for r in rates)
+        out[field] = round(rs[-1], 3)
+        out[field + "_runs"] = [round(r, 3) for r in rates]
+        out[field + "_median"] = round(rs[len(rs) // 2], 3)
+
     if lookup_mqps is not None:
-        out["lookup_mqps"] = round(lookup_mqps, 3)
+        _spread("lookup_mqps", lookup_mqps)
     if lookup_mid is not None:
         mid_mqps, exists_mqps = lookup_mid
-        out["lookup_midsize_mqps"] = round(mid_mqps, 3)
-        out["lookup_exists_mqps"] = round(exists_mqps, 3)
+        _spread("lookup_midsize_mqps", mid_mqps)
+        _spread("lookup_exists_mqps", exists_mqps)
     if setop_meps is not None:
-        out["setop_union_sum_meps"] = round(setop_meps, 3)
+        _spread("setop_union_sum_meps", setop_meps)
     if bigdb is not None:
-        rate, bdetail = bigdb
-        out["lookup_bigdb_mqps"] = round(rate, 3)
+        rates, bdetail = bigdb
+        _spread("lookup_bigdb_mqps", rates)
         out["lookup_bigdb_detail"] = bdetail
     if v2_meps is not None:
-        out["v2_union_label_meps"] = round(v2_meps, 3)
+        _spread("v2_union_label_meps", v2_meps)
     if calib is not None:
         out["t_local_ns_per_base"], out["t_merge_ns_per_elt"] = calib
     if e2e is not None:

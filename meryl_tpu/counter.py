@@ -482,17 +482,21 @@ class DeviceAccCounter:
         exc_col = np.asarray(exc_col_d)
         exc_p = [np.asarray(p).astype(np.uint64) for p in exc_planes_d]
         exc_cnt = np.asarray(exc_cnt_d)
-        self.wire_d2h_bytes += (packed.nbytes + 4
-                                + sum(p.nbytes // 2 for p in head_p)
-                                + head_c.nbytes + exc_col.nbytes
-                                + sum(p.nbytes // 2 for p in exc_p)
-                                + exc_cnt.nbytes + n_exc_row.nbytes)
+        # wire accounting accumulates LOCALLY and commits only on the
+        # successful return: the exception loop below can still bail to
+        # the dense fallback, which does its own (full) accounting — an
+        # eager commit here would double-count that path's d2h bytes
+        d2h_bytes = (packed.nbytes + 4
+                     + sum(p.nbytes // 2 for p in head_p)
+                     + head_c.nbytes + exc_col.nbytes
+                     + sum(p.nbytes // 2 for p in exc_p)
+                     + exc_cnt.nbytes + n_exc_row.nbytes)
 
         lo0 = head_p[0]
         if self.P == 2:
             lo0 = lo0 | (head_p[1] << np.uint64(32))
         cbits_row = (32 - np.asarray(gbits_d)).astype(np.uint32)
-        self.wire_d2h_bytes += cbits_row.nbytes
+        d2h_bytes += cbits_row.nbytes
         gaps = (packed >> cbits_row[:, None]).astype(np.uint64)
         cnts = (packed & ((np.uint32(1) << cbits_row[:, None])
                           - np.uint32(1))).astype(np.uint32)
@@ -525,8 +529,8 @@ class DeviceAccCounter:
             dp = [np.asarray(jnp.take(p[:, :lmax], dr, axis=0))
                   .astype(np.uint64) for p in planes]
             dc = np.asarray(jnp.take(counts[:, :lmax], dr, axis=0))
-            self.wire_d2h_bytes += (sum(p.nbytes // 2 for p in dp)
-                                    + dc.nbytes)
+            d2h_bytes += (sum(p.nbytes // 2 for p in dp)
+                          + dc.nbytes)
             dk = dp[0]
             if self.P == 2:
                 dk = dk | (dp[1] << np.uint64(32))
@@ -536,6 +540,7 @@ class DeviceAccCounter:
         lo = keys[m]
         cts = cnts[m]
         hi = np.zeros(len(lo), np.uint64)
+        self.wire_d2h_bytes += d2h_bytes
         return (hi, lo, cts.astype(np.uint64))
 
     def finalize(self):

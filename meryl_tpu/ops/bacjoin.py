@@ -159,6 +159,13 @@ def plan_bacjoin_segmented(n_db: int, k: int, bucket_max, q_slab: int,
             # rows per segment must also divide the fine buckets
             if cfg["B"] % segs:
                 continue
+            # the fine-cell capacity sees the same K-fold concentration:
+            # a slab routed to one segment lands on B/K fine buckets, so
+            # the per-cell occupancy is segs * (q_slab / B) — without
+            # this resize the overflow-to-binary-search fraction runs
+            # segs-fold past the 3% target on out-of-core DBs
+            # (throughput-only; the overflow hatch keeps it exact)
+            cfg["c"] = _cap_for_overflow(q_slab / (cfg["B"] // segs))
             cfg["segments"] = segs
         return cfg
     return None

@@ -131,6 +131,17 @@ def count_to_arrays_multihost(paths, k: int, mode: str = "canonical",
         sc.add_codes(codes)
         if progress:
             progress(nbases)
+    dbg_dir = os.environ.get("MERYL_TPU_MH_DEBUG")
+    if dbg_dir:
+        # per-process read volume (one tiny file per process — the
+        # launcher swallows non-zero ranks' stderr), read by tests to
+        # prove the keep-alive (separator-padded shard) path is what
+        # kept the collectives in lockstep on uneven input splits
+        os.makedirs(dbg_dir, exist_ok=True)
+        with open(os.path.join(dbg_dir,
+                               f"mh_read_bases_proc{pid}.json"),
+                  "w") as f:
+            json.dump({"proc": pid, "read_bases": int(nbases)}, f)
     return sc.finalize_parts()
 
 

@@ -9,6 +9,14 @@ but a future edit that changed both sides of a codec coherently (a
 silent wire-format reinterpretation) would pass every round-trip.
 Pinned bytes with pinned decodes fail loudly instead.
 
+SCOPE (advisor r4): this corpus pins against future DRIFT, not against
+EXTERNAL conformance — every stream here was written by this repo's
+own encoders, so a spec misinterpretation present at pin time would be
+baked in.  External anchoring needs an htslib-written stream
+(samtools/pysam), neither of which exists in this zero-egress image;
+when one becomes available, add it beside the self-generated set and
+pin its decode only (its bytes are the foreign writer's business).
+
 Reference anchor: the golden-md5 end-to-end scheme,
 /root/reference/src/tests/meryl-lookup-test.sh:101-215.
 """

@@ -85,6 +85,66 @@ def test_multihost_cli_count_matches_single(tmp_path, nprocs, dpp):
     assert not os.path.exists(db_mh + ".mhparts")
 
 
+@pytest.mark.slow
+def test_multihost_uneven_input_keepalive(tmp_path):
+    """One process's sequence-modulo segment is EMPTY (a single long
+    sequence, 2 processes): the separator-padded keep-alive shards
+    (multihost.count_to_arrays_multihost's exhausted-process loop) are
+    the only thing standing between this shape and a collective
+    deadlock.  Asserts the per-process read counts really were unequal
+    (proc 1 read zero bases) and the result still decodes exactly."""
+    rng = np.random.default_rng(7)
+    fa = str(tmp_path / "one_seq.fa")
+    bases = "ACGT"
+    seq = "".join(bases[b] for b in rng.integers(0, 4, size=6000))
+    with open(fa, "w") as f:
+        f.write(f">only\n{seq}\n")
+    db_mh = str(tmp_path / "mh.meryldb")
+    db_1 = str(tmp_path / "single.meryldb")
+
+    dbg = str(tmp_path / "mhdebug")
+    env = dict(os.environ)
+    env["MERYL_TPU_CHUNK"] = "512"   # many steps for proc 0, zero
+    env["MERYL_TPU_MH_DEBUG"] = dbg  # for proc 1 -> all keep-alive
+    env.pop("MERYL_TPU_COORD", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "meryl_tpu.parallel.launch",
+         "--nprocs", "2", "--devices-per-proc", "2", "--",
+         "count", "k=21", fa, "output", db_mh],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
+
+    # the per-process debug files prove the split really was uneven:
+    # the modulo segmenting gives the single sequence to process 0 and
+    # nothing to process 1, which fed only separator-padded keep-alives
+    import json
+    reads = {}
+    for fn in os.listdir(dbg):
+        with open(os.path.join(dbg, fn)) as f:
+            j = json.load(f)
+        reads[j["proc"]] = j["read_bases"]
+    assert set(reads) == {0, 1}, reads
+    assert reads[0] >= len(seq)  # chunker halo overlap can add bases
+    assert reads[1] == 0
+
+    env1 = dict(env)
+    env1["MERYL_TPU_SHARDED"] = "0"
+    r1 = subprocess.run(
+        [sys.executable, "-m", "meryl_tpu",
+         "count", "k=21", fa, "output", db_1],
+        env=env1, cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert r1.returncode == 0, f"stdout={r1.stdout}\nstderr={r1.stderr}"
+
+    hi_m, lo_m, c_m = MerylDB.open(db_mh).load_all()
+    hi_1, lo_1, c_1 = MerylDB.open(db_1).load_all()
+    assert len(c_m) == len(c_1)
+    assert (hi_m == hi_1).all() and (lo_m == lo_1).all()
+    assert (c_m == c_1).all()
+
+
 def test_stream_sorted_parts_matches_bulk_write(tmp_path):
     """db.stream_sorted_parts (piece-at-a-time, straddling 6-bit file
     boundaries) writes a DB decode-identical to MerylDB.write of the
