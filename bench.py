@@ -503,22 +503,25 @@ def bench_calibration():
     BENCH_r*.json, so -C's efficiency table is derived from the
     current round's hardware, not hand-entered literals):
 
-      t_local_ns_per_base — the SPMD shard step's LOCAL stage (extract
-        + sort_count_compacted at the sharded per-device chunk,
-        counter.shard_default_chunk(), parallel/shard_count.py:151-154),
-        per base.
-      t_merge_ns_per_elt — the owner-side merge of received sorted
-        runs (ops/count.merge_counted), per merged element.
+      t_local_ns_per_base — the ROUTED shard step's local stage
+        (extract + key-range cell routing, accum.route_chunk at the
+        SPMD geometry plan_shard_route gives an 8-device mesh), per
+        input base.  This is what each device computes before the
+        all-to-all (parallel/shard_count.make_routed_step).
+      t_merge_ns_per_elt — the owner-side fold of a staged cell grid
+        into the accumulator (accum.merge_cells, row-batched), per
+        STAGED SLOT (the scaling model's wire/merge volume unit).
 
     Both are fetch-grounded lax.scan dispatches with the ~27 ms tunnel
     RTT measured by a null dispatch and subtracted."""
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from meryl_tpu.ops import count as cnt
-    from meryl_tpu.ops import extract as ext
+    from meryl_tpu.ops import accum
+    from meryl_tpu.parallel.shard_count import plan_shard_route
 
     K = 21
+    N_DEV = 8  # modeled mesh; the geometry is per-device
     rng = np.random.default_rng(7)
 
     @jax.jit
@@ -533,15 +536,22 @@ def bench_calibration():
         rtts.append(time.perf_counter() - t0)
     rtt = min(rtts)
 
-    # local stage: the sharded per-device chunk, 2^24 bases/dispatch
+    # local stage: routed cell build at the sharded per-device chunk
     from meryl_tpu.counter import shard_default_chunk
     CHUNK = shard_default_chunk()
+    g = plan_shard_route(CHUNK, K, N_DEV)
+    cfg = (K, 2, "canonical", g["B"], g["R0"], g["L0"], g["c"],
+           g["bits"], "int")
     R = max(1, (1 << 24) // CHUNK)
 
     def local_body(carry, codes):
-        planes, valid = ext.extract_kmers(codes, K, "canonical")
-        cp, cc, nu = cnt.sort_count_compacted(planes, valid)
-        return (carry + nu.astype(jnp.uint32) + cc[0] + cp[0][0]), None
+        cells, ovf, n_ovf_row, n_allones = accum.route_chunk(codes, cfg)
+        s = jnp.sum(n_ovf_row) + n_allones
+        for cl in cells:
+            s = s + cl[0, 0].astype(jnp.int32)
+        for o in ovf:
+            s = s + o[0, 0].astype(jnp.int32)
+        return carry + s.astype(jnp.uint32), None
 
     @jax.jit
     def local_pipe(chunks):
@@ -555,47 +565,53 @@ def bench_calibration():
     ts = _timeit_fetch(local_pipe, ins, 2)
     t_local_ns = max(0.1, (min(ts) - rtt)) / (R * CHUNK) * 1e9
 
-    # merge stage: two 2^21-entry sorted unique runs per scan step, 4
-    # steps per dispatch (2^24 merged elements)
-    N, S = 1 << 21, 4
+    # merge stage: fold MERGE_EVERY staged (rpo, n*Wc) cell grids into
+    # a (rpo, La) accumulator — the owner-side shape of the routed
+    # step.  Cost attributed to the staged slots (the model's unit).
+    rpo, Wc = g["rpo"], g["Wc"]
+    STAGED, La, S = 2, 2048, 2
+    SW = N_DEV * Wc
 
-    def make_runs():
-        out = []
+    def make_batch():
+        outs = []
         for _ in range(S):
-            pair = []
-            for _ in range(2):
-                v = np.unique(rng.integers(0, 1 << 42, size=N,
-                                           dtype=np.uint64))
-                v = np.pad(v, (0, N - len(v)),
-                           constant_values=(1 << 42) - 1)[:N]
-                pl = [(v & 0xFFFFFFFF).astype(np.uint32),
-                      (v >> 32).astype(np.uint32)]
-                cts = rng.integers(1, 50, size=N).astype(np.uint32)
-                pair.append((pl, cts))
-            out.append(pair)
-        a_pl = [jnp.asarray(np.stack([p[0][0][i] for p in out]))
-                for i in range(2)]
-        a_ct = jnp.asarray(np.stack([p[0][1] for p in out]))
-        b_pl = [jnp.asarray(np.stack([p[1][0][i] for p in out]))
-                for i in range(2)]
-        b_ct = jnp.asarray(np.stack([p[1][1] for p in out]))
-        return jax.device_put((tuple(a_pl), a_ct, tuple(b_pl), b_ct))
+            accv = np.sort(rng.integers(0, 1 << 42, size=(rpo, La),
+                                        dtype=np.uint64), axis=1)
+            apl = [(accv & 0xFFFFFFFF).astype(np.uint32),
+                   (accv >> 32).astype(np.uint32)]
+            act = rng.integers(1, 50, size=(rpo, La)).astype(np.uint32)
+            gv = rng.integers(0, 1 << 42, size=(STAGED, rpo, SW),
+                              dtype=np.uint64)
+            outs.append((apl, act, gv))
+        a0 = jnp.asarray(np.stack([o[0][0] for o in outs]))
+        a1 = jnp.asarray(np.stack([o[0][1] for o in outs]))
+        ac = jnp.asarray(np.stack([o[1] for o in outs]))
+        gp = jnp.asarray(np.stack(
+            [[[(o[2][g_] & 0xFFFFFFFF).astype(np.uint32),
+               (o[2][g_] >> 32).astype(np.uint32)]
+              for g_ in range(STAGED)] for o in outs]))
+        return jax.device_put((a0, a1, ac, gp))
+
+    from meryl_tpu import kmer as km
 
     def merge_body(carry, xs):
-        a_pl, a_ct, b_pl, b_ct = xs
-        mp, mc, nu = cnt.merge_counted(list(a_pl), a_ct,
-                                       list(b_pl), b_ct)
-        return (carry + nu.astype(jnp.uint32) + mc[0] + mp[0][0]), None
+        a0, a1, ac, gp = xs
+        staged = tuple((gp[g_, 0], gp[g_, 1]) for g_ in range(STAGED))
+        planes, counts, n_runs = accum.merge_cells(
+            [a0, a1], ac, staged, 2, La, int(km.VALUE_MAX))
+        return (carry + jnp.sum(n_runs).astype(jnp.uint32)
+                + counts[0, 0] + planes[0][0, 0]), None
 
     @jax.jit
     def merge_pipe(xs):
         out, _ = lax.scan(merge_body, jnp.uint32(0), xs)
         return out
 
-    ins = [make_runs() for _ in range(3)]
+    ins = [make_batch() for _ in range(3)]
     jax.block_until_ready(ins)
     ts = _timeit_fetch(merge_pipe, ins, 2)
-    t_merge_ns = max(0.1, (min(ts) - rtt)) / (S * 2 * N) * 1e9
+    slots = S * STAGED * rpo * SW
+    t_merge_ns = max(0.1, (min(ts) - rtt)) / slots * 1e9
     return round(t_local_ns, 3), round(t_merge_ns, 3)
 
 

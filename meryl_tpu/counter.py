@@ -38,13 +38,13 @@ _USE_PALLAS = bool(_os.environ.get("MERYL_TPU_PALLAS"))
 
 def shard_default_chunk() -> int:
     """Per-DEVICE bases per SPMD step (env MERYL_TPU_SHARD_CHUNK).
-    Smaller than the single-chip chunk: the shard step's local kernel
-    sorts its chunk as ONE flat row (the all-to-all needs the global
-    order), and flat-row sort cost rises ~log L — 3.35 ns/elt at 2^20
-    vs 14.6 at 2^22 (docs/tpu-design.md round-3 table) — so 2^20 per
-    device keeps the dominant sort near its floor while each step
-    still moves megabytes through the collective."""
-    return int(_os.environ.get("MERYL_TPU_SHARD_CHUNK", 1 << 20))
+    The routed step (round 5) sorts only short row-batched rows (its
+    routing rows are L0 <= 2^16 regardless of chunk size), so chunk
+    size no longer trades against a flat-sort wall — it only
+    amortizes per-step fixed costs (collective launch, control
+    scalars) against HBM footprint (cell grid + staged groups,
+    ~1.7 x chunk x 8 B each).  2^22 matches the single-chip chunk."""
+    return int(_os.environ.get("MERYL_TPU_SHARD_CHUNK", 1 << 22))
 
 
 def _sort_rowlen(chunk_len: int) -> int | None:

@@ -87,14 +87,56 @@ def _row_from_prefix(pref, bits: int, B: int, canonical: bool):
     Canonical kmers are min(f, rc) of two ~uniform draws, so their
     density over prefix space x is 2(1-x) with CDF F(x) = 2x - x^2;
     row = floor(B * F(x)) gives near-equal expected mass per row
-    (closed form — no per-boundary compares, no gathers; same density
-    model as parallel/shard_count.owner_boundaries)."""
+    (closed form — no per-boundary compares, no gathers)."""
     x = pref.astype(jnp.float32) * np.float32(1.0 / (1 << bits))
     if canonical:
         f = x * (np.float32(2.0) - x)
     else:
         f = x
     return jnp.minimum((f * np.float32(B)).astype(jnp.int32), B - 1)
+
+
+def row_from_prefix_int(pref, bits: int, B: int, canonical: bool,
+                        xp=jnp):
+    """The same equal-mass map in EXACT integer arithmetic: row =
+    floor(B * F(p/2^bits)) with F(x) = 2x - x^2, computed as
+
+        num32 = (2^(2*bits) - (2^bits - p)^2) << (32 - 2*bits)
+
+    (num32 < 2^32 always, since p < 2^bits) and then row =
+    floor(num32 * B / 2^32) via a u32 high-multiply split.  No floats
+    anywhere, so a HOST recomputation (xp=np) is bit-identical to the
+    device's — the SPMD path routes its overflow-hatch extras to owner
+    devices by recomputing rows host-side, which a float map cannot
+    guarantee (XLA may contract x*(2-x) differently than numpy).
+    Requires bits <= 16.  Works for any B (owner meshes need not be
+    powers of two); monotone non-decreasing in pref by construction.
+
+    xp: jnp (device) or np (host); pref must be uint32 in [0, 2^bits).
+    """
+    assert bits <= 16, bits
+    u = (lambda v: xp.uint32(v)) if xp is jnp else \
+        (lambda v: np.uint32(v))
+    p = pref.astype(xp.uint32)
+    if B == 1:
+        return xp.zeros(p.shape, xp.int32)
+    if canonical:
+        d = u((1 << bits)) - p
+        dd = d * d  # wraps to 0 exactly at p == 0 when bits == 16
+        if bits == 16:
+            num32 = u(0) - dd          # 2^32 - d^2 (mod 2^32, exact)
+        else:
+            num32 = (u(1 << (2 * bits)) - dd) << u(32 - 2 * bits)
+    else:
+        num32 = p << u(32 - bits)
+    if B & (B - 1) == 0:  # power of two: one shift
+        row = num32 >> u(32 - (B - 1).bit_length() if B > 1 else 32)
+        return xp.minimum(row, u(B - 1)).astype(xp.int32)
+    # general B: floor(num32 * B / 2^32) without a 64-bit multiply
+    hi = num32 >> u(16)
+    lo = num32 & u(0xFFFF)
+    row = (hi * u(B) + ((lo * u(B)) >> u(16))) >> u(16)
+    return xp.minimum(row, u(B - 1)).astype(xp.int32)
 
 
 def _top_bits(planes, k: int, b: int):
@@ -128,7 +170,7 @@ def route_chunk(codes, cfg):
     overflowed sort into the capture region (real keys only — invalid
     windows sort past it); a row overflowing OVF_CAP tells the driver
     to recount the whole chunk on the host path."""
-    k, P, mode, B, R0, L0, c, bits = cfg
+    k, P, mode = cfg[:3]
     planes, valid = ext.extract_kmers(codes, k, mode)
     return _route_core(planes, valid, cfg)
 
@@ -137,14 +179,19 @@ def route_chunk(codes, cfg):
 def route_chunk_packed(packed2, exc, n_real, cfg):
     """route_chunk over the 2-bit packed wire format (4x less
     host->device traffic; see ops/extract.extract_kmers_packed)."""
-    k, P, mode, B, R0, L0, c, bits = cfg
+    k, P, mode = cfg[:3]
     planes, valid = ext.extract_kmers_packed(packed2, exc, n_real, k,
                                              mode)
     return _route_core(planes, valid, cfg)
 
 
 def _route_core(planes, valid, cfg):
-    k, P, mode, B, R0, L0, c, bits = cfg
+    # cfg: (k, P, mode, B, R0, L0, c, bits[, rowmap]) — the optional
+    # 9th element selects the row map: "float" (single-chip default)
+    # or "int" (the exact integer map the SPMD path needs so host-side
+    # owner splits reproduce device rows bit-for-bit)
+    k, P, mode, B, R0, L0, c, bits = cfg[:8]
+    rowmap = cfg[8] if len(cfg) > 8 else "float"
     D = B * c
 
     allones = None
@@ -156,7 +203,11 @@ def _route_core(planes, valid, cfg):
     valid = valid & ~allones
 
     pref = _top_bits(planes, k, bits)
-    row = _row_from_prefix(pref, bits, B, mode == "canonical")
+    if rowmap == "int":
+        row = row_from_prefix_int(pref.astype(jnp.uint32), bits, B,
+                                  mode == "canonical")
+    else:
+        row = _row_from_prefix(pref, bits, B, mode == "canonical")
     row = jnp.where(valid, row, jnp.int32(B))  # invalid past last row
 
     row2 = row.reshape(R0, L0).astype(U32)

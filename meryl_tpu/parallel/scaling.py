@@ -15,17 +15,25 @@ derived from the current round's hardware measurements, not
 hand-entered literals (VERDICT r3 item 5).  Resolution order:
 env override > newest BENCH_r*.json > built-in r3/r4 measurements.
 
-The counting step (parallel/shard_count.make_sharded_count_step) does,
-per device and per chunk of C bases:
+The ROUTED counting step (parallel/shard_count.make_routed_step, the
+round-5 design) does, per device and per chunk of C bases:
 
-  1. local extract + sort + run-length compaction          t_local
-  2. all-to-all of unique (kmer, count) pairs to owners    t_ici/t_dcn
-  3. merge of the received runs into the accumulator       t_merge
+  1. extract + key-range cell routing (row-batched sorts)  t_local
+  2. ONE tiled all-to-all of the raw-window cell grid      t_ici/t_dcn
+  3. row-batched fold into the owner accumulator
+     (accum.merge_cells)                                   t_merge
 
-Efficiency(n) = t_local(n=1) / (t_local + t_wire + t_merge + t_skew):
+The wire and merge volumes are C * inflate SLOTS, where inflate =
+B*Wc/C is the cell-grid padding factor of the routing geometry
+(plan_shard_route; ~1.3-1.7x) — slot counts are FIXED per (source,
+owner) pair, so the wire and the merge are balanced by construction
+(composition skew lands in the exact capture/recount hatches instead
+of in a hot owner).
+
+Efficiency(n) = (t_local + t_merge) / (t_local + t_wire + t_merge):
 all stages except the wire are per-device constant (perfect data
-parallelism), so the question -C answers is whether the wire and the
-merge stay small relative to compute.
+parallelism), so the question -C answers is whether the wire stays
+small relative to compute.
 
 Reference analog: the counting memory model's analytic planning stance
 (/root/reference/src/meryl/merylOp-count.C:299-462) — plan from a
@@ -40,13 +48,15 @@ import os
 import re
 
 # built-in fallbacks (v5e chip over the dev tunnel, RTT-corrected,
-# docs/tpu-design.md): compacted count pipeline per base; row-batched
-# merge (sort + per-run reduce) per merged element
-_DEFAULT_T_LOCAL_NS = 3.3
-_DEFAULT_T_MERGE_NS = 3.0
+# docs/tpu-design.md): routed cell build per base; row-batched
+# merge_cells fold per staged slot.  bench.py re-measures both every
+# round (bench_calibration) and the newest BENCH_r*.json wins.
+_DEFAULT_T_LOCAL_NS = 1.6
+_DEFAULT_T_MERGE_NS = 1.6
 
-# bytes per unique (kmer, count) entry on the wire: P=2 planes + count
-WIRE_BYTES = 12
+# bytes per cell slot on the wire: P=2 key planes (raw windows carry
+# an implicit count of 1 — no count word crosses)
+WIRE_BYTES = 8
 
 # Per-generation interconnect table (docs/multihost.md for sources and
 # the derivation).  "aggregate" is the published per-chip ICI
@@ -61,9 +71,11 @@ ICI_TABLE = {
 }
 TPU_GEN = os.environ.get("MERYL_TPU_GEN", "v5e")
 
-# owner-skew headroom: equal-mass boundaries leave composition skew;
-# the pair_cap sizing uses 4x, the expected hot-owner load is ~1.3x
-SKEW = 1.3
+# owner-skew headroom: the routed step ships FIXED slot counts per
+# (source, owner) pair and folds fixed-width staged grids, so wire and
+# merge are balanced by construction; residual skew is the (rare,
+# bounded) capture/recount hatch traffic
+SKEW = 1.0
 
 
 def _newest_bench_json(root: str):
@@ -128,20 +140,24 @@ DCN_GB_S = float(os.environ.get(
 def predict_scaling(chunk_len: int, n_devices: int,
                     chips_per_host: int = 4,
                     ici_domain: int = 256,
-                    dedup: float = 1.0) -> dict:
+                    k: int = 21) -> dict:
     """Predicted per-step times (seconds) and parallel efficiency for
-    an n_devices mesh counting chunks of chunk_len bases per device.
+    an n_devices mesh counting chunks of chunk_len bases per device
+    with the routed SPMD step.
 
     ici_domain: chips per ICI torus (one pod/slice).  Cross-HOST
     traffic inside a pod still rides ICI — the torus spans the pod;
-    DCN binds only across pods (multislice).
-    dedup: fraction of windows that survive local per-chunk dedup
-    (1.0 = worst case, low-coverage input)."""
+    DCN binds only across pods (multislice)."""
+    from .shard_count import plan_shard_route
     c = float(chunk_len)
-    uniques = c * dedup
+    g = plan_shard_route(chunk_len, k, max(1, n_devices))
+    # cell-grid slots per chunk: fixed by the routing geometry, NOT by
+    # coverage — raw windows cross (count 1 each), padding included
+    slots = float(g["B"] * g["Wc"])
     t_local = c * T_LOCAL_NS_PER_BASE * 1e-9
-    # every unique leaves its source with probability (n-1)/n
-    wire_bytes = uniques * WIRE_BYTES * (n_devices - 1) / max(n_devices, 1)
+    # a slot leaves its source with probability (n-1)/n (tiled
+    # all-to-all of contiguous owner blocks)
+    wire_bytes = slots * WIRE_BYTES * (n_devices - 1) / max(n_devices, 1)
     n_hosts = max(1, n_devices // chips_per_host)
     n_pods = max(1, -(-n_devices // ici_domain))
     if n_devices <= 1:
@@ -155,14 +171,13 @@ def predict_scaling(chunk_len: int, n_devices: int,
             # paid on each pod's aggregate DCN by its chips together
             cross = wire_bytes * (n_pods - 1) / n_pods
             t_dcn = cross * chips_per_host / (DCN_GB_S * 1e9)
-    # merge of the n received sorted runs into the accumulator:
-    # ~uniques entries through the row-batched merge (sort + reduce),
-    # plus the hot owner's skew share
-    t_merge = uniques * T_MERGE_NS_PER_ELT * 1e-9
-    # owner skew only exists once work is shuffled by owner
+    # fold of the received staged grid into the accumulator: every
+    # cell slot rides the row-batched merge sort exactly once per
+    # merge cadence (fixed width per owner row — balanced)
+    t_merge = slots * T_MERGE_NS_PER_ELT * 1e-9
     t_skew = (SKEW - 1.0) * (t_ici + t_merge) if n_devices > 1 else 0.0
     t_step = t_local + t_ici + t_dcn + t_merge + t_skew
-    t_ref = t_local + t_merge  # single chip also merges its chunks
+    t_ref = t_local + t_merge  # single chip also routes and merges
     return {
         "devices": n_devices,
         "hosts": n_hosts,

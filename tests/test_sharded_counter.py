@@ -102,13 +102,13 @@ def test_sharded_counter_spill_and_histogram():
     assert go.tolist() == wo.tolist()
 
 
-def test_sharded_counter_wide_mesh_small_paircap():
-    """8 devices with a reduced pair_cap and widened prefix: results
-    must still match the oracle exactly."""
+def test_sharded_counter_wide_mesh():
+    """8 devices at a larger chunk: results must still match the
+    oracle exactly (the all-to-all tiles 8-way and every owner block
+    merges rows from all 8 sources)."""
     n_dev, chunk, k = 8, 512, 15
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("d",))
-    sc = ShardedCounter(mesh, k, chunk_len=chunk, pair_cap=256,
-                        prefix_bits=9)
+    sc = ShardedCounter(mesh, k, chunk_len=chunk)
     rng = np.random.default_rng(9)
     codes = rng.integers(0, 4, size=n_dev * chunk).astype(np.uint8)
     seqs = ["".join(km.ALPHABET[c] for c in codes[d * chunk:(d + 1) * chunk])
