@@ -650,6 +650,23 @@ def measure_link_rates():
     return max(h2d), max(d2h)
 
 
+def measure_rtt():
+    """Median dispatch->fetch round-trip latency for a TINY scalar —
+    the per-sync-point cost the e2e counting pipeline pays ~dozens of
+    times.  Distinct inputs per rep (the remote executor memoizes per
+    (executable, input)); median of 5 rejects warm-up outliers."""
+    import jax.numpy as jnp
+
+    base = jnp.asarray(np.uint32(7))
+    int(base + jnp.uint32(1))  # warm the signature
+    ts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        int(base + jnp.uint32(i + 2))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
 def bench_count_e2e():
     """END-TO-END counting throughput: wall-clock `count_to_db` from a
     FASTQ file on disk to a decoded-verified DB on disk — the number a
@@ -726,7 +743,27 @@ def bench_count_e2e():
         d2h_b = int(LAST_WIRE_STATS.get("d2h_bytes", 0))
         wire_s = h2d_b / h2d_rate + d2h_b / d2h_rate
         residual_s = max(0.0, best - wire_s)
-        pcie_s = residual_s + (h2d_b + d2h_b) / 8e9
+        ws = dict(LAST_WIRE_STATS)
+        # sync-point decomposition (VERDICT r4 item 3): every
+        # host<->device interaction counted by the counter itself,
+        # host-blocked time per category, and a measured per-sync RTT
+        # so the residual's "it's the tunnel" attribution is numbers
+        n_syncs = (ws.get("n_h2d", 0) + ws.get("n_dispatch", 0)
+                   + ws.get("n_fetch", 0))
+        rtt = measure_rtt()
+        rtt_s = n_syncs * rtt
+        host_s = (ws.get("scan_stall_s", 0.0)
+                  + ws.get("host_pack_s", 0.0)
+                  + ws.get("host_finalize_s", 0.0))
+        blocked_s = (ws.get("t_h2d_s", 0.0) + ws.get("t_dispatch_s", 0.0)
+                     + ws.get("t_fetch_s", 0.0))
+        # PCIe projection: replace the measured tunnel terms (wire at
+        # measured rates + n_syncs x measured RTT) with PCIe terms
+        # (same bytes at 8 GB/s, ~100 us per sync point), keep
+        # everything else — instead of r4's "keep the whole residual"
+        pcie_s = max(0.05,
+                     best - wire_s - rtt_s
+                     + (h2d_b + d2h_b) / 8e9 + n_syncs * 100e-6)
         detail.update({
             "h2d_bytes": h2d_b,
             "d2h_bytes": d2h_b,
@@ -734,6 +771,17 @@ def bench_count_e2e():
             "d2h_rate_mbs": round(d2h_rate / 1e6, 1),
             "wire_s_est": round(wire_s, 2),
             "residual_s": round(residual_s, 2),
+            "n_syncs": int(n_syncs),
+            "sync_detail": {kk: ws[kk] for kk in
+                            ("n_h2d", "n_dispatch", "n_fetch",
+                             "t_h2d_s", "t_dispatch_s", "t_fetch_s",
+                             "scan_stall_s", "host_pack_s",
+                             "host_finalize_s", "t_finalize_s")
+                            if kk in ws},
+            "rtt_ms": round(rtt * 1e3, 2),
+            "rtt_s": round(rtt_s, 2),
+            "host_s": round(host_s, 2),
+            "blocked_s": round(blocked_s, 2),
             "pcie_proj_bases_s": round(bases / pcie_s, 1),
         })
     except Exception as e:  # decomposition must never sink the bench

@@ -25,6 +25,7 @@ from .ops import count as cnt
 from .ops import extract as ext
 
 import os as _os
+import time as _time
 
 def default_chunk() -> int:
     """Bases per device chunk (env MERYL_TPU_CHUNK, read at call time
@@ -272,6 +273,45 @@ class DeviceAccCounter:
         self.wire_h2d_bytes = 0
         self.wire_d2h_bytes = 0
         self._bases_seen = 0   # drives the packed-download bit split
+        # sync-point accounting (VERDICT r4 item 3): every host<->device
+        # interaction is counted and its HOST-BLOCKED time accumulated,
+        # so the e2e residual decomposes into measured categories
+        # instead of one prose-attributed lump.  n_h2d = device_puts,
+        # n_dispatch = jitted-call invocations (async unless the
+        # backend serializes), n_fetch = blocking downloads (np.asarray
+        # / int() of device values) — the true serialization points.
+        self.sync = {"n_h2d": 0, "n_dispatch": 0, "n_fetch": 0,
+                     "t_h2d_s": 0.0, "t_dispatch_s": 0.0,
+                     "t_fetch_s": 0.0, "host_pack_s": 0.0,
+                     "host_finalize_s": 0.0}
+
+    def _put(self, x):
+        t0 = _time.perf_counter()
+        r = jnp.asarray(x)
+        self.sync["n_h2d"] += 1
+        self.sync["t_h2d_s"] += _time.perf_counter() - t0
+        return r
+
+    def _dispatch(self, fn, *args, **kw):
+        t0 = _time.perf_counter()
+        r = fn(*args, **kw)
+        self.sync["n_dispatch"] += 1
+        self.sync["t_dispatch_s"] += _time.perf_counter() - t0
+        return r
+
+    def _fetch(self, x):
+        t0 = _time.perf_counter()
+        r = np.asarray(x)
+        self.sync["n_fetch"] += 1
+        self.sync["t_fetch_s"] += _time.perf_counter() - t0
+        return r
+
+    def _fetch_int(self, x):
+        t0 = _time.perf_counter()
+        r = int(x)
+        self.sync["n_fetch"] += 1
+        self.sync["t_fetch_s"] += _time.perf_counter() - t0
+        return r
 
     def _fresh_acc(self):
         zp = tuple(jnp.full((self.B, self.La), 0xFFFFFFFF, jnp.uint32)
@@ -279,25 +319,50 @@ class DeviceAccCounter:
         zc = jnp.zeros((self.B, self.La), jnp.uint32)
         return (zp, zc)
 
-    def add_codes(self, codes: np.ndarray):
+    def prepack(self, codes: np.ndarray):
+        """Pad + 2-bit-pack one chunk for add_codes — runs on the
+        PREFETCH READER THREAD (via _prefetch_chunks' transform) so
+        the pack overlaps device dispatches instead of serializing
+        with them (~0.27 s of the r4 e2e wall)."""
+        from .io.sequence import SEP
+        n_orig = len(codes)
+        if n_orig < self.chunk_len:
+            codes = np.concatenate(
+                [codes, np.full(self.chunk_len - n_orig, SEP,
+                                np.uint8)])
+        packed2, exc, n_real = km.pack_codes_2bit(
+            codes, pad_to=self.chunk_len)
+        return (codes, packed2, exc, n_real, n_orig)
+
+    def add_codes(self, codes):
+        """codes: (chunk_len,) uint8 host codes, or a prepack() tuple
+        (the 2-bit pack then rode the reader thread)."""
         from .io.sequence import SEP
         from .ops import accum
-        self._bases_seen += int(len(codes))
-        if len(codes) < self.chunk_len:
-            codes = np.concatenate(
-                [codes, np.full(self.chunk_len - len(codes), SEP,
-                                np.uint8)])
+        prepacked = isinstance(codes, tuple)
+        if prepacked:
+            codes, packed2, exc, n_real, n_orig = codes
+            self._bases_seen += int(n_orig)
+        else:
+            self._bases_seen += int(len(codes))
+            if len(codes) < self.chunk_len:
+                codes = np.concatenate(
+                    [codes, np.full(self.chunk_len - len(codes), SEP,
+                                    np.uint8)])
         if _os.environ.get("MERYL_TPU_PACK_WIRE", "1") == "0":
             self.wire_h2d_bytes += codes.nbytes
-            cells, ovf, n_ovf_row, n_allones = accum.route_chunk(
-                jnp.asarray(codes), self.cfg)
+            cells, ovf, n_ovf_row, n_allones = self._dispatch(
+                accum.route_chunk, self._put(codes), self.cfg)
         else:
-            packed2, exc, n_real = km.pack_codes_2bit(
-                codes, pad_to=self.chunk_len)
+            if not prepacked:
+                t0 = _time.perf_counter()
+                packed2, exc, n_real = km.pack_codes_2bit(
+                    codes, pad_to=self.chunk_len)
+                self.sync["host_pack_s"] += _time.perf_counter() - t0
             self.wire_h2d_bytes += packed2.nbytes + exc.nbytes
-            cells, ovf, n_ovf_row, n_allones = accum.route_chunk_packed(
-                jnp.asarray(packed2), jnp.asarray(exc),
-                jnp.uint32(n_real), self.cfg)
+            cells, ovf, n_ovf_row, n_allones = self._dispatch(
+                accum.route_chunk_packed, self._put(packed2),
+                self._put(exc), jnp.uint32(n_real), self.cfg)
         # n_allones travels WITH the pending chunk: it is committed to
         # self._nallones only when the chunk's cells are staged — a
         # host-path recount (cell overflow > OVF_CAP) counts the
@@ -317,19 +382,33 @@ class DeviceAccCounter:
         their overflow-row vectors: a per-chunk np.asarray pays a full
         link round trip (~27 ms on the dev tunnel), which at the merge
         cadence was ~10% of the e2e wall."""
+        from .ops.accum import OVF_CAP
         if not self._pending:
             return
-        stacked = np.asarray(jnp.stack(
-            [item[2] for item in self._pending]))
+        stacked = self._fetch(self._dispatch(
+            jnp.stack, [item[2] for item in self._pending]))
+        # ONE stacked fetch for every capture region in the batch: the
+        # per-chunk plane fetches paid ~2 link round trips per chunk
+        # with any capture traffic (~32 of the 47 blocking fetches in
+        # the r4 e2e run — the largest single RTT sink)
+        need = [i for i in range(len(self._pending))
+                if 0 < int(stacked[i].max(initial=0)) <= OVF_CAP]
+        ovf_np = {}
+        if need:
+            ov = self._fetch(self._dispatch(
+                jnp.stack,
+                [jnp.stack(self._pending[i][1]) for i in need]))
+            for j, i in enumerate(need):
+                ovf_np[i] = [ov[j, p] for p in range(self.P)]
         for i, item in enumerate(self._pending):
-            self._resolve(item, nrow=stacked[i])
+            self._resolve(item, nrow=stacked[i], ovf_np=ovf_np.get(i))
         self._pending = []
 
-    def _resolve(self, item, nrow=None):
+    def _resolve(self, item, nrow=None, ovf_np=None):
         from .ops.accum import OVF_CAP
         cells, ovf, n_ovf_row, codes, n_allones = item
         if nrow is None:
-            nrow = np.asarray(n_ovf_row)
+            nrow = self._fetch(n_ovf_row)
         mx = int(nrow.max()) if len(nrow) else 0
         if mx > OVF_CAP:
             # adversarial composition blew a whole capture row:
@@ -343,7 +422,9 @@ class DeviceAccCounter:
         if mx > 0:
             # thin Poisson tail: the overflowed windows sit at the
             # head of each capture row — collect them host-side
-            planes = [np.asarray(p) for p in ovf]
+            # (batch-prefetched by _resolve_batch when possible)
+            planes = ovf_np if ovf_np is not None \
+                else [self._fetch(p) for p in ovf]
             for r in np.flatnonzero(nrow):
                 n = int(nrow[r])
                 self._ovf_planes.append(
@@ -351,38 +432,75 @@ class DeviceAccCounter:
         self._staged.append(cells)
 
     def _merge(self):
+        """Dispatch a merge of the staged cell groups and DEFER its
+        row-overflow verification to the next merge cadence (or
+        finalize/salvage): the nmax fetch then costs one link round
+        trip instead of merge-latency + round trip, and the device
+        folds while the host packs and dispatches the next chunks.
+        The pre-merge accumulator and the staged groups stay alive in
+        _unverified until the check clears — exactness unchanged."""
         from .ops import accum
         if self._acc is None:
             self._acc = self._fresh_acc()
+        self._verify_merge()
         staged = tuple(self._staged)
+        planes, counts, n_runs = self._dispatch(
+            accum.merge_cells,
+            self._acc[0], self._acc[1], staged, self.P, self.La,
+            int(km.VALUE_MAX))
+        self._unverified = (planes, counts, n_runs, self._acc, staged,
+                            self.La)
+        self._acc = (planes, counts)  # optimistic: overflow is rare
+        self._staged = []
+
+    def _verify_merge(self):
+        """Resolve the previous deferred merge: fetch its nmax and, on
+        the rare row overflow, fall back to the blocking regrow loop
+        against the preserved pre-merge accumulator.  On AccCapacity
+        the pre-merge state (old acc + staged groups) is restored so
+        salvage() rescues exactly what existed before the merge."""
+        from .ops import accum
+        uv = getattr(self, "_unverified", None)
+        if uv is None:
+            return
+        self._unverified = None
+        planes, counts, n_runs, old_acc, staged, la_then = uv
+        hi = self._fetch_int(jnp.max(n_runs))
+        if hi <= la_then:
+            self._max_run = hi
+            return
+        # row overflow: regrow and re-merge (old acc still alive)
+        acc = old_acc
+        la = la_then
         while True:
-            planes, counts, n_runs = accum.merge_cells(
-                self._acc[0], self._acc[1], staged, self.P, self.La,
-                int(km.VALUE_MAX))
-            hi = int(jnp.max(n_runs))
-            if hi <= self.La:
-                self._max_run = hi
-                break
-            # row overflow: regrow and re-merge (old acc still alive)
-            new_la = self.La
+            new_la = la
             while new_la < hi:
                 new_la *= 2
             # (P planes + counts) u32 x3 for the merge working set
             if new_la * self.B * (self.P + 1) * 4 * 3 > self._cap_bytes:
+                self._acc = old_acc
+                self.La = la_then
+                self._staged = list(staged) + self._staged
                 raise AccCapacity()
-            self.La = new_la
-            self._acc = (
+            la = new_la
+            acc = (
                 tuple(jnp.concatenate(
-                    [p, jnp.full((self.B, self.La - p.shape[1]),
+                    [p, jnp.full((self.B, la - p.shape[1]),
                                  0xFFFFFFFF, jnp.uint32)], axis=1)
-                    for p in self._acc[0]),
+                    for p in acc[0]),
                 jnp.concatenate(
-                    [self._acc[1],
-                     jnp.zeros((self.B,
-                                self.La - self._acc[1].shape[1]),
+                    [acc[1],
+                     jnp.zeros((self.B, la - acc[1].shape[1]),
                                jnp.uint32)], axis=1))
+            planes, counts, n_runs = self._dispatch(
+                accum.merge_cells, acc[0], acc[1], staged, self.P, la,
+                int(km.VALUE_MAX))
+            hi = self._fetch_int(jnp.max(n_runs))
+            if hi <= la:
+                break
+        self.La = la
+        self._max_run = hi
         self._acc = (planes, counts)
-        self._staged = []
 
     def salvage(self):
         """Exact device-state rescue when the accumulator hit its HBM
@@ -391,6 +509,10 @@ class DeviceAccCounter:
         list — the driver finishes the remaining input on the host
         path and union-merges everything."""
         self._resolve_batch()
+        try:
+            self._verify_merge()
+        except AccCapacity:
+            pass  # pre-merge acc + staged groups restored by the raise
         runs = list(self._fallback_runs)
         self._fallback_runs = []
         if self._acc is not None:
@@ -442,11 +564,13 @@ class DeviceAccCounter:
     def _download_packed(self, lmax: int):
         """Gap-packed accumulator download (ops/accum.pack_for_download):
         one u32 per unique instead of P + 1, a ~3x cut of the dominant
-        d2h transfer.  Column 0 of each row crosses dense (the cumsum
-        base); exceptions (unpackable gap/count) are re-applied by
-        position.  Returns None when any row's exceptions overflow the
-        capture arrays — the caller falls back to the dense download,
-        so this path is exact or absent, never approximate."""
+        d2h transfer, in ONE blocking fetch (pack_for_download_fused —
+        the r4 shape paid ~11 round trips here).  Column 0 of each row
+        crosses dense (the cumsum base); exceptions (unpackable
+        gap/count) are re-applied by position.  Returns None when any
+        row's exceptions overflow the capture arrays — the caller
+        falls back to the dense download, so this path is exact or
+        absent, never approximate."""
         from .ops import accum
 
         planes, counts = self._acc
@@ -454,18 +578,26 @@ class DeviceAccCounter:
         # max gap; the host only pins the count field's floor from the
         # run's coverage (mean count + 5 sigma), quantized to bound
         # jit signatures
-        u_est = int(jnp.sum((counts > 0).astype(jnp.int32)))
+        u_est = self._fetch_int(jnp.sum((counts > 0).astype(jnp.int32)))
         if u_est <= 0:
             return None
         mean_c = max(1.0, self._bases_seen / u_est)
         need_c = int(np.ceil(mean_c + 5 * np.sqrt(mean_c)
                              + 8)).bit_length()
         cbits_min = min(24, max(6, (need_c + 1) // 2 * 2))
-        packed_d, gbits_d, exc_col_d, exc_planes_d, exc_cnt_d, \
-            n_exc_d = accum.pack_for_download(planes, counts, self.P,
-                                              cbits_min)
-        n_exc_row = np.asarray(n_exc_d)
-        B = self.B
+        B, EC = self.B, accum.EXC_ROW_CAP
+        blob = self._fetch(self._dispatch(
+            accum.pack_for_download_fused, planes, counts, self.P,
+            cbits_min, lmax))
+        offs = np.cumsum([B * lmax] + [B] * (3 + self.P)
+                         + [B * EC] * (2 + self.P))[:-1]
+        (packed_f, gbits_f, nexc_f, headc_f, *rest) = \
+            np.split(blob, offs)
+        headp_f = rest[:self.P]
+        exccol_f, exccnt_f = rest[self.P], rest[self.P + 1]
+        excp_f = rest[self.P + 2:]
+        packed = packed_f.reshape(B, lmax)
+        n_exc_row = nexc_f.astype(np.int32)
         # rows whose exceptions overflow the capture arrays download
         # DENSE (hybrid): the equal-mass routing map gives rows equal
         # counts, so rows covering sparse key ranges (canonical keys
@@ -475,28 +607,25 @@ class DeviceAccCounter:
         dense_rows = np.flatnonzero(n_exc_row > accum.EXC_ROW_CAP)
         if len(dense_rows) > max(4, B // 4):
             return None
-        packed = np.asarray(packed_d[:, :lmax]).astype(np.uint32)
-        head_p = [np.asarray(p[:, 0]).astype(np.uint64)
-                  for p in planes]
-        head_c = np.asarray(counts[:, 0]).astype(np.uint32)
-        exc_col = np.asarray(exc_col_d)
-        exc_p = [np.asarray(p).astype(np.uint64) for p in exc_planes_d]
-        exc_cnt = np.asarray(exc_cnt_d)
+        head_p = [p.astype(np.uint64) for p in headp_f]
+        head_c = headc_f
+        exc_col = exccol_f.reshape(B, EC)
+        exc_p = [p.reshape(B, EC).astype(np.uint64) for p in excp_f]
+        exc_cnt = exccnt_f.reshape(B, EC)
         # wire accounting accumulates LOCALLY and commits only on the
         # successful return: the exception loop below can still bail to
         # the dense fallback, which does its own (full) accounting — an
         # eager commit here would double-count that path's d2h bytes
-        d2h_bytes = (packed.nbytes + 4
-                     + sum(p.nbytes // 2 for p in head_p)
-                     + head_c.nbytes + exc_col.nbytes
-                     + sum(p.nbytes // 2 for p in exc_p)
-                     + exc_cnt.nbytes + n_exc_row.nbytes)
+        d2h_bytes = blob.nbytes + 4
 
+        cbits_row = (32 - gbits_f.astype(np.int32)).astype(np.uint32)
+        # host decode time = wall inside this window minus any fetch
+        # time the dense-row hatch spends blocked on the device
+        t_host0 = _time.perf_counter()
+        t_fetch_at_host0 = self.sync["t_fetch_s"]
         lo0 = head_p[0]
         if self.P == 2:
             lo0 = lo0 | (head_p[1] << np.uint64(32))
-        cbits_row = (32 - np.asarray(gbits_d)).astype(np.uint32)
-        d2h_bytes += cbits_row.nbytes
         gaps = (packed >> cbits_row[:, None]).astype(np.uint64)
         cnts = (packed & ((np.uint32(1) << cbits_row[:, None])
                           - np.uint32(1))).astype(np.uint32)
@@ -526,9 +655,9 @@ class DeviceAccCounter:
         cnts[:, 0] = head_c
         if len(dense_rows):
             dr = jnp.asarray(dense_rows)
-            dp = [np.asarray(jnp.take(p[:, :lmax], dr, axis=0))
+            dp = [self._fetch(jnp.take(p[:, :lmax], dr, axis=0))
                   .astype(np.uint64) for p in planes]
-            dc = np.asarray(jnp.take(counts[:, :lmax], dr, axis=0))
+            dc = self._fetch(jnp.take(counts[:, :lmax], dr, axis=0))
             d2h_bytes += (sum(p.nbytes // 2 for p in dp)
                           + dc.nbytes)
             dk = dp[0]
@@ -541,6 +670,9 @@ class DeviceAccCounter:
         cts = cnts[m]
         hi = np.zeros(len(lo), np.uint64)
         self.wire_d2h_bytes += d2h_bytes
+        self.sync["host_finalize_s"] += (_time.perf_counter() - t_host0
+                                         - self.sync["t_fetch_s"]
+                                         + t_fetch_at_host0)
         return (hi, lo, cts.astype(np.uint64))
 
     def finalize(self):
@@ -548,7 +680,13 @@ class DeviceAccCounter:
         self._resolve_batch()
         if self._staged:
             self._merge()
-        n_allones = sum(int(x) for x in self._nallones)
+        self._verify_merge()
+        # ONE batched fetch for all per-chunk all-ones scalars (a
+        # per-chunk int() would pay one link round trip per chunk)
+        n_allones = 0
+        if self._nallones:
+            n_allones = self._fetch_int(jnp.sum(jnp.stack(
+                [jnp.asarray(x) for x in self._nallones])))
 
         if self._acc is None:
             acc_run = None
@@ -556,8 +694,11 @@ class DeviceAccCounter:
             # download only the used row prefix: the accumulator is
             # sized from the (file-size-based) over-estimate, and the
             # device->host link is the e2e bottleneck on slow links
-            lmax = min(self.La, max(256, getattr(self, "_max_run",
-                                                 self.La)))
+            # (eighth-pow2 quantized so the fused download's static
+            # lmax does not mint a jit signature per run)
+            from .ops import accum as _accum
+            lmax = min(self.La, _accum._eighth_round(
+                max(256, getattr(self, "_max_run", self.La))))
             acc_run = None
             if (2 * self.k <= 64
                     and _os.environ.get("MERYL_TPU_PACK_D2H",
@@ -565,9 +706,9 @@ class DeviceAccCounter:
                 acc_run = self._download_packed(lmax)
             if acc_run is None:  # k > 32, knob off, or hatch overflow
                 self.wire_d2h_bytes += self.B * lmax * 4 * (self.P + 1)
-                planes_np = [np.asarray(p[:, :lmax]).reshape(-1)
+                planes_np = [self._fetch(p[:, :lmax]).reshape(-1)
                              for p in self._acc[0]]
-                counts_np = np.asarray(
+                counts_np = self._fetch(
                     self._acc[1][:, :lmax]).reshape(-1)
                 keepm = counts_np > 0
                 planes_np = [p[keepm] for p in planes_np]
@@ -653,12 +794,13 @@ def _use_device_acc(count_suffix, paths, k, chunk_len) -> int:
 LAST_WIRE_STATS: dict = {}
 
 
-def _prefetch_chunks(chunker, depth: int = 2):
+def _prefetch_chunks(chunker, depth: int = 2, transform=None):
     """Iterate a SequenceChunker through a small queue fed by a reader
-    thread: the host file scan (native scanner + decompression)
-    overlaps the device dispatches instead of serializing with the
-    M-cadence fetch barriers.  The reader owns the chunker; errors
-    re-raise at the consumer."""
+    thread: the host file scan (native scanner + decompression) — and
+    any per-chunk `transform` (the device-acc path packs the 2-bit
+    wire here) — overlaps the device dispatches instead of serializing
+    with the M-cadence fetch barriers.  The reader owns the chunker;
+    errors re-raise at the consumer."""
     import queue
     import threading
 
@@ -668,7 +810,7 @@ def _prefetch_chunks(chunker, depth: int = 2):
     def _reader():
         try:
             for c in chunker:
-                q.put(c)
+                q.put(c if transform is None else transform(c))
             q.put(DONE)
         except BaseException as e:  # surface reader errors, then stop
             q.put(e)
@@ -689,11 +831,23 @@ def count_to_arrays_device_acc(paths, k: int, mode: str, hpc: bool,
                                progress=None, segment=None):
     acc = DeviceAccCounter(k, mode, chunk_len, expected_uniques)
     nbases = 0
+    transform = acc.prepack \
+        if _os.environ.get("MERYL_TPU_PACK_WIRE", "1") != "0" else None
     it = iter(_prefetch_chunks(SequenceChunker(paths, k, chunk_len,
                                                hpc=hpc,
-                                               segment=segment)))
+                                               segment=segment),
+                               transform=transform))
     salvage_runs = None
-    for chunk in it:
+    scan_stall_s = 0.0  # consumer time blocked on the reader thread
+    while True:
+        t0 = _time.perf_counter()
+        try:
+            chunk = next(it)
+        except StopIteration:
+            scan_stall_s += _time.perf_counter() - t0
+            break
+        scan_stall_s += _time.perf_counter() - t0
+        n_chunk = chunk[4] if isinstance(chunk, tuple) else len(chunk)
         try:
             acc.add_codes(chunk)
         except AccCapacity:
@@ -702,26 +856,37 @@ def count_to_arrays_device_acc(paths, k: int, mode: str, hpc: bool,
             # on the host sort+merge path
             salvage_runs = acc.salvage()
             break
-        nbases += len(chunk)
+        nbases += n_chunk
         if progress:
             progress(nbases)
     if salvage_runs is not None:
         runs = salvage_runs
         for chunk in it:
+            if isinstance(chunk, tuple):  # prepack(): raw codes first
+                n_chunk, chunk = chunk[4], chunk[0]
+            else:
+                n_chunk = len(chunk)
             runs.extend(_finish_chunk(*_count_chunk(
                 chunk, k, mode, None)))
-            nbases += len(chunk)
+            nbases += n_chunk
             if progress:
                 progress(nbases)
         return merge_runs(runs)
+    t_fin0 = _time.perf_counter()
     try:
         out = acc.finalize()
     except AccCapacity:  # the final merge itself outgrew the budget
         out = merge_runs(acc.salvage())
+    t_finalize_s = _time.perf_counter() - t_fin0
     LAST_WIRE_STATS.clear()
     LAST_WIRE_STATS.update(h2d_bytes=acc.wire_h2d_bytes,
                            d2h_bytes=acc.wire_d2h_bytes,
-                           bases=nbases)
+                           bases=nbases,
+                           scan_stall_s=round(scan_stall_s, 4),
+                           t_finalize_s=round(t_finalize_s, 4),
+                           **{kk: (round(v, 4)
+                                   if isinstance(v, float) else v)
+                              for kk, v in acc.sync.items()})
     return out
 
 

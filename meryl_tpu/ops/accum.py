@@ -36,6 +36,7 @@ on the host path — never silently dropped.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,9 @@ def plan_route(chunk_len: int, k: int, expected_uniques: int) -> dict:
     regrows on demand — oversized rows make every merge re-sort
     padding."""
     L0 = min(1 << 16, chunk_len)
+    if os.environ.get("MERYL_TPU_ACC_L0"):  # sweep knob (see
+        # docs/tpu-design.md round-5 routing-row table)
+        L0 = min(int(os.environ["MERYL_TPU_ACC_L0"]), chunk_len)
     R0 = max(1, chunk_len // L0)
     M = 8
     vol = max(int(expected_uniques), M * chunk_len)
@@ -420,3 +424,27 @@ def pack_for_download(acc_planes, acc_counts, P: int, cbits_min: int):
     exc_cnt = srt[1 + P][:, :EXC_ROW_CAP]
     n_exc_row = jnp.sum(exc.astype(jnp.int32), axis=1)
     return packed, gbits_row, exc_col, exc_planes, exc_cnt, n_exc_row
+
+
+@functools.partial(jax.jit, static_argnames=("P", "cbits_min", "lmax"))
+def pack_for_download_fused(acc_planes, acc_counts, P: int,
+                            cbits_min: int, lmax: int):
+    """pack_for_download, with every output flattened into ONE u32
+    blob so the host pays a single blocking fetch instead of ~11 (each
+    ~27 ms of round-trip latency on the dev tunnel — ~0.3 s of the r4
+    e2e wall was this latency alone).  Layout, all raveled u32:
+
+      [ packed[:, :lmax] | gbits_row | n_exc_row | counts[:, 0]
+        | planes[p][:, 0] x P | exc_col | exc_cnt | exc_planes x P ]
+
+    The host splits by the statically known shapes (B, lmax,
+    EXC_ROW_CAP)."""
+    packed, gbits_row, exc_col, exc_planes, exc_cnt, n_exc_row = \
+        pack_for_download(acc_planes, acc_counts, P, cbits_min)
+    parts = ([packed[:, :lmax].ravel(),
+              gbits_row.astype(U32), n_exc_row.astype(U32),
+              acc_counts[:, 0]]
+             + [acc_planes[p][:, 0] for p in range(P)]
+             + [exc_col.ravel(), exc_cnt.ravel()]
+             + [exc_planes[p].ravel() for p in range(P)])
+    return jnp.concatenate(parts)

@@ -285,3 +285,22 @@ def test_acc_decode_exact_with_overflow_no_breakers():
             want[cn] = want.get(cn, 0) + 1
     got = {int(b): int(n) for b, n in zip(lo.tolist(), cts.tolist())}
     assert got == want
+
+
+def test_acc_deferred_regrow_exact():
+    """The merge's row-overflow check is DEFERRED one merge cadence
+    (counter._verify_merge): force an overflow that is only detected
+    while later chunks are already staged, and assert (a) the regrow
+    really ran (La grew past La0) and (b) the result is exact."""
+    rng = np.random.default_rng(31)
+    seqs = _rand_seqs(rng, 40, 600)
+    acc = counter.DeviceAccCounter(21, "canonical", 1 << 13,
+                                   expected_uniques=8)
+    la0 = acc.La
+    for s in seqs:  # one seq per chunk: no boundary-spanning windows
+        acc.add_codes(km.encode_bases(s))
+    hi, lo, c = acc.finalize()
+    assert acc.La > la0  # the deferred regrow path actually ran
+    got = {(int(h) << 64) | int(l): int(v)
+           for h, l, v in zip(hi, lo, c)}
+    assert got == _brute(seqs, 21)
