@@ -176,83 +176,114 @@ def bench_lookup():
 
 
 def bench_lookup_midsize():
-    """Routed-join lookup kernel (lookup._route_join_kernel_impl) in
-    its product domain since round 4: mid-size tables (JOIN_MIN_N <=
-    N < BACJ_MIN_N).  2M queries per slab against a ~2M-kmer table;
-    values mode and the packed exists mode that screening callers
-    (existence/include/exclude/-bed/-wig-depth) use."""
+    """Mid-size bulk lookup kernel in its round-5 product formulation:
+    the bucket-grid compare-join (ops/bacjoin.py) at a ~2M-kmer table
+    — the BACJ regime extends down to BACJ_MIN_N = 2^18 since round 5
+    (the r3 routed join, 50 Mq/s captured in r4, remains only the
+    degenerate-skew fallback).  Values mode and the packed exists mode
+    that screening callers (existence/include/exclude/-bed/-wig-depth)
+    use; half-hit/half-miss slabs, same scan + checksum convention as
+    bench_lookup_bigdb."""
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from meryl_tpu import kmer as km
     from meryl_tpu import lookup as lk
+    from meryl_tpu.ops import bacjoin as bj
 
     K = 21
-    N_DB = 1 << 21
-    S = 4
+    LOGN = 21
+    S = 2
     TRIALS = 3
 
-    rng = np.random.default_rng(1)
-    kmers = np.unique(rng.integers(0, 1 << 42, size=N_DB, dtype=np.uint64))
-    hi = np.zeros(len(kmers), np.uint64)
-    counts = rng.integers(1, 100, size=len(kmers)).astype(np.uint32)
+    rng = np.random.default_rng(25)
+    n_target = 1 << LOGN
+    gaps = rng.exponential(scale=(1 << (2 * K)) / n_target,
+                           size=n_target)
+    lo = np.floor(np.cumsum(gaps)).astype(np.uint64)
+    keep = np.ones(n_target, bool)
+    keep[1:] = lo[1:] != lo[:-1]
+    lo = lo[keep & (lo < (1 << (2 * K)))]
+    hi = np.zeros(len(lo), np.uint64)
+    counts = rng.integers(1, 200, size=len(lo)).astype(np.uint32)
+    n = len(lo)
 
-    class _FakeDB:
-        k = K
+    bm = min(26, 2 * K - 1)
+    topM = bj._top_bits_np(hi, lo, K, bm)
+    cM = np.bincount(topM, minlength=1 << bm)
 
-        def load_all(self):
-            return hi, kmers, counts
+    def bucket_max(b):
+        return int(cM.reshape(1 << b, -1).sum(axis=1).max())
 
-    table = lk.ExactLookup(_FakeDB())
-    g = table._build_grouped()
-    cfg = g["cfg"]
-    R0, L0 = cfg[7], cfg[8]
-    N_Q = R0 * L0
-    gplanes, gvalues = g["gplanes"], g["gvalues"]
-    pad_key, pad_planes = g["pad_key"], g["pad_planes"]
-
-    def body(carry, qp):
-        val, qidx, n_ovf, tail = lk._route_join_kernel_impl(
-            gplanes, gvalues, [qp[i] for i in range(table.P)],
-            jnp.int32(N_Q), pad_key, pad_planes, cfg)
-        return (carry + jnp.sum(val) + n_ovf.astype(jnp.uint32)
-                + qidx[0, 0] + tail[0, 0]), None
-
-    def body_exists(carry, qp):
-        packed, n_ovf, tail = lk._route_join_kernel_impl(
-            gplanes, gvalues, [qp[i] for i in range(table.P)],
-            jnp.int32(N_Q), pad_key, pad_planes, cfg, True)
-        return (carry + jnp.sum(packed) + n_ovf.astype(jnp.uint32)
-                + tail[0, 0]), None
+    q_slab = lk.ExactLookup.BACJ_SLAB
+    cfg = bj.plan_bacjoin(n, K, bucket_max, q_slab,
+                          float(os.environ.get(
+                              "MERYL_TPU_BACJ_CAP_GB", "6")) * 1e9,
+                          b_hi=bm)
+    dbd, dbv = bj.build_db_grid(hi, lo, counts, K, cfg)
+    dbd_d = tuple(jnp.asarray(d) for d in dbd)
+    dbv_d = jnp.asarray(dbv)
+    jax.block_until_ready((dbd_d, dbv_d))
+    kcfg = (K, cfg["b"], cfg["b1"], cfg["c"], cfg["capA"],
+            cfg["s_cap"], cfg["ovfcap"])
 
     @jax.jit
-    def pipeline(xs):
-        out, _ = lax.scan(body, jnp.uint32(0), xs)
+    def pipeline(dbd_a, dbv_a, xs, nr):
+        def body(carry, x):
+            ql, nrow = x
+            vals, pos, tail, novf = bj.bacjoin_kernel(
+                dbd_a, dbv_a,
+                tuple(ql[i] for i in range(ql.shape[0])), nrow, kcfg)
+            return (carry + jnp.sum(vals, dtype=jnp.uint32)
+                    + jnp.sum(pos, dtype=jnp.uint32)
+                    + jnp.sum(tail, dtype=jnp.uint32)
+                    + jnp.sum(novf).astype(jnp.uint32)), None
+        out, _ = lax.scan(body, jnp.uint32(0), (xs, nr))
         return out
 
     @jax.jit
-    def pipeline_exists(xs):
-        out, _ = lax.scan(body_exists, jnp.uint32(0), xs)
+    def pipeline_exists(dbd_a, dbv_a, xs, nr):
+        def body(carry, x):
+            ql, nrow = x
+            packed, tail, novf = bj.bacjoin_kernel(
+                dbd_a, dbv_a,
+                tuple(ql[i] for i in range(ql.shape[0])), nrow, kcfg,
+                exists_only=True)
+            return (carry + jnp.sum(packed, dtype=jnp.uint32)
+                    + jnp.sum(tail, dtype=jnp.uint32)
+                    + jnp.sum(novf).astype(jnp.uint32)), None
+        out, _ = lax.scan(body, jnp.uint32(0), (xs, nr))
         return out
 
-    def make_queries():
-        qps = []
+    def make_batch(seed0):
+        qs, ns = [], []
+        r = np.random.default_rng(seed0)
         for _ in range(S):
-            q = np.concatenate([
-                rng.choice(kmers, size=N_Q // 2),
-                rng.integers(0, 1 << 42, size=N_Q // 2, dtype=np.uint64)])
-            rng.shuffle(q)
-            qhi = np.zeros(len(q), np.uint64)
-            qp = km.planes_from_hilo(qhi, q, table.P)
-            qps.append(np.stack([p.reshape(R0, L0) for p in qp]))
-        return jax.device_put(jnp.asarray(np.stack(qps)))
+            half = q_slab // 2
+            take = r.integers(0, n, size=half)
+            qlo = np.concatenate([lo[take], r.integers(
+                0, 1 << (2 * K), size=q_slab - half, dtype=np.uint64)])
+            qhi = np.zeros(q_slab, np.uint64)
+            qlow, n_row, _ = bj.route_queries_host(qhi, qlo, K, cfg)
+            qs.append(np.stack(qlow))
+            ns.append(n_row)
+        return (jax.device_put(jnp.asarray(np.stack(qs))),
+                jax.device_put(jnp.asarray(np.stack(ns))))
 
-    inputs = [make_queries() for _ in range(TRIALS + 1)]
+    inputs = [make_batch(60 + 13 * i) for i in range(TRIALS + 1)]
     jax.block_until_ready(inputs)
-    times = _timeit_fetch(pipeline, inputs, TRIALS)
-    times_e = _timeit_fetch(pipeline_exists, inputs, TRIALS)
-    return ([S * N_Q / dt / 1e6 for dt in times],
-            [S * N_Q / dt / 1e6 for dt in times_e])
+    int(pipeline(dbd_d, dbv_d, *inputs[0]))
+    int(pipeline_exists(dbd_d, dbv_d, *inputs[0]))
+    times, times_e = [], []
+    for t in range(TRIALS):
+        t0 = time.perf_counter()
+        int(pipeline(dbd_d, dbv_d, *inputs[1 + t]))
+        times.append(time.perf_counter() - t0)
+    for t in range(TRIALS):
+        t0 = time.perf_counter()
+        int(pipeline_exists(dbd_d, dbv_d, *inputs[1 + t]))
+        times_e.append(time.perf_counter() - t0)
+    return ([S * q_slab / dt / 1e6 for dt in times],
+            [S * q_slab / dt / 1e6 for dt in times_e])
 
 
 def bench_v2_action():
@@ -748,8 +779,11 @@ def bench_count_e2e():
         # host<->device interaction counted by the counter itself,
         # host-blocked time per category, and a measured per-sync RTT
         # so the residual's "it's the tunnel" attribution is numbers
-        n_syncs = (ws.get("n_h2d", 0) + ws.get("n_dispatch", 0)
-                   + ws.get("n_fetch", 0))
+        # only BLOCKING fetches are sync points: the measured t_h2d_s
+        # / t_dispatch_s show device_puts and jit dispatches are async
+        # (~0.02 s for ~60 of them), so crediting them with an RTT
+        # each would overstate the tunnel's share of the wall
+        n_syncs = ws.get("n_fetch", 0)
         rtt = measure_rtt()
         rtt_s = n_syncs * rtt
         host_s = (ws.get("scan_stall_s", 0.0)
@@ -775,8 +809,9 @@ def bench_count_e2e():
             "sync_detail": {kk: ws[kk] for kk in
                             ("n_h2d", "n_dispatch", "n_fetch",
                              "t_h2d_s", "t_dispatch_s", "t_fetch_s",
-                             "scan_stall_s", "host_pack_s",
-                             "host_finalize_s", "t_finalize_s")
+                             "scan_stall_s", "reader_busy_s",
+                             "host_pack_s", "host_finalize_s",
+                             "t_finalize_s")
                             if kk in ws},
             "rtt_ms": round(rtt * 1e3, 2),
             "rtt_s": round(rtt_s, 2),

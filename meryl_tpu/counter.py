@@ -575,20 +575,13 @@ class DeviceAccCounter:
 
         planes, counts = self._acc
         # the kernel sizes the gap field PER ROW from each row's own
-        # max gap; the host only pins the count field's floor from the
-        # run's coverage (mean count + 5 sigma), quantized to bound
-        # jit signatures
-        u_est = self._fetch_int(jnp.sum((counts > 0).astype(jnp.int32)))
-        if u_est <= 0:
-            return None
-        mean_c = max(1.0, self._bases_seen / u_est)
-        need_c = int(np.ceil(mean_c + 5 * np.sqrt(mean_c)
-                             + 8)).bit_length()
-        cbits_min = min(24, max(6, (need_c + 1) // 2 * 2))
+        # max gap and derives the count field's floor from coverage
+        # (bases / uniques) ON DEVICE — one dispatch, ONE blocking
+        # fetch for the whole download
         B, EC = self.B, accum.EXC_ROW_CAP
         blob = self._fetch(self._dispatch(
             accum.pack_for_download_fused, planes, counts, self.P,
-            cbits_min, lmax))
+            jnp.float32(self._bases_seen), lmax))
         offs = np.cumsum([B * lmax] + [B] * (3 + self.P)
                          + [B * EC] * (2 + self.P))[:-1]
         (packed_f, gbits_f, nexc_f, headc_f, *rest) = \
@@ -794,7 +787,8 @@ def _use_device_acc(count_suffix, paths, k, chunk_len) -> int:
 LAST_WIRE_STATS: dict = {}
 
 
-def _prefetch_chunks(chunker, depth: int = 2, transform=None):
+def _prefetch_chunks(chunker, depth: int = 2, transform=None,
+                     stats: dict | None = None):
     """Iterate a SequenceChunker through a small queue fed by a reader
     thread: the host file scan (native scanner + decompression) — and
     any per-chunk `transform` (the device-acc path packs the 2-bit
@@ -808,9 +802,21 @@ def _prefetch_chunks(chunker, depth: int = 2, transform=None):
     DONE = object()
 
     def _reader():
+        busy = 0.0
         try:
-            for c in chunker:
-                q.put(c if transform is None else transform(c))
+            it = iter(chunker)
+            while True:
+                t0 = _time.perf_counter()
+                try:
+                    c = next(it)
+                except StopIteration:
+                    break
+                if transform is not None:
+                    c = transform(c)
+                busy += _time.perf_counter() - t0
+                q.put(c)
+            if stats is not None:
+                stats["reader_busy_s"] = round(busy, 4)
             q.put(DONE)
         except BaseException as e:  # surface reader errors, then stop
             q.put(e)
@@ -833,10 +839,14 @@ def count_to_arrays_device_acc(paths, k: int, mode: str, hpc: bool,
     nbases = 0
     transform = acc.prepack \
         if _os.environ.get("MERYL_TPU_PACK_WIRE", "1") != "0" else None
+    reader_stats: dict = {}
+    # depth 4: the consumer drains in bursts around the M-cadence
+    # fetch barriers; a 2-deep queue re-stalls right after each one
     it = iter(_prefetch_chunks(SequenceChunker(paths, k, chunk_len,
                                                hpc=hpc,
                                                segment=segment),
-                               transform=transform))
+                               depth=4, transform=transform,
+                               stats=reader_stats))
     salvage_runs = None
     scan_stall_s = 0.0  # consumer time blocked on the reader thread
     while True:
@@ -883,6 +893,8 @@ def count_to_arrays_device_acc(paths, k: int, mode: str, hpc: bool,
                            d2h_bytes=acc.wire_d2h_bytes,
                            bases=nbases,
                            scan_stall_s=round(scan_stall_s, 4),
+                           reader_busy_s=reader_stats.get(
+                               "reader_busy_s", 0.0),
                            t_finalize_s=round(t_finalize_s, 4),
                            **{kk: (round(v, 4)
                                    if isinstance(v, float) else v)

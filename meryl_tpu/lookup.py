@@ -422,10 +422,16 @@ class ExactLookup:
     JOIN_MIN_Q = 1 << 17     # below: binary-search path (jit churn)
     JOIN_MIN_N = 1 << 16     # tiny tables: binary search is fine
     _LDB_TARGET = 1 << 13    # DB entries per join row (pre padding)
-    BACJ_MIN_N = 1 << 22     # big-DB regime: grid compare-join (the
-    #                          routed join below re-sorts the grouped
-    #                          DB every slab, so the grid join wins
-    #                          from ~4M entries up)
+    BACJ_MIN_N = 1 << 16     # grid compare-join regime (round 5: with
+    #                          the overdispersion-sized capA/c the
+    #                          BACJ kernel measures ~101 Mq/s at
+    #                          N = 2^21/2^19/2^18 and ~92 at 2^17/2^16
+    #                          vs the routed join's 50 in r4 — it owns
+    #                          the WHOLE bulk domain;
+    #                          scripts/probe_r5_midsize.py).  The
+    #                          routed join below remains the
+    #                          degenerate-skew fallback when no grid
+    #                          geometry fits
     BACJ_SLAB = 1 << 23      # queries per grid-join dispatch: the B*c
     #                          pad-sort slots amortize over Q — 44.9
     #                          (2^21) -> 84.3 (2^22) -> 114.6 Mq/s

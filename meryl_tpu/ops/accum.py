@@ -51,15 +51,18 @@ SENT = U32(0xFFFFFFFF)
 def plan_route(chunk_len: int, k: int, expected_uniques: int) -> dict:
     """Static routing/accumulator geometry for one chunk size.
 
-    Tuned on chip (scripts in /tmp round 3; see STATUS.md): sort cost
-    scales ~log(row length), so routing rows are short (2^16) and the
-    cell slack is the tight 3-sigma tail (overflow recounts exactly on
-    the host path — rare by construction); merges amortize over M=8
-    chunks; the accumulator row capacity starts from a DISCOUNTED
-    expectation (the file-size estimate overshoots FASTQ ~4x) and
-    regrows on demand — oversized rows make every merge re-sort
-    padding."""
-    L0 = min(1 << 16, chunk_len)
+    Tuned on chip (round-5 L0 sweep, scripts/probe_r5_acc_l0.py and
+    the table in docs/tpu-design.md): routing-row length L0 = 2^18 is
+    the measured knee — every halving grows the RELATIVE cell slack
+    (total pad = R0*B*(3 sqrt(mean)+4) shrinks ~sqrt(2) per doubling)
+    while rows 2^16..2^19 sort at the same floor; 2^20 falls off (row
+    count too small to batch).  Cell slack is the tight 3-sigma tail
+    (overflow recounts exactly on the host path — rare by
+    construction); merges amortize over M=8 chunks; the accumulator
+    row capacity starts from a DISCOUNTED expectation (the file-size
+    estimate overshoots FASTQ ~4x) and regrows on demand — oversized
+    rows make every merge re-sort padding."""
+    L0 = min(1 << 18, chunk_len)
     if os.environ.get("MERYL_TPU_ACC_L0"):  # sweep knob (see
         # docs/tpu-design.md round-5 routing-row table)
         L0 = min(int(os.environ["MERYL_TPU_ACC_L0"]), chunk_len)
@@ -353,8 +356,8 @@ def merge_cells(acc_planes, acc_counts, staged, P: int, La_out: int,
 EXC_ROW_CAP = 64
 
 
-@functools.partial(jax.jit, static_argnames=("P", "cbits_min"))
-def pack_for_download(acc_planes, acc_counts, P: int, cbits_min: int):
+@functools.partial(jax.jit, static_argnames=("P",))
+def pack_for_download(acc_planes, acc_counts, P: int, cbits_min):
     """Wire-pack the accumulator for download (2k <= 64 only).
 
     Finalize downloads (P + 1) u32 arrays per entry (~12 B/unique,
@@ -426,19 +429,31 @@ def pack_for_download(acc_planes, acc_counts, P: int, cbits_min: int):
     return packed, gbits_row, exc_col, exc_planes, exc_cnt, n_exc_row
 
 
-@functools.partial(jax.jit, static_argnames=("P", "cbits_min", "lmax"))
+@functools.partial(jax.jit, static_argnames=("P", "lmax"))
 def pack_for_download_fused(acc_planes, acc_counts, P: int,
-                            cbits_min: int, lmax: int):
+                            bases_seen, lmax: int):
     """pack_for_download, with every output flattened into ONE u32
     blob so the host pays a single blocking fetch instead of ~11 (each
     ~27 ms of round-trip latency on the dev tunnel — ~0.3 s of the r4
-    e2e wall was this latency alone).  Layout, all raveled u32:
+    e2e wall was this latency alone).  The count-field floor
+    (cbits_min: coverage mean + 5 sigma) is derived ON DEVICE from
+    bases_seen / uniques, so the host neither fetches a unique count
+    first nor mints a signature per cbits value.  Layout, raveled u32:
 
       [ packed[:, :lmax] | gbits_row | n_exc_row | counts[:, 0]
         | planes[p][:, 0] x P | exc_col | exc_cnt | exc_planes x P ]
 
     The host splits by the statically known shapes (B, lmax,
     EXC_ROW_CAP)."""
+    u = jnp.maximum(jnp.sum((acc_counts > U32(0)).astype(jnp.uint32)),
+                    jnp.uint32(1))
+    mean_c = jnp.maximum(jnp.float32(1.0),
+                         bases_seen.astype(jnp.float32)
+                         / u.astype(jnp.float32))
+    need_c = jnp.ceil(mean_c + 5.0 * jnp.sqrt(mean_c) + 8.0) \
+        .astype(jnp.uint32)
+    need_bits = jnp.int32(32) - jax.lax.clz(need_c).astype(jnp.int32)
+    cbits_min = jnp.clip((need_bits + 1) // 2 * 2, 6, 24)
     packed, gbits_row, exc_col, exc_planes, exc_cnt, n_exc_row = \
         pack_for_download(acc_planes, acc_counts, P, cbits_min)
     parts = ([packed[:, :lmax].ravel(),

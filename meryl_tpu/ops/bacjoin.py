@@ -97,7 +97,15 @@ def plan_bacjoin(n_db: int, k: int, bucket_max, q_slab: int,
         mem = B * s_cap * 4 * (ps + 1)
         if mem > mem_cap_bytes:
             continue
-        c = _cap_for_overflow(q_slab / B)
+        # hit-heavy slabs follow the REALIZED db bucket shares, not a
+        # Poisson spray: a bucket holding d_i of N keys draws
+        # Binomial(Q, d_i/N) hits, so across buckets the occupancy
+        # variance is lam * (1 + Q/N) — material when the DB is only a
+        # few slabs big (the mid-size regime; at N >> Q it vanishes).
+        # The Poisson tail target shrinks by that factor to keep the
+        # realized overflow fraction near the 3% design point.
+        f_over = 1.0 + q_slab / max(1, n_db)
+        c = _cap_for_overflow(q_slab / B, target=0.03 / f_over)
         # device work model (ns/slab): align/pack sorts ~0.83 ns/slot
         # (3 sorts touch the q_slab + B*c slots); the fused resolve
         # streams the grid from HBM once (~0.01 ns/grid-elt at ~800
@@ -113,7 +121,11 @@ def plan_bacjoin(n_db: int, k: int, bucket_max, q_slab: int,
         if best is None or work < best["work"]:
             b1 = max(10, min(b - 7, 14))
             lam = q_slab / (1 << b1)
-            capA = int(np.ceil(lam + 5.0 * np.sqrt(lam) + 8))
+            # coarse-row capacity pays the same hit overdispersion
+            # (see f_over above): without it a full-hit slab's realized
+            # row max sits right AT the 5-sigma Poisson cap and the
+            # router rejects whole slabs to the binary search
+            capA = int(np.ceil(lam + 5.0 * np.sqrt(lam * f_over) + 8))
             capA = _ceil_div(capA, 8) * 8
             best = {"b": b, "B": B, "s_cap": s_cap, "c": c, "ps": ps,
                     "b1": b1, "capA": capA, "work": work,
@@ -154,7 +166,8 @@ def plan_bacjoin_segmented(n_db: int, k: int, bucket_max, q_slab: int,
             if (1 << b1) % segs or (1 << b1) <= segs:
                 continue
             lam = q_slab / ((1 << b1) // segs)
-            capA = int(np.ceil(lam + 5.0 * np.sqrt(lam) + 8))
+            f_over = 1.0 + q_slab / max(1, n_db)
+            capA = int(np.ceil(lam + 5.0 * np.sqrt(lam * f_over) + 8))
             cfg["capA"] = _ceil_div(capA, 8) * 8
             # rows per segment must also divide the fine buckets
             if cfg["B"] % segs:
@@ -165,7 +178,8 @@ def plan_bacjoin_segmented(n_db: int, k: int, bucket_max, q_slab: int,
             # this resize the overflow-to-binary-search fraction runs
             # segs-fold past the 3% target on out-of-core DBs
             # (throughput-only; the overflow hatch keeps it exact)
-            cfg["c"] = _cap_for_overflow(q_slab / (cfg["B"] // segs))
+            cfg["c"] = _cap_for_overflow(q_slab / (cfg["B"] // segs),
+                                         target=0.03 / f_over)
             cfg["segments"] = segs
         return cfg
     return None

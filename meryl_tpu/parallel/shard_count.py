@@ -90,7 +90,8 @@ def plan_shard_route(chunk_len: int, k: int, n: int) -> dict:
     equal owner blocks) and the row map must be the exact integer map
     (bits <= 16).  For tiny k the key space itself caps B — fewer,
     fatter rows keep the cells from being mostly padding."""
-    L0 = min(1 << 16, chunk_len)
+    L0 = min(1 << 18, chunk_len)  # round-5 measured knee (see
+    # accum.plan_route / docs/tpu-design.md routing-row table)
     while chunk_len % L0:
         L0 >>= 1
     R0 = chunk_len // L0
@@ -443,6 +444,15 @@ class ShardedCounter:
     # ------------------------- merge path -----------------------------
 
     def _merge_staged(self) -> None:
+        """Dispatch the merge and DEFER its nmax verification to the
+        next merge cadence (or finalize): the replicated-scalar fetch
+        then costs one link round trip instead of merge-latency plus
+        one, and the owners fold while the host feeds the next steps.
+        The deferral is symmetric across processes (every process
+        defers the same replicated scalar), so multi-host lockstep is
+        preserved; the pre-merge accumulator and staged groups stay
+        alive in _unverified until the check clears."""
+        self._verify_merge()
         staged = self._staged
         self._staged = []
         if not staged:
@@ -450,37 +460,56 @@ class ShardedCounter:
         if self._acc is None:
             self._acc = self._fresh_acc(self.La)
         flat = [pl for grp in staged for pl in grp]
+        fn = self._get_merge(len(staged), self.La)
+        planes, counts, nmax_d = fn(self._acc[0], self._acc[1], *flat)
+        self._unverified = (planes, counts, nmax_d, self._acc, staged,
+                            self.La)
+        self._acc = (planes, counts)  # optimistic: overflow is rare
+
+    def _verify_merge(self) -> None:
+        uv = getattr(self, "_unverified", None)
+        if uv is None:
+            return
+        self._unverified = None
+        planes, counts, nmax_d, old_acc, staged, la_then = uv
+        nmax = int(np.asarray(nmax_d))  # replicated: lockstep-safe
+        if nmax <= la_then:
+            self._acc_rows_used = nmax
+            if nmax * self.rpo >= self.acc_cap:
+                # total-entry budget reached: dump now (reference P5)
+                self.spill()
+            return
+        # truncated: re-dispatch with grown rows against the preserved
+        # pre-merge accumulator (blocking — overflow is the rare path)
+        self._acc = old_acc
+        flat = [pl for grp in staged for pl in grp]
         La_out = self.La
         while True:
-            fn = self._get_merge(len(staged), La_out)
-            planes, counts, nmax_d = fn(self._acc[0], self._acc[1],
-                                        *flat)
-            nmax = int(np.asarray(nmax_d))  # replicated: lockstep-safe
-            if nmax <= La_out:
-                break
-            # truncated: re-dispatch with grown rows (the old
-            # accumulator and staged groups are still alive — exact)
             need = accum._eighth_round(nmax)
             if need <= self.La_max:
                 La_out = need
-                continue
-            if self._acc_nonempty():
+            elif self._acc_nonempty():
                 # past the budget: spill the current accumulator and
                 # retry the same staged groups into a fresh one
                 self.spill()
                 self._acc = self._fresh_acc(self.La0)
                 self.La = self.La0
                 La_out = min(self.La_max, max(self.La0, need))
-                continue
-            raise RuntimeError(
-                f"ShardedCounter accumulator overflow: one merge "
-                f"needs {nmax} entries/row x {self.rpo} rows with "
-                f"acc_cap={self.acc_cap}; raise acc_cap")
+            else:
+                raise RuntimeError(
+                    f"ShardedCounter accumulator overflow: one merge "
+                    f"needs {nmax} entries/row x {self.rpo} rows with "
+                    f"acc_cap={self.acc_cap}; raise acc_cap")
+            fn = self._get_merge(len(staged), La_out)
+            planes, counts, nmax_d = fn(self._acc[0], self._acc[1],
+                                        *flat)
+            nmax = int(np.asarray(nmax_d))
+            if nmax <= La_out:
+                break
         self._acc = (planes, counts)
         self.La = La_out
         self._acc_rows_used = nmax
         if nmax * self.rpo >= self.acc_cap:
-            # total-entry budget reached: dump now (reference P5)
             self.spill()
 
     def _acc_nonempty(self) -> bool:
@@ -629,6 +658,7 @@ class ShardedCounter:
         self._resolve_pending()
         if self._staged:
             self._merge_staged()
+        self._verify_merge()
         LAST_SHARD_STATS.clear()
         LAST_SHARD_STATS.update(self.stats)
         acc_runs = {}

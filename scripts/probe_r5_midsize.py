@@ -114,7 +114,8 @@ def run_case(logn: int):
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    for logn in (21, 19, 18):
+    logns = [int(a) for a in sys.argv[1:]] or [21, 19, 18]
+    for logn in logns:
         run_case(logn)
 
 
