@@ -69,8 +69,14 @@ def plan_route(chunk_len: int, k: int, expected_uniques: int) -> dict:
     R0 = max(1, chunk_len // L0)
     M = 8
     vol = max(int(expected_uniques), M * chunk_len)
-    B = max(8, min(1 << 11, vol >> 14))
+    # B cap 2^10 (round-5 sweep at L0 = 2^18: B = 1024 totals 13.5
+    # ns/base vs 15.3 at 2048 and 14.1 at 512 — the kernel cost
+    # depends only on (L0, B), so the knee holds at any volume; the
+    # vol term only shrinks B for small runs)
+    B = max(8, min(1 << 10, vol >> 14))
     B = 1 << (B - 1).bit_length()
+    if os.environ.get("MERYL_TPU_ACC_B"):  # sweep knob
+        B = int(os.environ["MERYL_TPU_ACC_B"])
     mean = max(1.0, L0 / B)
     c = max(8, int(mean + 3.0 * mean ** 0.5 + 4))
     # prefix resolution: >= 64 prefixes per row where the equal-mass
@@ -209,19 +215,30 @@ def _route_core(planes, valid, cfg):
     n_allones = jnp.sum(allones.astype(jnp.int32))
     valid = valid & ~allones
 
-    pref = _top_bits(planes, k, bits)
+    # sort by the KMER ITSELF (planes as keys, most-significant plane
+    # first) instead of by a separate row-key operand: the equal-mass
+    # row maps are monotone non-decreasing in the kmer prefix, so the
+    # plane sort yields the same bucket grouping with ONE fewer sort
+    # operand (1/3 of sort1 for P=2, 1/2 for P=1 — sort cost scales
+    # with operand count).  Invalid windows' planes are masked to the
+    # sentinel first so they order past every real key (the all-ones
+    # real kmer was excluded above); the row vector is recomputed
+    # elementwise from the sorted planes.
+    planes2 = [jnp.where(valid, p, SENT).reshape(R0, L0)
+               for p in planes]
+    srt = jax.lax.sort(tuple(planes2[::-1]), num_keys=P, dimension=-1)
+    planes1 = list(srt[::-1])
+    inval1 = None
+    for p in planes1:
+        e = p == SENT
+        inval1 = e if inval1 is None else (inval1 & e)
+    pref1 = _top_bits(planes1, k, bits)
     if rowmap == "int":
-        row = row_from_prefix_int(pref.astype(jnp.uint32), bits, B,
-                                  mode == "canonical")
+        row1 = row_from_prefix_int(pref1.astype(jnp.uint32), bits, B,
+                                   mode == "canonical")
     else:
-        row = _row_from_prefix(pref, bits, B, mode == "canonical")
-    row = jnp.where(valid, row, jnp.int32(B))  # invalid past last row
-
-    row2 = row.reshape(R0, L0).astype(U32)
-    planes2 = [p.reshape(R0, L0) for p in planes]
-    srt = jax.lax.sort((row2,) + tuple(planes2), num_keys=1,
-                       dimension=-1)
-    row1, planes1 = srt[0], list(srt[1:])
+        row1 = _row_from_prefix(pref1, bits, B, mode == "canonical")
+    row1 = jnp.where(inval1, jnp.int32(B), row1).astype(U32)
 
     # rank within bucket segment via cummax; kept = first c per bucket
     seg_start = jnp.concatenate(

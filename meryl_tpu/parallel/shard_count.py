@@ -96,8 +96,9 @@ def plan_shard_route(chunk_len: int, k: int, n: int) -> dict:
         L0 >>= 1
     R0 = chunk_len // L0
     bits = min(16, 2 * k)
-    # key-space guard: at most ~2^(2k-5) rows are meaningfully distinct
-    cap = 1 << max(0, min(11, 2 * k - 5))
+    # key-space guard: at most ~2^(2k-5) rows are meaningfully
+    # distinct; overall cap 2^10 per the round-5 (L0, B) sweep
+    cap = 1 << max(0, min(10, 2 * k - 5))
     b_target = max(n, min(cap, max(1, L0 // 8)))
     rpo = max(1, b_target // n)
     B = n * rpo
