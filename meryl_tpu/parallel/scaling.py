@@ -48,11 +48,13 @@ import os
 import re
 
 # built-in fallbacks (v5e chip over the dev tunnel, RTT-corrected,
-# docs/tpu-design.md): routed cell build per base; row-batched
-# merge_cells fold per staged slot.  bench.py re-measures both every
-# round (bench_calibration) and the newest BENCH_r*.json wins.
-_DEFAULT_T_LOCAL_NS = 1.6
-_DEFAULT_T_MERGE_NS = 1.6
+# docs/tpu-design.md round-5 tables): routed cell build per base;
+# row-batched merge_cells fold per staged slot.  bench.py re-measures
+# both every round (bench_calibration) and the newest BENCH_r*.json
+# wins.  (The pre-r5 built-ins of 1.6/1.6 came from the retracted
+# "~0.9 ns/elt" design note — see STATUS.md; these are measured.)
+_DEFAULT_T_LOCAL_NS = 11.0
+_DEFAULT_T_MERGE_NS = 4.6
 
 # bytes per cell slot on the wire: P=2 key planes (raw windows carry
 # an implicit count of 1 — no count word crosses)
@@ -106,7 +108,13 @@ def _load_calibration() -> dict:
         if path and os.path.exists(path):
             try:
                 with open(path) as f:
-                    data = json.loads(f.readline())
+                    data = json.load(f)
+                # driver-written BENCH_r*.json wraps the bench line as
+                # {"n", "cmd", "rc", "tail", "parsed": {...}} — the
+                # metrics live under "parsed" (a bare bench.py capture
+                # is the flat dict itself)
+                if isinstance(data.get("parsed"), dict):
+                    data = data["parsed"]
                 name = os.path.basename(path)
                 if t_local is None and "t_local_ns_per_base" in data \
                         and data["t_local_ns_per_base"] > 0:

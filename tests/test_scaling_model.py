@@ -25,7 +25,11 @@ def test_intra_pod_efficiency_holds():
 def test_multi_pod_is_dcn_bound():
     r = predict_scaling(1 << 22, 1024, ici_domain=256)
     assert r["t_dcn_ms"] > r["t_ici_ms"]
-    assert r["efficiency"] < 0.8
+    # crossing DCN must cost efficiency vs staying inside one ICI
+    # domain (the absolute value depends on the bench-fed compute
+    # constants, so the assertion is relative)
+    r_pod = predict_scaling(1 << 22, 256)
+    assert r["efficiency"] < r_pod["efficiency"] - 0.02
 
 
 def test_throughput_scales_with_devices():
