@@ -94,11 +94,10 @@ def bench_lookup():
     table, S slabs per scan dispatch with a scalar checksum out
     (fetch-grounded; measures the lookup kernel, not the dev tunnel's
     device->host link).  The measured program is what the product
-    dispatches for this workload: since round 4 a 4M-entry table is
-    above ExactLookup.BACJ_MIN_N, so the kernel is the bucket-aligned
-    compare-join (ops/bacjoin.py) at the product slab size — the r3
-    routed join remains the product path for mid-size tables and is
-    measured separately (lookup_midsize/exists fields)."""
+    dispatches for this workload: the bucket-aligned compare-join
+    (ops/bacjoin.py) at the product slab size — since round 5 the
+    grid join owns EVERY bulk table (BACJ_MIN_N = 2^16; the
+    lookup_midsize/exists fields measure it at a 2M-entry table)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -117,7 +116,7 @@ def bench_lookup():
     counts = rng.integers(1, 100, size=len(kmers)).astype(np.uint32)
     n = len(kmers)
 
-    bm = min(26, 2 * K - 1)
+    bm = min(26, 2 * K - 1, n.bit_length() + 3)
     topM = bj._top_bits_np(hi, kmers, K, bm)
     cM = np.bincount(topM, minlength=1 << bm)  # already int64
 
@@ -178,7 +177,7 @@ def bench_lookup():
 def bench_lookup_midsize():
     """Mid-size bulk lookup kernel in its round-5 product formulation:
     the bucket-grid compare-join (ops/bacjoin.py) at a ~2M-kmer table
-    — the BACJ regime extends down to BACJ_MIN_N = 2^18 since round 5
+    — the BACJ regime extends down to BACJ_MIN_N = 2^16 since round 5
     (the r3 routed join, 50 Mq/s captured in r4, remains only the
     degenerate-skew fallback).  Values mode and the packed exists mode
     that screening callers (existence/include/exclude/-bed/-wig-depth)
@@ -207,7 +206,7 @@ def bench_lookup_midsize():
     counts = rng.integers(1, 200, size=len(lo)).astype(np.uint32)
     n = len(lo)
 
-    bm = min(26, 2 * K - 1)
+    bm = min(26, 2 * K - 1, n.bit_length() + 3)
     topM = bj._top_bits_np(hi, lo, K, bm)
     cM = np.bincount(topM, minlength=1 << bm)
 
@@ -219,6 +218,8 @@ def bench_lookup_midsize():
                           float(os.environ.get(
                               "MERYL_TPU_BACJ_CAP_GB", "6")) * 1e9,
                           b_hi=bm)
+    if cfg is None:  # degenerate cap/skew config: skip the metric,
+        return None  # never sink the whole bench line
     dbd, dbv = bj.build_db_grid(hi, lo, counts, K, cfg)
     dbd_d = tuple(jnp.asarray(d) for d in dbd)
     dbv_d = jnp.asarray(dbv)
@@ -263,13 +264,18 @@ def bench_lookup_midsize():
             qlo = np.concatenate([lo[take], r.integers(
                 0, 1 << (2 * K), size=q_slab - half, dtype=np.uint64)])
             qhi = np.zeros(q_slab, np.uint64)
-            qlow, n_row, _ = bj.route_queries_host(qhi, qlo, K, cfg)
+            routed = bj.route_queries_host(qhi, qlo, K, cfg)
+            if routed is None:  # capA overflow (router rejection):
+                return None     # skip the metric, not the bench
+            qlow, n_row, _ = routed
             qs.append(np.stack(qlow))
             ns.append(n_row)
         return (jax.device_put(jnp.asarray(np.stack(qs))),
                 jax.device_put(jnp.asarray(np.stack(ns))))
 
     inputs = [make_batch(60 + 13 * i) for i in range(TRIALS + 1)]
+    if any(b is None for b in inputs):
+        return None
     jax.block_until_ready(inputs)
     int(pipeline(dbd_d, dbv_d, *inputs[0]))
     int(pipeline_exists(dbd_d, dbv_d, *inputs[0]))
@@ -794,10 +800,15 @@ def bench_count_e2e():
         # PCIe projection: replace the measured tunnel terms (wire at
         # measured rates + n_syncs x measured RTT) with PCIe terms
         # (same bytes at 8 GB/s, ~100 us per sync point), keep
-        # everything else — instead of r4's "keep the whole residual"
-        pcie_s = max(0.05,
-                     best - wire_s - rtt_s
-                     + (h2d_b + d2h_b) / 8e9 + n_syncs * 100e-6)
+        # everything else — instead of r4's "keep the whole residual".
+        # Floor at the terms that do NOT shrink with the link (host
+        # work + PCIe wire + PCIe syncs): fetches that overlapped
+        # device compute make best - wire - rtt an underestimate, and
+        # an arbitrary clamp would turn the projection into a clamp
+        # artifact.
+        pcie_terms = (h2d_b + d2h_b) / 8e9 + n_syncs * 100e-6
+        pcie_s = max(host_s + pcie_terms,
+                     best - wire_s - rtt_s + pcie_terms)
         detail.update({
             "h2d_bytes": h2d_b,
             "d2h_bytes": d2h_b,

@@ -39,8 +39,8 @@ _USE_PALLAS = bool(_os.environ.get("MERYL_TPU_PALLAS"))
 
 def shard_default_chunk() -> int:
     """Per-DEVICE bases per SPMD step (env MERYL_TPU_SHARD_CHUNK).
-    The routed step (round 5) sorts only short row-batched rows (its
-    routing rows are L0 <= 2^16 regardless of chunk size), so chunk
+    The routed step (round 5) sorts only row-batched rows (its
+    routing rows are L0 <= 2^18 regardless of chunk size), so chunk
     size no longer trades against a flat-sort wall — it only
     amortizes per-step fixed costs (collective launch, control
     scalars) against HBM footprint (cell grid + staged groups,
@@ -872,8 +872,14 @@ def count_to_arrays_device_acc(paths, k: int, mode: str, hpc: bool,
     if salvage_runs is not None:
         runs = salvage_runs
         for chunk in it:
-            if isinstance(chunk, tuple):  # prepack(): raw codes first
-                n_chunk, chunk = chunk[4], chunk[0]
+            if isinstance(chunk, tuple):
+                # prepack() already built the 2-bit wire on the reader
+                # thread — hand _count_chunk the wire triple directly
+                # (re-packing the raw codes would double the host pack
+                # cost for the whole post-salvage stream)
+                n_chunk = chunk[4]
+                chunk = (jnp.asarray(chunk[1]), jnp.asarray(chunk[2]),
+                         jnp.uint32(chunk[3]))
             else:
                 n_chunk = len(chunk)
             runs.extend(_finish_chunk(*_count_chunk(

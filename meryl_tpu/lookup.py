@@ -628,7 +628,11 @@ class ExactLookup:
         if 2 * self.k < 18 or self._n < self.BACJ_MIN_N:
             return None
         cap = float(os.environ.get("MERYL_TPU_BACJ_CAP_GB", "6")) * 1e9
-        bm = min(26, 2 * self.k - 1)
+        # bound the max-bucket scan resolution by the table size: a
+        # fixed 2^26 bincount is a surprise 0.5 GB host allocation for
+        # a 2^16-entry table (the planner never picks B > 8 * n_db
+        # anyway, so n-scaled resolution loses nothing)
+        bm = min(26, 2 * self.k - 1, self._n.bit_length() + 3)
         topM = bj._top_bits_np(self._np_hi, self._np_lo, self.k, bm)
         cM = np.bincount(topM, minlength=1 << bm)  # already int64
 

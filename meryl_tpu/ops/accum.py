@@ -82,7 +82,15 @@ def plan_route(chunk_len: int, k: int, expected_uniques: int) -> dict:
     # prefix resolution: >= 64 prefixes per row where the equal-mass
     # map is steepest (slope 2 at x=0), else quantization alone
     # unbalances rows 2x and cells overflow chronically
-    bits = min(2 * k, 26, (B - 1).bit_length() + 6)
+    # bits <= 16 is LOAD-BEARING, not just the int-map requirement:
+    # the plane-keyed routing sort (see _route_core) relies on the row
+    # map being monotone in the prefix, and the FLOAT map loses
+    # monotonicity to float32 rounding from bits >= 24 (measured
+    # order inversions at 24-26).  Both maps are exactly monotone at
+    # bits <= 16; a sweep-knob B past 2^10 therefore degrades to
+    # coarser prefix resolution (unbalanced rows), never to a
+    # non-monotone map (wrong counts).
+    bits = min(2 * k, 16, (B - 1).bit_length() + 6)
     La0 = max(2048, _eighth_round(
         int(expected_uniques * 0.35 // B) + 1))
     return {"B": B, "R0": R0, "L0": L0, "c": c, "bits": bits,
