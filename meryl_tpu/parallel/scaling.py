@@ -84,7 +84,11 @@ def _newest_bench_json(root: str):
     cands = []
     for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m:
+        # rounds < 5 measured the FLAT shard-step kernels under the
+        # same field names (the step was rebuilt routed in round 5);
+        # feeding those into the routed model would be a silent
+        # semantics mismatch, so they are skipped
+        if m and int(m.group(1)) >= 5:
             cands.append((int(m.group(1)), p))
     return max(cands)[1] if cands else None
 

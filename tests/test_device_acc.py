@@ -304,3 +304,36 @@ def test_acc_deferred_regrow_exact():
     got = {(int(h) << 64) | int(l): int(v)
            for h, l, v in zip(hi, lo, c)}
     assert got == _brute(seqs, 21)
+
+
+def test_row_maps_monotone_at_product_bits():
+    """The plane-keyed routing sort (accum._route_core) requires the
+    row maps to be monotone non-decreasing in the prefix.  The int map
+    is monotone by construction; the FLOAT map loses monotonicity to
+    float32 rounding from bits >= 24 — plan_route therefore caps bits
+    at 16.  This pins the invariant for every bits/B the planner can
+    emit (both maps, canonical and forward)."""
+    import itertools
+
+    import jax
+
+    from meryl_tpu.ops import accum
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        for bits, B in itertools.product((10, 14, 16), (8, 1024)):
+            pref = np.arange(1 << bits, dtype=np.uint32)
+            for canonical in (True, False):
+                ri = accum.row_from_prefix_int(pref, bits, B,
+                                               canonical, xp=np)
+                assert (np.diff(ri) >= 0).all(), (bits, B, canonical)
+                import jax.numpy as jnp
+                rf = np.asarray(accum._row_from_prefix(
+                    jnp.asarray(pref), bits, B, canonical))
+                assert (np.diff(rf) >= 0).all(), (bits, B, canonical)
+
+
+def test_plan_route_bits_capped():
+    from meryl_tpu.ops import accum
+    for chunk in (1 << 15, 1 << 22):
+        for exp in (1 << 10, 1 << 24):
+            assert accum.plan_route(chunk, 31, exp)["bits"] <= 16
