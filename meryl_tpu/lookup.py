@@ -681,16 +681,25 @@ class ExactLookup:
         vidx = np.flatnonzero(valid_np)
         qhi, qlo = km.hilo_from_planes(q_planes_np)
 
+        # hatch queries (cell overflow, lost rows, rejected slabs) are
+        # ACCUMULATED and resolved in one vectorized host searchsorted
+        # at the end: a round-5 product-path probe caught the per-row
+        # fallback paying one ~50 ms device dispatch PER COARSE ROW at
+        # mid-size tables (78 s for one slab, scripts/
+        # probe_r5_midsize_product.py) — the host table copy answers
+        # the same queries exactly at numpy speed with zero link cost
+        fb_idx: list = []
+
         def bsearch_into(idx):
-            if len(idx) == 0:
+            if len(idx):
+                fb_idx.append(np.asarray(idx))
+
+        def resolve_fallbacks():
+            if not fb_idx:
                 return
-            if self._device_resident:
-                qpo = [np.ascontiguousarray(p[idx])
-                       for p in q_planes_np]
-                ov = self._values_bulk_bsearch(
-                    qpo, np.ones(len(idx), bool))
-            else:
-                ov = self.values_host(qhi[idx], qlo[idx])
+            idx = np.unique(np.concatenate(fb_idx))
+            fb_idx.clear()
+            ov = self.values_host(qhi[idx], qlo[idx])
             out[idx] = (ov > 0).astype(np.uint32) if exists_only else ov
 
         def run_slabs(sel, dbd, dbv, row_base, n_rows):
@@ -762,6 +771,7 @@ class ExactLookup:
 
         if K == 1:
             run_slabs(vidx, g["dbd"], g["dbv"], 0, 1 << cfg["b1"])
+            resolve_fallbacks()
             return out
 
         # segmented grid: partition queries by key-range segment (top
@@ -785,6 +795,7 @@ class ExactLookup:
             run_slabs(sel, dbd_s, dbv_s, s * rows_per_seg,
                       rows_per_seg)
             del dbd_s, dbv_s
+        resolve_fallbacks()
         return out
 
     def values_join(self, q_planes_np, valid_np) -> np.ndarray:

@@ -127,9 +127,19 @@ def plan_bacjoin(n_db: int, k: int, bucket_max, q_slab: int,
             # router rejects whole slabs to the binary search
             capA = int(np.ceil(lam + 5.0 * np.sqrt(lam * f_over) + 8))
             capA = _ceil_div(capA, 8) * 8
+            # per-coarse-row capture window for cell-overflow queries:
+            # sized from the EXPECTED overflow volume (the c sizing
+            # target x queries per coarse row) with 4x margin — a
+            # fixed 64 was calibrated to the big-DB regime (8192 rows
+            # per slab) and blew up at mid-size b1=10 where a row
+            # carries 8192 queries: ~0.7% overflow = ~55/row meant
+            # half the rows lost their captures and fell back
+            # WHOLESALE (the round-5 product probe's 78 s slab)
+            ovfcap = max(64, min(1024, _ceil_div(
+                int(4 * (0.03 / f_over) * lam) + 32, 8) * 8))
             best = {"b": b, "B": B, "s_cap": s_cap, "c": c, "ps": ps,
                     "b1": b1, "capA": capA, "work": work,
-                    "mem": mem, "ovfcap": 64}
+                    "mem": mem, "ovfcap": ovfcap}
     if best is None:
         return None
     # padding sanity: a grid mostly made of padding burns compare
@@ -180,6 +190,9 @@ def plan_bacjoin_segmented(n_db: int, k: int, bucket_max, q_slab: int,
             # (throughput-only; the overflow hatch keeps it exact)
             cfg["c"] = _cap_for_overflow(q_slab / (cfg["B"] // segs),
                                          target=0.03 / f_over)
+            # the capture window sees the same K-fold concentration
+            cfg["ovfcap"] = max(64, min(1024, _ceil_div(
+                int(4 * (0.03 / f_over) * lam) + 32, 8) * 8))
             cfg["segments"] = segs
         return cfg
     return None
