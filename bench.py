@@ -724,35 +724,58 @@ def bench_count_e2e():
     from meryl_tpu.counter import count_to_db
     from meryl_tpu.db import MerylDB
 
-    rng = np.random.default_rng(42)
     G = 1 << 20
     rlen = 150
     nreads = (64 * G) // rlen
     bases = nreads * rlen
-    fq = os.path.join(tempfile.gettempdir(), "meryl_bench_e2e.fq")
-    if not (os.path.exists(fq)
-            and os.path.getsize(fq) > bases * 2):
-        genome = rng.integers(0, 4, size=G).astype(np.uint8)
+
+    def make_fq(path, seed):
+        if os.path.exists(path) and os.path.getsize(path) > bases * 2:
+            return
+        r = np.random.default_rng(seed)
+        genome = r.integers(0, 4, size=G).astype(np.uint8)
         alph = np.frombuffer(b"ACTG", np.uint8)
-        with open(fq, "wb") as f:
-            starts = rng.integers(0, G - rlen, size=nreads)
+        with open(path, "wb") as f:
+            starts = r.integers(0, G - rlen, size=nreads)
             qual = b"I" * rlen
             for i, s in enumerate(starts):
                 f.write(b"@r%d\n%s\n+\n%s\n"
                         % (i, alph[genome[s:s + rlen]].tobytes(), qual))
 
+    # EVERY warm rep counts a DISTINCT (same-shape) file: the round-5
+    # integrity probe caught the remote executor content-memoizing —
+    # re-counting the SAME file measured 2.7 s where fresh data costs
+    # 6.5 s through the identical warm pipeline, so rounds 1-4's
+    # same-file warm protocol flattered the e2e headline.  The
+    # headline is now the fresh-data rate; one same-file repeat is
+    # reported alongside (cache_warm_s) for cross-round continuity.
+    fqs = [os.path.join(tempfile.gettempdir(),
+                        f"meryl_bench_e2e_i{i}.fq") for i in range(4)]
+    for i, p in enumerate(fqs):
+        make_fq(p, 42 + 1000 * i)
+
     times = []
     n_uniques = 0
-    for rep in range(4):  # rep 0 warms compiles; the dev tunnel's
-        # link rate swings several-fold between runs, so the headline
-        # is the best warm run and the median is reported alongside
-        # (so round-over-round changes can be told from link noise)
+    cache_warm_s = None
+    for rep in range(5):  # rep 0 warms compiles on file 0; rep 1 is
+        # the same-file repeat (the r1-r4 protocol -> cache_warm_s);
+        # reps 2-4 each count a FRESH file (distinct content, same
+        # shape) — the honest fresh-data times, and the LAST run
+        # leaves LAST_WIRE_STATS reflecting fresh work for the
+        # decomposition below
         out = os.path.join(tempfile.gettempdir(),
                            f"meryl_bench_e2e_{rep}.meryl")
         shutil.rmtree(out, ignore_errors=True)
+        fq = fqs[0] if rep <= 1 else fqs[rep - 1]
         t0 = time.perf_counter()
         db = count_to_db([fq], out, 21)
-        times.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        if rep == 1:
+            cache_warm_s = dt
+        elif rep > 1:
+            times.append(dt)
+        else:
+            times.append(dt)  # cold
         hi, lo, c = db.load_all()
         n_uniques = len(c)
         assert n_uniques > 0
@@ -767,7 +790,8 @@ def bench_count_e2e():
         "cold_s": round(times[0], 2),
         "warm_s": [round(t, 2) for t in times[1:]],
         "warm_median_s": round(warm[len(warm) // 2], 2),
-        "in_bytes": os.path.getsize(fq),
+        "cache_warm_s": round(cache_warm_s, 2),
+        "in_bytes": os.path.getsize(fqs[0]),
     }
     # wall-clock decomposition: measured large-array link rates x the
     # actual byte volumes the run moved; the residual is device+host
