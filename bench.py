@@ -749,10 +749,19 @@ def bench_count_e2e():
     # same-file warm protocol flattered the e2e headline.  The
     # headline is now the fresh-data rate; one same-file repeat is
     # reported alongside (cache_warm_s) for cross-round continuity.
+    # file 0 persists (cold-compile + cache-warm rep); the fresh-rep
+    # files are REGENERATED with a per-invocation seed — the remote
+    # relay outlives client processes, so reusing yesterday's bytes
+    # would hand the content memoizer the exact loophole this
+    # protocol closes
     fqs = [os.path.join(tempfile.gettempdir(),
                         f"meryl_bench_e2e_i{i}.fq") for i in range(4)]
-    for i, p in enumerate(fqs):
-        make_fq(p, 42 + 1000 * i)
+    make_fq(fqs[0], 42)
+    run_seed = int.from_bytes(os.urandom(4), "little")
+    for i in (1, 2, 3):
+        if os.path.exists(fqs[i]):
+            os.remove(fqs[i])
+        make_fq(fqs[i], run_seed + i)
 
     times = []
     n_uniques = 0
@@ -772,10 +781,8 @@ def bench_count_e2e():
         dt = time.perf_counter() - t0
         if rep == 1:
             cache_warm_s = dt
-        elif rep > 1:
-            times.append(dt)
         else:
-            times.append(dt)  # cold
+            times.append(dt)  # rep 0 = cold, reps 2-4 = fresh warm
         hi, lo, c = db.load_all()
         n_uniques = len(c)
         assert n_uniques > 0

@@ -75,8 +75,10 @@ def plan_route(chunk_len: int, k: int, expected_uniques: int) -> dict:
     # vol term only shrinks B for small runs)
     B = max(8, min(1 << 10, vol >> 14))
     B = 1 << (B - 1).bit_length()
-    if os.environ.get("MERYL_TPU_ACC_B"):  # sweep knob
+    if os.environ.get("MERYL_TPU_ACC_B"):  # sweep knob: clamp to a
+        # sane pow2 so a typo degrades, never crashes downstream
         B = int(os.environ["MERYL_TPU_ACC_B"])
+        B = 1 << max(3, min(12, (max(B, 1) - 1).bit_length()))
     mean = max(1.0, L0 / B)
     c = max(8, int(mean + 3.0 * mean ** 0.5 + 4))
     # prefix resolution: >= 64 prefixes per row where the equal-mass
@@ -226,9 +228,10 @@ def _route_core(planes, valid, cfg):
     # sort by the KMER ITSELF (planes as keys, most-significant plane
     # first) instead of by a separate row-key operand: the equal-mass
     # row maps are monotone non-decreasing in the kmer prefix, so the
-    # plane sort yields the same bucket grouping with ONE fewer sort
-    # operand (1/3 of sort1 for P=2, 1/2 for P=1 — sort cost scales
-    # with operand count).  Invalid windows' planes are masked to the
+    # plane sort yields the same bucket grouping with one fewer sort
+    # operand.  Measured gain is only ~2% (sort cost is NOT linear in
+    # operand count — docs/tpu-design.md round-5 trims); kept for the
+    # simplification.  Invalid windows' planes are masked to the
     # sentinel first so they order past every real key (the all-ones
     # real kmer was excluded above); the row vector is recomputed
     # elementwise from the sorted planes.

@@ -117,6 +117,8 @@ def _load_calibration() -> dict:
                 # {"n", "cmd", "rc", "tail", "parsed": {...}} — the
                 # metrics live under "parsed" (a bare bench.py capture
                 # is the flat dict itself)
+                if not isinstance(data, dict):
+                    raise ValueError("BENCH json top level not a dict")
                 if isinstance(data.get("parsed"), dict):
                     data = data["parsed"]
                 name = os.path.basename(path)
